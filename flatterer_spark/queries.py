@@ -1,0 +1,512 @@
+"""Core relational query surface (SURVEY.md §2.5 / §2.6 Q01-Q18).
+
+Each query is a (spark, sf_dir) -> DataFrame callable built with the
+DataFrame API (declarative -> Catalyst optimizes: filter/column pushdown to
+the parquet scan, broadcast of dimension tables, AQE for skew/partition
+coalescing).  ``ORACLE`` holds the equivalent ANSI SQL that DuckDB runs on the
+same parquet tables; column aliases match exactly so the driver's
+sorted-by-name value hash lines up.
+
+Cross-engine float discipline: we never rely on engine ROUND() semantics
+(Spark rounds HALF_UP on the shortest decimal repr, DuckDB on scaled doubles
+-- they disagree on x.xx5 edges).  Instead both sides compute
+``floor(x * 10^s + 0.5) / 10^s`` in IEEE double arithmetic, which is
+bit-identical across engines for identical inputs.
+
+Scale notes (100 TB posture):
+ - dimension tables (region, nation, supplier, part @ <1% of fact size) are
+   explicitly ``broadcast()`` so fact tables never shuffle for those joins;
+ - semi/anti joins pre-``distinct`` the probe side to shrink the build;
+ - all aggregations are expressed as single groupBy/agg passes => Spark plans
+   partial (map-side) + final aggregation automatically;
+ - the events self-join (q17) is an equi-join on user_id with a bounded range
+   predicate pushed into the join condition, not a cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which the vectorized Spark
+        # reader rejects; read nanos as long and truncate to microseconds
+        # in-plan (integer division -- double division loses precision at
+        # ~1e18 ns magnitudes).  The DuckDB oracles CAST to microsecond
+        # TIMESTAMP so both engines compare at the same precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def round_half_up(col, scale: int = 2):
+    """Cross-engine deterministic 2-decimal rounding (see module docstring)."""
+    m = 10 ** scale
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def _sql_round(expr: str, scale: int = 2) -> str:
+    m = 10 ** scale
+    return f"FLOOR(({expr}) * {m} + 0.5) / {m}"
+
+
+# ---------------------------------------------------------------------------
+# Q01 scan + project + filter
+# ---------------------------------------------------------------------------
+
+def q01_filter_project(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# Q02 equi inner join over the dimension chain (broadcast both dims)
+
+def q02_join_dims(spark, sf_dir):
+    customer = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    return (
+        customer
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    )
+
+
+# Q03 left join + COUNT over possibly-null side (zero preserved)
+
+def q03_left_join_count(spark, sf_dir):
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+        .orderBy("c_custkey")
+    )
+
+
+# Q04 semi join (EXISTS)
+
+def q04_semi_join(spark, sf_dir):
+    customer = T(spark, sf_dir, "customer")
+    open_orders = T(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# Q05 anti join (NOT EXISTS); distinct the probe keys so the broadcast/build
+# side is minimal at scale.
+
+def q05_anti_join(spark, sf_dir):
+    part = T(spark, sf_dir, "part")
+    ordered_parts = (
+        T(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        part.join(ordered_parts, part.p_partkey == ordered_parts.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# Q06 hash aggregate (TPC-H Q1 core) — partial+final agg, 2-col group key
+
+def q06_groupby_agg(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity")).alias("sum_qty"),
+            round_half_up(F.avg("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# Q07 multi countDistinct (expands to expand+two-phase agg in Spark)
+
+def q07_count_distinct(spark, sf_dir):
+    return T(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+    )
+
+
+# Q08 rollup (nation, customer) revenue
+
+def q08_rollup(spark, sf_dir):
+    customer = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    nation = T(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.rollup("n_name", "c_name")
+        .agg(round_half_up(F.sum("o_totalprice")).alias("revenue"))
+        .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("c_name"))
+    )
+
+
+# Q09 window ranking: top-3 orders per customer
+
+def q09_window_rank(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        T(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# Q10 window frame: running sum per user over event time
+
+def q10_window_frame(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        T(spark, sf_dir, "events")
+        .withColumn("running_value", round_half_up(F.sum("value").over(w)))
+        .select("user_id", "ts", "event_id", "running_value")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# Q11 global top-k (sort + limit => Spark TakeOrderedAndProject, no full sort)
+
+def q11_topk(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# Q12 set ops: INTERSECT then EXCEPT (distinct set semantics on both engines)
+
+def q12_set_ops(spark, sf_dir):
+    customer = T(spark, sf_dir, "customer")
+    with_orders = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
+    positive = customer.where(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return with_orders.intersect(positive).subtract(building).orderBy("custkey")
+
+
+# Q13 string functions
+
+def q13_string_fns(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 10).alias("name_prefix"),
+            F.length("p_type").cast("long").alias("type_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# Q14 date functions: orders per year + first/last order timestamp
+
+def q14_date_fns(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# Q14b shipdate min/max per year from lineitem
+
+def q14b_ship_years(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+# Q15 math / CASE bucketing
+
+def q15_case_math(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_discount") < 0.03, "low")
+        .when(F.col("l_discount") < 0.07, "mid")
+        .otherwise("high")
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            bucket.alias("discount_bucket"),
+            round_half_up(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# Q16 JSON scalar extraction (events.props is a JSON string column)
+
+def q16_json_extract(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# Q17 range self-join: event pairs within 1h per user.  Equi on user_id with
+# the time-band predicate in the join condition; pure timestamp comparison so
+# no session-timezone dependence.
+
+def q17_range_join(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    e1 = e.select(
+        F.col("user_id").alias("u1"),
+        F.col("event_id").alias("id1"),
+        F.col("ts").alias("ts1"),
+    )
+    e2 = e.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("id2"),
+        F.col("ts").alias("ts2"),
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    pairs = e1.join(
+        e2,
+        (F.col("u1") == F.col("u2"))
+        & (F.col("id1") < F.col("id2"))
+        & (F.col("ts2") > F.col("ts1") - hour)
+        & (F.col("ts2") < F.col("ts1") + hour),
+    )
+    return (
+        pairs.groupBy(F.col("u1").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy("user_id")
+    )
+
+
+# Q18 correlated subquery via decorrelation: per-nation average then join.
+
+def q18_correlated(spark, sf_dir):
+    customer = T(spark, sf_dir, "customer")
+    nation_avg = customer.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg"))
+    return (
+        customer.join(broadcast(nation_avg.withColumnRenamed("c_nationkey", "nk")),
+                      F.col("c_nationkey") == F.col("nk"))
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", round_half_up(F.col("c_acctbal")).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_filter_project": q01_filter_project,
+    "q02_join_dims": q02_join_dims,
+    "q03_left_join_count": q03_left_join_count,
+    "q04_semi_join": q04_semi_join,
+    "q05_anti_join": q05_anti_join,
+    "q06_groupby_agg": q06_groupby_agg,
+    "q07_count_distinct": q07_count_distinct,
+    "q08_rollup": q08_rollup,
+    "q09_window_rank": q09_window_rank,
+    "q10_window_frame": q10_window_frame,
+    "q11_topk": q11_topk,
+    "q12_set_ops": q12_set_ops,
+    "q13_string_fns": q13_string_fns,
+    "q14_date_fns": q14_date_fns,
+    "q14b_ship_years": q14b_ship_years,
+    "q15_case_math": q15_case_math,
+    "q16_json_extract": q16_json_extract,
+    "q17_range_join": q17_range_join,
+    "q18_correlated": q18_correlated,
+}
+
+
+CORE_ORACLE: dict[str, str] = {
+    "q01_filter_project": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey
+    """,
+    "q02_join_dims": """
+        SELECT c_custkey, c_name, n_name, r_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        ORDER BY c_custkey
+    """,
+    "q03_left_join_count": """
+        SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    "q04_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        ORDER BY c_custkey
+    """,
+    "q05_anti_join": """
+        SELECT p_partkey, p_name FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey AND l_quantity > 45)
+        ORDER BY p_partkey
+    """,
+    "q06_groupby_agg": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_sql_round('SUM(l_quantity)')} AS sum_qty,
+               {_sql_round('AVG(l_extendedprice)')} AS avg_price,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q07_count_distinct": """
+        SELECT COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+               COUNT(DISTINCT l_partkey) AS distinct_parts
+        FROM lineitem
+    """,
+    "q08_rollup": f"""
+        SELECT n_name, c_name, {_sql_round('SUM(o_totalprice)')} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_name)
+        ORDER BY n_name NULLS FIRST, c_name NULLS FIRST
+    """,
+    "q09_window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+    """,
+    "q10_window_frame": f"""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+                   FROM events)
+        SELECT user_id, ts, event_id,
+               {_sql_round('''SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')}
+                   AS running_value
+        FROM e
+        ORDER BY user_id, ts, event_id
+    """,
+    "q11_topk": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 10
+    """,
+    "q12_set_ops": """
+        SELECT custkey FROM (
+            (SELECT DISTINCT o_custkey AS custkey FROM orders)
+            INTERSECT
+            (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+            EXCEPT
+            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        ) ORDER BY custkey
+    """,
+    "q13_string_fns": """
+        SELECT p_partkey, UPPER(p_brand) AS brand_upper,
+               SUBSTR(p_name, 1, 10) AS name_prefix,
+               LENGTH(p_type) AS type_len
+        FROM part ORDER BY p_partkey
+    """,
+    "q14_date_fns": """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS order_count,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order
+        FROM orders GROUP BY order_year ORDER BY order_year
+    """,
+    "q14b_ship_years": """
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+               MIN(l_shipdate) AS min_ship,
+               MAX(l_shipdate) AS max_ship,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY ship_year ORDER BY ship_year
+    """,
+    "q15_case_math": f"""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount < 0.03 THEN 'low'
+                    WHEN l_discount < 0.07 THEN 'mid'
+                    ELSE 'high' END AS discount_bucket,
+               {_sql_round('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    "q16_json_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        FROM events ORDER BY event_id
+    """,
+    "q17_range_join": """
+        WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        SELECT e1.user_id AS user_id, COUNT(*) AS pair_count
+        FROM e e1
+        JOIN e e2
+          ON e1.user_id = e2.user_id
+         AND e1.event_id < e2.event_id
+         AND e2.ts > e1.ts - INTERVAL 1 HOUR
+         AND e2.ts < e1.ts + INTERVAL 1 HOUR
+        GROUP BY e1.user_id
+        ORDER BY user_id
+    """,
+    "q18_correlated": f"""
+        SELECT c_custkey, c_name, {_sql_round('c_acctbal')} AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+    """,
+}

@@ -1,0 +1,39 @@
+"""Central registry: every implemented query/operator exposed to the driver.
+
+Keys with an oracle entry are hash-checked against DuckDB; keys without one
+(genuinely non-SQL-expressible ops) get the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from flatterer_spark.queries import CORE_QUERIES
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(CORE_QUERIES)
+    try:
+        from flatterer_spark.ext_queries import EXT_QUERIES
+
+        out.update(EXT_QUERIES)
+    except ImportError:
+        pass
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from flatterer_spark.queries import CORE_ORACLE
+
+    out: dict[str, str] = {}
+    out.update(CORE_ORACLE)
+    try:
+        from flatterer_spark.ext_queries import EXT_ORACLE
+
+        out.update(EXT_ORACLE)
+    except ImportError:
+        pass
+    return out
