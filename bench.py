@@ -1,0 +1,73 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed via the ``noop`` sink so the full distributed plan runs
+(scan -> shuffle -> agg/join/window) without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline queries: one per physical-plan family, plus the heaviest extension
+# operators (dedup / similarity) once present in the registry.
+HEADLINE = [
+    "q01_filter_project",   # scan + filter + project (pushdown)
+    "q02_join_dims",        # broadcast join chain
+    "q03_left_join_count",  # shuffle join + agg
+    "q06_groupby_agg",      # partial+final hash agg
+    "q07_count_distinct",   # expand + two-phase distinct agg
+    "q08_rollup",           # rollup grouping sets
+    "q09_window_rank",      # window ranking
+    "q10_window_frame",     # window running frame
+    "q11_topk",             # TakeOrderedAndProject
+    "q17_range_join",       # bounded range self-join
+    "q18_correlated",       # decorrelated subquery
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+
+    from flatterer_spark.registry import all_queries
+    from flatterer_spark.session import get_spark
+
+    spark = get_spark(app_name="flatterer-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    names = [n for n in HEADLINE if n in registry]
+    # extension headliners are registered with a bench_ prefix marker
+    names += [n for n in sorted(registry) if n.startswith(("dedup_", "sim_", "text_"))]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

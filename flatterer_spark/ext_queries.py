@@ -1,0 +1,414 @@
+"""Training-data-pipeline operators: text analysis, dedup, similarity search.
+
+Every operator is declared once as a SQL builder over
+``flatterer_spark.functions.textgen.Gen`` and instantiated twice:
+``Gen(spark=True)`` -> the query the engine runs (still fully
+Catalyst-optimized -- ``spark.sql`` and the DataFrame API produce the same
+plans), ``Gen(spark=False)`` -> the DuckDB oracle.  This guarantees the two
+engines evaluate the *same* expression tree, so the driver's value-hash
+comparison can only fail on a genuine engine-semantics bug, not on drift
+between two hand-maintained implementations.
+
+Scale posture (100 TB):
+ - dedup_exact: single hash-groupBy -- one shuffle on the fingerprint, AQE
+   coalesces; no skew (md5 is uniform).
+ - ngram/minhash/simhash dedup: the quadratic all-pairs step is replaced by a
+   *bucketed* candidate join (LSH bands / simhash bands) so the shuffle key is
+   the band value; only candidates sharing a bucket are verified.  The DuckDB
+   oracles for the banded variants compute the mathematically-equivalent
+   closed form (pigeonhole: hamming <= 3 over 4 bands of 8 bits always shares
+   a band), proving the bucketed plan loses nothing.
+ - embedding ops: fold-based dot products keep floats deterministic for the
+   oracle; at real scale swap in the pandas_udf BLAS path (bench-only,
+   numerically equivalent to ~1e-7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from flatterer_spark.functions.textgen import Gen
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "of"),
+    "es": ("el", "la", "de", "es"),
+    "fr": ("le", "la", "et", "de"),
+    "de": ("der", "die", "das", "und"),
+}
+
+# 8 random hyperplanes over the 64-dim embedding space, fixed seed, rounded so
+# the literals splice identically into both engines' SQL.
+_HP = np.round(np.random.RandomState(7).normal(0.0, 1.0, (8, 64)), 6)
+
+EMB_DIM = 64
+
+
+def _dlist(g: Gen, vals) -> str:
+    """Double-array literal."""
+    if g.spark:
+        return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+    return "CAST([" + ", ".join(repr(float(v)) for v in vals) + "] AS DOUBLE[])"
+
+
+def _explode(g: Gen, arr: str, alias: str) -> str:
+    return f"explode({arr}) AS {alias}" if g.spark else f"unnest({arr}) AS {alias}"
+
+
+def _xor(g: Gen, a: str, b: str) -> str:
+    return f"({a} ^ {b})" if g.spark else f"xor({a}, {b})"
+
+
+def _intersect(g: Gen, a: str, b: str) -> str:
+    return f"array_intersect({a}, {b})" if g.spark else f"list_intersect({a}, {b})"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def sql_text_token_stats(g: Gen) -> str:
+    toks = g.tokens("text")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks, replace(text, ' ', '') AS squashed
+               FROM documents)
+    SELECT doc_id,
+           CAST({g.size('toks')} AS BIGINT) AS n_tokens,
+           CAST({g.size(g.distinct('toks'))} AS BIGINT) AS n_distinct,
+           {g.round2(f"CAST(length(squashed) AS DOUBLE) / CAST({g.size('toks')} AS DOUBLE)")}
+               AS avg_token_len
+    FROM t ORDER BY doc_id
+    """
+
+
+def sql_text_quality(g: Gen) -> str:
+    toks = g.tokens("text")
+    stop_hits = g.size(g.filter("toks", "t", f"t IN {g.strlist(STOPWORDS)}"))
+    n = g.size("toks")
+    nd = g.size(g.distinct("toks"))
+    dbl = "CAST({} AS DOUBLE)".format
+    stop_ratio = f"({dbl(stop_hits)} / {dbl(n)})"
+    distinct_ratio = f"({dbl(nd)} / {dbl(n)})"
+    length_score = f"least({g.d(1.0)}, {dbl(n)} / {g.d(100.0)})"
+    quality = (
+        f"{g.d(0.4)} * {length_score} + {g.d(0.4)} * {distinct_ratio}"
+        f" + {g.d(0.2)} * ({g.d(1.0)} - {stop_ratio})"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents)
+    SELECT doc_id, lang,
+           CAST({n} AS BIGINT) AS n_tokens,
+           CAST({stop_hits} AS BIGINT) AS stop_hits,
+           {g.round2(stop_ratio)} AS stop_ratio,
+           {g.round2(distinct_ratio)} AS distinct_ratio,
+           {g.round2(quality)} AS quality
+    FROM t ORDER BY doc_id
+    """
+
+
+def sql_text_lang_id(g: Gen) -> str:
+    toks = g.tokens("text")
+    scores = {
+        lang: g.size(g.filter("toks", "t", f"t IN {g.strlist(markers)}"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    sel = ", ".join(f"CAST({e} AS BIGINT) AS s_{k}" for k, e in scores.items())
+    pred = """
+        CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+             WHEN s_fr >= s_de THEN 'fr'
+             ELSE 'de' END
+    """
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {sel} FROM t)
+    SELECT doc_id, lang AS labeled_lang, {pred} AS pred_lang,
+           s_en, s_es, s_fr, s_de
+    FROM s ORDER BY doc_id
+    """
+
+
+def sql_text_fingerprint(g: Gen) -> str:
+    toks = g.tokens("text")
+    sh5 = g.shingles("toks", 5)
+    min_shingle = g.amin(g.transform(sh5, "s", "md5(s)"))
+    return f"""
+    WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           {min_shingle} AS min_shingle_hash
+    FROM t ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def sql_dedup_exact(g: Gen) -> str:
+    return """
+    SELECT md5(text) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS canonical_doc
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY fingerprint
+    """
+
+
+def sql_dedup_ngram_jaccard(g: Gen, k: int = 2, threshold: float = 0.3) -> str:
+    toks = g.tokens("text")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (SELECT doc_id, {g.shingles('toks', k)} AS s FROM t),
+    e AS (SELECT doc_id, CAST({g.size('s')} AS BIGINT) AS n, {_explode(g, 's', 'gram')} FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(COUNT(*) AS BIGINT) AS inter,
+               MIN(a.n) AS n1, MIN(b.n) AS n2
+        FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           {g.round2('CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)')} AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= {g.d(threshold)}
+    ORDER BY id1, id2
+    """
+
+
+N_MINHASH = 16
+N_BANDS = 8  # 2 rows per band
+
+
+def sql_dedup_minhash_lsh(g: Gen, k: int = 2, threshold: float = 0.5) -> str:
+    """MinHash signatures -> banded LSH candidate join -> exact-Jaccard verify.
+
+    The md5-based minhash is engine-portable, so Spark and DuckDB produce the
+    identical candidate set; the final verified-pair list is therefore
+    hash-comparable even though LSH itself is probabilistic.
+    """
+    toks = g.tokens("text")
+    mh_parts = []
+    for i in range(N_MINHASH):
+        body = "md5('" + str(i) + ":' || x)"
+        mh_parts.append(f"{g.amin(g.transform('s', 'x', body))} AS mh{i}")
+    mh = ", ".join(mh_parts)
+    rows = N_MINHASH // N_BANDS
+    bands = ", ".join(
+        "md5('{j}:' || {cat}) AS band{j}".format(
+            j=j, cat=" || ".join(f"mh{j * rows + r}" for r in range(rows))
+        )
+        for j in range(N_BANDS)
+    )
+    band_arr = "array({})" if g.spark else "[{}]"
+    band_arr = band_arr.format(", ".join(f"band{j}" for j in range(N_BANDS)))
+    inter = g.size(_intersect(g, "sa.s", "sb.s"))
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (SELECT doc_id, {g.shingles('toks', k)} AS s FROM t),
+    sig AS (SELECT doc_id, {mh} FROM sh),
+    bands AS (SELECT doc_id, {bands} FROM sig),
+    bl AS (SELECT doc_id, {_explode(g, band_arr, 'band')} FROM bands),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bl a JOIN bl b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT cand.id1, cand.id2,
+               CAST({inter} AS BIGINT) AS inter,
+               CAST({g.size('sa.s')} AS BIGINT) AS n1,
+               CAST({g.size('sb.s')} AS BIGINT) AS n2
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id1
+        JOIN sh sb ON sb.doc_id = cand.id2
+    )
+    SELECT id1, id2,
+           {g.round2('CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)')} AS jaccard
+    FROM ver
+    WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= {g.d(threshold)}
+    ORDER BY id1, id2
+    """
+
+
+SIMHASH_BITS = 32
+
+
+def _sql_simhash_sig(g: Gen) -> str:
+    """CTE body computing (doc_id, simhash) -- majority bit over token hashes."""
+    toks = g.tokens("text")
+    hs = g.transform(g.distinct("toks"), "t", g.md5_32("t"))
+    n = g.size("hs")
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        ones = g.size(g.filter("hs", "h", f"{g.bit('h', b)} = 1"))
+        bit_terms.append(f"(CASE WHEN 2 * {ones} > {n} THEN {1 << b} ELSE 0 END)")
+    simhash = " + ".join(bit_terms)
+    return f"""
+    t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    hv AS (SELECT doc_id, {hs} AS hs FROM t),
+    sig AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM hv)
+    """
+
+
+def sql_dedup_simhash(g: Gen) -> str:
+    return f"""
+    WITH {_sql_simhash_sig(g)}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id
+    """
+
+
+def sql_dedup_simhash_pairs(g: Gen, max_dist: int = 3) -> str:
+    """Near-dup pairs at hamming <= 3 over the 32-bit simhash.
+
+    Spark runs the *banded* plan (4 bands of 8 bits; pigeonhole guarantees a
+    pair within distance 3 shares at least one exact band -> equi-join on the
+    band value instead of an O(n^2) cross join).  DuckDB runs the closed-form
+    all-pairs filter.  Identical result sets prove the banded plan is lossless.
+    """
+    dist = f"CAST(bit_count({_xor(g, 'a.simhash', 'b.simhash')}) AS BIGINT)"
+    if g.spark:
+        band_vals = ", ".join(
+            f"CAST({j * 256} + ({g.shr('simhash', 8 * j)} & 255) AS BIGINT)"
+            for j in range(4)
+        )
+        return f"""
+        WITH {_sql_simhash_sig(g)},
+        bands AS (SELECT doc_id, simhash, explode(array({band_vals})) AS band FROM sig),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+        )
+        SELECT cand.id1, cand.id2, {dist} AS hamming
+        FROM cand
+        JOIN sig a ON a.doc_id = cand.id1
+        JOIN sig b ON b.doc_id = cand.id2
+        WHERE bit_count({_xor(g, 'a.simhash', 'b.simhash')}) <= {max_dist}
+        ORDER BY id1, id2
+        """
+    return f"""
+    WITH {_sql_simhash_sig(g)}
+    SELECT a.doc_id AS id1, b.doc_id AS id2, {dist} AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count({_xor(g, 'a.simhash', 'b.simhash')}) <= {max_dist}
+    ORDER BY id1, id2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+def _sql_emb_norm(g: Gen) -> str:
+    """CTE: (vec_id, e DOUBLE[], norm) with deterministic fold arithmetic."""
+    elems = g.transform(
+        g.seq("1", str(EMB_DIM)), "i", f"CAST({g.at('embedding', 'i')} AS DOUBLE)"
+    )
+    sq = g.fold_sum(g.transform("e", "x", "x * x"))
+    return f"""
+    ev AS (SELECT vec_id, {elems} AS e FROM embeddings),
+    en AS (SELECT vec_id, e, sqrt({sq}) AS nrm FROM ev)
+    """
+
+
+def _sql_dot(g: Gen, a: str, b: str) -> str:
+    prods = g.transform(
+        g.seq("1", str(EMB_DIM)), "i", f"{g.at(a, 'i')} * {g.at(b, 'i')}"
+    )
+    return g.fold_sum(prods)
+
+
+def sql_dedup_embedding(g: Gen, threshold: float = 0.5) -> str:
+    cos = f"{_sql_dot(g, 'a.e', 'b.e')} / (a.nrm * b.nrm)"
+    return f"""
+    WITH {_sql_emb_norm(g)}
+    SELECT a.vec_id AS id1, b.vec_id AS id2, {g.round2(f'({cos})')} AS cosine
+    FROM en a JOIN en b ON a.vec_id < b.vec_id
+    WHERE {cos} >= {g.d(threshold)}
+    ORDER BY id1, id2
+    """
+
+
+def sql_sim_topk(g: Gen, n_queries: int = 10, k: int = 5) -> str:
+    """Brute-force cosine top-k for a fixed query set (ANN baseline)."""
+    cos = f"{_sql_dot(g, 'q.e', 'c.e')} / (q.nrm * c.nrm)"
+    return f"""
+    WITH {_sql_emb_norm(g)},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+        FROM en q JOIN en c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+           {g.round2('cos')} AS cosine
+    FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+def sql_sim_lsh_buckets(g: Gen) -> str:
+    """Random-hyperplane LSH bucket id per vector (the ANN scale path: bucket
+    join replaces the brute-force cross product)."""
+    bit_terms = []
+    for p in range(_HP.shape[0]):
+        hp = "(" + _dlist(g, _HP[p]) + ")"
+        dot = _sql_dot(g, "e", hp)
+        bit_terms.append(
+            f"(CASE WHEN {dot} >= {g.d(0.0)} THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bit_terms)
+    return f"""
+    WITH {_sql_emb_norm(g)}
+    SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket
+    FROM en ORDER BY vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Registry wiring
+# ---------------------------------------------------------------------------
+
+_BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
+    "text_token_stats": (sql_text_token_stats, ("documents",)),
+    "text_quality": (sql_text_quality, ("documents",)),
+    "text_lang_id": (sql_text_lang_id, ("documents",)),
+    "text_fingerprint": (sql_text_fingerprint, ("documents",)),
+    "dedup_exact": (sql_dedup_exact, ("documents",)),
+    "dedup_ngram_jaccard": (sql_dedup_ngram_jaccard, ("documents",)),
+    "dedup_minhash_lsh": (sql_dedup_minhash_lsh, ("documents",)),
+    "dedup_simhash": (sql_dedup_simhash, ("documents",)),
+    "dedup_simhash_pairs": (sql_dedup_simhash_pairs, ("documents",)),
+    "dedup_embedding": (sql_dedup_embedding, ("embeddings",)),
+    "sim_topk_bruteforce": (sql_sim_topk, ("embeddings",)),
+    "sim_lsh_buckets": (sql_sim_lsh_buckets, ("embeddings",)),
+}
+
+
+def _make_query(builder, tables):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flatterer_spark.queries import T
+
+        for t in tables:
+            T(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(builder(Gen(spark=True)))
+
+    return run
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: _make_query(builder, tables)
+    for name, (builder, tables) in _BUILDERS.items()
+}
+
+EXT_ORACLE: dict[str, str] = {
+    name: builder(Gen(spark=False)) for name, (builder, tables) in _BUILDERS.items()
+}

@@ -1,0 +1,125 @@
+"""Cross-engine SQL expression generator for text / dedup / similarity ops.
+
+The driver's correctness gate compares the Spark result of every query with a
+DuckDB oracle via an order-insensitive value hash, so the two engines must
+compute *bit-identical* values.  Rather than maintaining two hand-written
+implementations that can drift, each operator is generated once from the
+primitives below with ``Gen(spark=True)`` (used via ``df.selectExpr`` /
+``F.expr``) and ``Gen(spark=False)`` (spliced into the DuckDB oracle SQL).
+
+Parity notes baked into the primitives:
+ - float literals are CAST AS DOUBLE on the DuckDB side (DuckDB parses ``0.5``
+   as DECIMAL; Spark as DOUBLE);
+ - hex -> int uses the first 8 md5 hex chars so the value fits u32 < 2^63 on
+   both sides (Spark ``conv`` returns an unsigned decimal string);
+ - rounding is ``floor(x * 10^s + 0.5) / 10^s`` (see queries.py docstring) --
+   never engine-native ROUND.
+"""
+
+from __future__ import annotations
+
+
+class Gen:
+    """Emit engine-specific SQL text for a shared logical expression."""
+
+    def __init__(self, spark: bool):
+        self.spark = spark
+
+    # ---- literals -------------------------------------------------------
+    def d(self, x: float) -> str:
+        """Double literal (DuckDB defaults x.y literals to DECIMAL)."""
+        s = repr(float(x))
+        return s if self.spark else f"CAST({s} AS DOUBLE)"
+
+    def strlist(self, items) -> str:
+        return "(" + ", ".join(f"'{i}'" for i in items) + ")"
+
+    # ---- array / list primitives ---------------------------------------
+    def split_ws(self, c: str) -> str:
+        # documents.text is single-space separated lowercase words (verified);
+        # plain split keeps both engines non-regex and identical.
+        return f"split({c}, ' ')" if self.spark else f"string_split({c}, ' ')"
+
+    def size(self, l: str) -> str:
+        return f"size({l})" if self.spark else f"len({l})"
+
+    def distinct(self, l: str) -> str:
+        return f"array_distinct({l})" if self.spark else f"list_distinct({l})"
+
+    def sort(self, l: str) -> str:
+        return f"array_sort({l})" if self.spark else f"list_sort({l})"
+
+    def filter(self, l: str, var: str, pred: str) -> str:
+        fn = "filter" if self.spark else "list_filter"
+        return f"{fn}({l}, {var} -> {pred})"
+
+    def transform(self, l: str, var: str, body: str) -> str:
+        fn = "transform" if self.spark else "list_transform"
+        return f"{fn}({l}, {var} -> {body})"
+
+    def amin(self, l: str) -> str:
+        return f"array_min({l})" if self.spark else f"list_min({l})"
+
+    def seq(self, a: str, b: str) -> str:
+        """Inclusive integer range [a, b] as a list."""
+        fn = "sequence" if self.spark else "generate_series"
+        return f"{fn}({a}, {b})"
+
+    def at(self, l: str, i: str) -> str:
+        """1-based element access."""
+        return f"element_at({l}, {i})" if self.spark else f"{l}[{i}]"
+
+    def slice(self, l: str, start: str, length: int) -> str:
+        """1-based slice of fixed length."""
+        if self.spark:
+            return f"slice({l}, {start}, {length})"
+        return f"list_slice({l}, {start}, {start} + {length - 1})"
+
+    def join(self, l: str, sep: str) -> str:
+        fn = "array_join" if self.spark else "array_to_string"
+        return f"{fn}({l}, '{sep}')"
+
+    def fold_sum(self, l: str) -> str:
+        """Left-fold float sum in list order: deterministic on both engines
+        (parallel SUM() aggregation order is not)."""
+        if self.spark:
+            return f"aggregate({l}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {l}), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    # ---- hashing / bits -------------------------------------------------
+    def hex2long(self, hexpr: str) -> str:
+        """First-8-hex-chars string -> BIGINT in [0, 2^32)."""
+        if self.spark:
+            return f"CAST(conv({hexpr}, 16, 10) AS BIGINT)"
+        return f"CAST('0x' || {hexpr} AS BIGINT)"
+
+    def md5_32(self, s: str) -> str:
+        return self.hex2long(f"substring(md5({s}), 1, 8)")
+
+    def shr(self, h: str, b: int) -> str:
+        return f"shiftright({h}, {b})" if self.spark else f"({h} >> {b})"
+
+    def bit(self, h: str, b: int) -> str:
+        return f"({self.shr(h, b)} & 1)"
+
+    # ---- numeric --------------------------------------------------------
+    def round2(self, x: str, scale: int = 2) -> str:
+        m = 10 ** scale
+        return f"FLOOR(({x}) * {m} + {self.d(0.5)}) / {m}"
+
+    # ---- composite text expressions ------------------------------------
+    def tokens(self, c: str = "text") -> str:
+        return self.split_ws(c)
+
+    def shingles(self, toks: str, k: int) -> str:
+        """Distinct k-gram token shingles ('w1 w2 .. wk' strings)."""
+        n = self.size(toks)
+        grams = self.transform(
+            self.seq("1", f"{n} - {k - 1}"),
+            "i",
+            self.join(self.slice(toks, "i", k), " "),
+        )
+        return self.distinct(grams)

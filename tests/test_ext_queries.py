@@ -1,0 +1,56 @@
+"""Extension operators (dedup / similarity / text analysis): Spark result
+must equal the DuckDB oracle, and the LSH paths must agree with their
+exhaustive counterparts."""
+
+from __future__ import annotations
+
+import pytest
+
+from flatterer_spark.ext_queries import EXT_ORACLE, EXT_QUERIES
+from tests.oracle_util import compare, duck_con
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_con(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(EXT_QUERIES))
+def test_ext_query_matches_oracle(name, spark, sf_dir, con):
+    df = EXT_QUERIES[name](spark, sf_dir)
+    problems = compare(df, con, EXT_ORACLE[name])
+    assert not problems, f"{name}: {problems}"
+
+
+def test_minhash_candidates_subset_of_exact(spark, sf_dir):
+    """Every LSH-verified pair must also pass the exhaustive n-gram Jaccard
+    screen at a lower threshold (LSH can only lose pairs, never invent)."""
+    lsh = {
+        (r.id1, r.id2)
+        for r in EXT_QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.id1, r.id2)
+        for r in EXT_QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+
+
+def test_lsh_recall_on_planted_near_dups(spark, sf_dir):
+    """The driver data plants high-Jaccard near-dup pairs; 8 bands x 2 rows
+    must recover essentially all pairs above the verify threshold of 0.5."""
+    exact = [
+        r
+        for r in EXT_QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        if r.jaccard >= 0.5
+    ]
+    if not exact:
+        pytest.skip("no pairs >= 0.5 at this sf")
+    lsh = {
+        (r.id1, r.id2)
+        for r in EXT_QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    found = sum(1 for r in exact if (r.id1, r.id2) in lsh)
+    assert found / len(exact) >= 0.9
