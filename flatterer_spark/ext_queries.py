@@ -160,7 +160,7 @@ def sql_dedup_exact(g: Gen) -> str:
     """
 
 
-def sql_dedup_ngram_jaccard(g: Gen, k: int = 2, threshold: float = 0.3) -> str:
+def sql_dedup_ngram_jaccard(g: Gen, k: int = 3, threshold: float = 0.3) -> str:
     toks = g.tokens("text")
     return f"""
     WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -185,7 +185,7 @@ N_MINHASH = 16
 N_BANDS = 8  # 2 rows per band
 
 
-def sql_dedup_minhash_lsh(g: Gen, k: int = 2, threshold: float = 0.5) -> str:
+def sql_dedup_minhash_lsh(g: Gen, k: int = 3, threshold: float = 0.5) -> str:
     """MinHash signatures -> banded LSH candidate join -> exact-Jaccard verify.
 
     The md5-based minhash is engine-portable, so Spark and DuckDB produce the
@@ -404,10 +404,23 @@ def _make_query(builder, tables):
     return run
 
 
+def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Scale-path Spark plans (operators/dedup.py) that produce byte-identical
+    results to the declarative builders; the oracle SQL stays the spec."""
+    from flatterer_spark.operators import dedup as D
+
+    return {
+        "dedup_simhash": D.simhash_query,
+        "dedup_simhash_pairs": D.simhash_pairs_query,
+        "dedup_embedding": D.embedding_near_dup_pairs,
+    }
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _make_query(builder, tables)
     for name, (builder, tables) in _BUILDERS.items()
 }
+EXT_QUERIES.update(_custom_spark())
 
 EXT_ORACLE: dict[str, str] = {
     name: builder(Gen(spark=False)) for name, (builder, tables) in _BUILDERS.items()
