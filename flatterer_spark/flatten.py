@@ -1,0 +1,177 @@
+"""Top-level ``flatten()`` façade with the reference's option surface.
+
+Reference: ``flatterer.flatten(input, output_dir, **options)``
+(`/root/reference/flatterer/__init__.py:58-149`; option set per
+`src/lib.rs:40-123`).  Returns the same dict shape as the reference library
+(`docs/library.md:49-65`): ``fields`` / ``tables`` as pandas DataFrames,
+``data`` mapping table name -> CSV path (or pandas DataFrame when
+``dataframe=True``), plus ``sqlite`` / ``xlsx`` paths when requested.
+
+Unsupported-by-design (documented divergences):
+ - ``threads`` is accepted and ignored -- parallelism is Spark's job
+   (partitions replace the reference's worker threads, F15);
+ - ``low_memory`` / ``low_disk`` are no-ops (Spark spills, §4);
+ - Postgres direct load needs a JDBC driver jar on the cluster; we always
+   emit the SQL scripts so `\\copy` loading works without one.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from flatterer_spark.flatten_api import compute_metadata, flatten_dataframes
+from flatterer_spark.sinks import writers
+
+
+def flatten(
+    source,
+    output_dir: str | None = None,
+    *,
+    spark: SparkSession | None = None,
+    csv: bool = True,
+    parquet: bool = False,
+    sqlite: bool = False,
+    sqlite_path: str | None = None,
+    xlsx: bool = False,
+    dataframe: bool = False,
+    sql_scripts: bool = False,
+    force: bool = False,
+    preview: int = 0,
+    exact_csv: bool = True,
+    # pipeline options (see flatten_api.FlattenOptions)
+    main_table_name: str = "main",
+    path_separator: str = "_",
+    table_prefix: str = "",
+    inline_one_to_one: bool = False,
+    arrays_new_table: bool = False,
+    emit_obj: tuple = (),
+    pushdown: tuple = (),
+    no_link: bool = False,
+    id_prefix: str = "",
+    ordinals: str = "strict",
+    ndjson: bool = False,
+    json_stream: bool = False,
+    path: tuple = (),
+    json_path: str | None = None,
+    fields_csv: str | None = None,
+    only_fields: bool = False,
+    tables_csv: str | None = None,
+    only_tables: bool = False,
+    threads: int = 0,       # accepted for API parity; Spark owns parallelism
+    low_memory: bool = False,
+    low_disk: bool = False,
+) -> dict:
+    _ = (threads, low_memory, low_disk)
+    if output_dir is None and not (dataframe or sqlite_path):
+        raise ValueError("output_dir required unless dataframe or sqlite_path set")
+
+    own_spark = spark is None
+    if own_spark:
+        from flatterer_spark.session import get_spark
+
+        spark = get_spark("flatterer-spark-flatten")
+
+    tmp_cleanup = None
+    if output_dir:
+        if os.path.exists(output_dir):
+            if not force:
+                raise FileExistsError(
+                    f"{output_dir} exists (pass force=True)"  # C1: docs/options.md:387
+                )
+            shutil.rmtree(output_dir)
+        os.makedirs(output_dir)
+    else:
+        import tempfile
+
+        output_dir = tempfile.mkdtemp(prefix="flatterer_spark_")
+        tmp_cleanup = output_dir
+
+    try:
+        result = flatten_dataframes(
+            spark,
+            source,
+            main_table_name=main_table_name,
+            path_separator=path_separator,
+            table_prefix=table_prefix,
+            inline_one_to_one=inline_one_to_one,
+            arrays_new_table=arrays_new_table,
+            emit_obj=emit_obj,
+            pushdown=pushdown,
+            no_link=no_link,
+            id_prefix=id_prefix,
+            ordinals=ordinals,
+            ndjson=ndjson,
+            json_stream=json_stream,
+            path=path,
+            json_path=json_path,
+            fields_csv=fields_csv,
+            only_fields=only_fields,
+            tables_csv=tables_csv,
+            only_tables=only_tables,
+            preview=preview,
+        )
+        compute_metadata(result)
+
+        data: dict[str, object] = {}
+        csv_dir = os.path.join(output_dir, "csv")
+        if csv or dataframe or sqlite or sqlite_path:
+            for name, df in result.tables.items():
+                p = os.path.join(csv_dir, f"{name}.csv")
+                if exact_csv:
+                    writers.write_csv_exact(df, p, preview=preview)
+                else:
+                    writers.write_csv_distributed(df, p, preview=preview)
+                data[name] = p
+        if parquet:
+            for name, df in result.tables.items():
+                writers.write_parquet(
+                    df, os.path.join(output_dir, "parquet", f"{name}.parquet")
+                )
+        writers.write_metadata_csvs(output_dir, result.fields, result.table_rows)
+        writers.write_datapackage(output_dir, result.fields, result.table_rows)
+        if sql_scripts:
+            writers.write_sql_scripts(output_dir, result.fields, result.table_rows)
+
+        out: dict[str, object] = {}
+        sqlite_file = None
+        if sqlite or sqlite_path:
+            sqlite_file = sqlite_path or os.path.join(output_dir, "sqlite.db")
+            writers.write_sqlite(
+                sqlite_file, result.tables, result.fields, result.table_rows,
+                preview=preview,
+            )
+            out["sqlite"] = sqlite_file
+        if xlsx:
+            x = writers.write_xlsx(
+                os.path.join(output_dir, "output.xlsx"), result.tables, preview=preview
+            )
+            if x:
+                out["xlsx"] = x
+
+        import pandas as pd
+
+        fields_df = pd.DataFrame(
+            result.fields,
+            columns=["table_name", "field_name", "field_type", "field_title", "count"],
+        )
+        tables_df = pd.DataFrame(result.table_rows, columns=["table_name", "table_title"])
+        if dataframe:
+            # text columns pinned to str dtype (flatterer/__init__.py:176-198)
+            loaded = {}
+            for name in result.tables:
+                types = {
+                    f["field_title"]: str
+                    for f in result.fields
+                    if f["table_name"] == name and f["field_type"] == "text"
+                }
+                loaded[name] = pd.read_csv(data[name], dtype=types or None)
+            data = loaded
+        out.update({"fields": fields_df, "tables": tables_df, "data": data})
+        return out
+    finally:
+        if tmp_cleanup and not (sqlite_path and os.path.dirname(sqlite_path) == tmp_cleanup):
+            if dataframe:
+                shutil.rmtree(tmp_cleanup, ignore_errors=True)

@@ -1,0 +1,374 @@
+"""flatten(): JSON -> forest of linked relational tables (the reference's
+core product, re-expressed as Spark DataFrame plans).
+
+Mirrors kindly/flatterer's library API (`/root/reference/flatterer/__init__.py:58-149`,
+option names per `src/lib.rs:40-123`): one *main* table per stream of JSON
+objects, one child table per array-of-objects path, ``_link`` surrogate keys
+(`docs/index.md:114-147`), pushdown, metadata (fields.csv / tables.csv /
+datapackage.json) and csv/parquet/sqlite/xlsx sinks.
+
+Execution model: a single parsed DataFrame (Spark JSON reader) feeds every
+table's select/posexplode chain.  Catalyst prunes each table's plan down to
+the struct branches it touches (nested-schema pruning), so emitting N tables
+costs N narrow scans of the same files, not N full parses.  No shuffle is
+involved anywhere in flattening itself -- the only exchange in the whole
+pipeline is the optional strict-ordinal two-pass (see sources/json_input.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, StructType
+
+from flatterer_spark.plans.table_plan import (
+    ColSpec,
+    PlanOptions,
+    TablePlan,
+    derive_plan,
+    pushdown_columns,
+)
+from flatterer_spark.sources.json_input import read_json_source, with_ordinal
+
+DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+DATETIME_RE = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$"
+
+
+@dataclass
+class FlattenResult:
+    tables: dict[str, DataFrame]              # table name -> typed DataFrame
+    plans: dict[str, TablePlan]
+    fields: list[dict]                        # fields.csv rows, in order
+    table_rows: list[dict]                    # tables.csv rows, in order
+    options: "FlattenOptions" = None
+
+
+@dataclass
+class FlattenOptions:
+    main_table_name: str = "main"
+    path_separator: str = "_"
+    table_prefix: str = ""
+    inline_one_to_one: bool = False
+    arrays_new_table: bool = False
+    emit_obj: tuple = ()
+    pushdown: tuple = ()
+    no_link: bool = False
+    id_prefix: str = ""
+    ordinals: str = "strict"                  # "strict" | "partition"
+    ndjson: bool = False
+    json_stream: bool = False
+    path: tuple = ()
+    json_path: str | None = None
+    fields_csv: str | None = None
+    only_fields: bool = False
+    tables_csv: str | None = None
+    only_tables: bool = False
+    preview: int = 0
+    _raw: dict = dc_field(default_factory=dict)
+
+
+def _accessor(root: Column | None, path: tuple[str, ...]) -> Column:
+    """Field accessor; the ``__first__`` sentinel dereferences element 0 of a
+    one-to-one-inlined array (F6)."""
+    c = root
+    for p in path:
+        if p == "__first__":
+            c = F.element_at(c, 1)
+        elif c is None:
+            c = F.col(f"`{p}`")
+        else:
+            c = c.getField(p)
+    return c
+
+
+def _cell(c: Column, spec: ColSpec) -> Column:
+    if spec.json_encode:
+        if isinstance(spec.dtype, (ArrayType, StructType)):
+            return F.to_json(c)
+        return c.cast("string")
+    return c
+
+
+def flatten_dataframes(
+    spark: SparkSession,
+    source,
+    **kw,
+) -> FlattenResult:
+    """Core API: flatten a JSON source into typed DataFrames (no file I/O)."""
+    opts = FlattenOptions(**{k: v for k, v in kw.items() if k in FlattenOptions.__dataclass_fields__})
+    opts._raw = kw
+
+    df, key_order = read_json_source(
+        spark,
+        source,
+        ndjson=opts.ndjson,
+        json_stream=opts.json_stream,
+        path=tuple(opts.path),
+        json_path=opts.json_path,
+    )
+
+    # inline_one_to_one needs global max array sizes (F6: docs/options.md:624)
+    max_sizes: dict[tuple[str, ...], int] = {}
+    if opts.inline_one_to_one:
+        max_sizes = _max_array_sizes(df)
+
+    plan_opts = PlanOptions(
+        main_table_name=opts.main_table_name,
+        path_separator=opts.path_separator,
+        table_prefix=opts.table_prefix,
+        inline_one_to_one=opts.inline_one_to_one,
+        arrays_new_table=opts.arrays_new_table,
+        emit_obj=tuple(tuple(p) for p in opts.emit_obj),
+        pushdown=tuple(opts.pushdown),
+        max_array_sizes=max_sizes,
+        key_order=key_order,
+    )
+    plans = derive_plan(df.schema, plan_opts)
+    by_name = {p.name: p for p in plans}
+
+    df = with_ordinal(df, opts.ordinals)
+    root_link = (
+        F.concat(F.lit(opts.id_prefix), F.col("_ord").cast("string"))
+        if opts.id_prefix
+        else F.col("_ord").cast("string")
+    )
+
+    tables: dict[str, DataFrame] = {}
+    for plan in plans:
+        tables[plan.name] = _execute_table(df, plan, by_name, opts, root_link)
+
+    result = FlattenResult(tables=tables, plans=by_name, fields=[], table_rows=[], options=opts)
+    _apply_field_table_csv(result)
+    return result
+
+
+def _max_array_sizes(df: DataFrame) -> dict[tuple[str, ...], int]:
+    """One cheap agg pass: max element count for every array-of-struct path."""
+    paths: list[tuple[str, ...]] = []
+
+    def walk(st: StructType, at: tuple[str, ...]):
+        for f in st.fields:
+            if isinstance(f.dataType, StructType):
+                walk(f.dataType, at + (f.name,))
+            elif isinstance(f.dataType, ArrayType) and isinstance(
+                f.dataType.elementType, StructType
+            ):
+                paths.append(at + (f.name,))
+                walk(f.dataType.elementType, at + (f.name,))
+
+    walk(df.schema, ())
+    if not paths:
+        return {}
+    # nested paths measured on the exploded parent would need joins; measure
+    # top-level paths only (the common case); deeper arrays stay child tables
+    tops = [p for p in paths if len(p) == 1]
+    if not tops:
+        return {}
+    row = df.agg(
+        *[F.max(F.size(F.col(p[0]))).alias("_".join(p)) for p in tops]
+    ).collect()[0]
+    return {p: (row["_".join(p)] or 0) for p in tops}
+
+
+def _execute_table(
+    df: DataFrame,
+    plan: TablePlan,
+    by_name: dict[str, TablePlan],
+    opts: FlattenOptions,
+    root_link: Column,
+) -> DataFrame:
+    pushes = pushdown_columns(plan, by_name, tuple(opts.pushdown)) if plan.ancestors else []
+
+    if not plan.ancestors:  # main table
+        out = [] if opts.no_link else [root_link.alias("_link")]
+        out += [_cell(_accessor(None, c.path), c).alias(c.name) for c in plan.cols]
+        return df.select(*out)
+
+    # Child table: walk the ancestor chain, posexplode at each array hop.
+    # Link keys are materialized as _lnk<i> columns so each level's key can
+    # reference the previous one: _lnk(i+1) = _lnk(i).<arrayKey>.<pos>
+    # (`fixtures/basic_expected/csv/platforms.csv:2-4`).
+    work = df.withColumn("_lnk0", root_link)
+    link_names = ["_lnk0"]
+    cur: str | None = None            # current element column (None = root row)
+    consumed = 0
+    hops = [p for _, p in plan.ancestors[1:]] + [plan.path]
+    anc_plans = [by_name[n] for n, _ in plan.ancestors]
+
+    def at(path: tuple[str, ...]) -> Column:
+        return _accessor(F.col(cur) if cur else None, path)
+
+    for depth, hop in enumerate(hops):
+        level_plan = anc_plans[depth]
+        for out_name, anc_name, fpath in pushes:  # F5: ancestor field capture
+            if anc_name == level_plan.name:
+                work = work.withColumn(
+                    out_name, _cell(at(fpath), _find_col(level_plan, fpath))
+                )
+        rel = hop[consumed:]
+        arr = at(rel)
+        key = hop[-1]
+        last = depth == len(hops) - 1
+        keep = link_names + [n for n, _, _ in pushes if n in work.columns]
+        pos, el = f"_pos{depth}", f"_el{depth}"
+        if plan.is_object and last:
+            # F9 emit_obj: one-to-one child table, no explode; index fixed 0
+            work = (
+                work.select(*keep, arr.alias(el))
+                .where(F.col(el).isNotNull())
+                .withColumn(
+                    f"_lnk{depth + 1}",
+                    F.concat_ws(".", F.col(link_names[-1]), F.lit(key), F.lit("0")),
+                )
+            )
+        else:
+            work = work.select(*keep, F.posexplode(arr).alias(pos, el)).withColumn(
+                f"_lnk{depth + 1}",
+                F.concat_ws(
+                    ".",
+                    F.col(link_names[-1]),
+                    F.lit(key),
+                    F.col(pos).cast("string"),
+                ),
+            )
+        link_names.append(f"_lnk{depth + 1}")
+        cur = el
+        consumed = len(hop)
+
+    # Final projection: _link, then _link_<ancestor> nearest-first
+    # (docs/options.md:195), own columns, then pushdown columns.
+    out: list[Column] = []
+    if not opts.no_link:
+        out.append(F.col(link_names[-1]).alias("_link"))
+        for i in range(len(plan.ancestors) - 1, -1, -1):
+            out.append(F.col(link_names[i]).alias(f"_link_{plan.ancestors[i][0]}"))
+    out += [_cell(at(c.path), c).alias(c.name) for c in plan.cols]
+    out += [F.col(n) for n, _, _ in pushes if n in work.columns]
+    return work.select(*out)
+
+
+def _find_col(plan: TablePlan, fpath: tuple[str, ...]) -> ColSpec:
+    for c in plan.cols:
+        if c.path == fpath:
+            return c
+    return ColSpec("_", fpath, None)
+
+
+# ---------------------------------------------------------------------------
+# Metadata: fields.csv / tables.csv rows (F10/F11)
+# ---------------------------------------------------------------------------
+
+def compute_metadata(result: FlattenResult) -> None:
+    """Fill result.fields / result.table_rows with type guesses and counts.
+
+    One aggregate job per table: non-null count per column plus full-match
+    counts for the date/datetime string patterns (§1.2: `date` is a string
+    classification, `fixtures/basic_expected/fields.csv:5`)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    fields: list[dict] = []
+    table_rows: list[dict] = []
+    for name, df in result.tables.items():
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in df.schema.fields:
+            q = f"`{c.name}`"
+            aggs.append(F.count(F.col(q)).alias(f"n::{c.name}"))
+            if isinstance(c.dataType, StringType) and not c.name.startswith("_link"):
+                aggs.append(
+                    F.count(F.when(F.col(q).rlike(DATE_RE), 1)).alias(f"d::{c.name}")
+                )
+                aggs.append(
+                    F.count(F.when(F.col(q).rlike(DATETIME_RE), 1)).alias(
+                        f"t::{c.name}"
+                    )
+                )
+        row = df.agg(*aggs).collect()[0].asDict()
+        nrows = row["__rows"]
+        table_rows.append({"table_name": name, "table_title": name})
+        for c in df.schema.fields:
+            n = row[f"n::{c.name}"]
+            if c.name.startswith("_link"):
+                ftype, n = "text", nrows
+            elif isinstance(c.dataType, BooleanType):
+                ftype = "boolean"
+            elif isinstance(c.dataType, NumericType):
+                ftype = "number"
+            elif isinstance(c.dataType, DateType):
+                ftype = "date"
+            elif isinstance(c.dataType, TimestampType):
+                ftype = "datetime"
+            elif isinstance(c.dataType, StringType):
+                if n > 0 and row.get(f"d::{c.name}") == n:
+                    ftype = "date"
+                elif n > 0 and row.get(f"t::{c.name}") == n:
+                    ftype = "datetime"
+                else:
+                    ftype = "text"
+            else:
+                ftype = "text"
+            fields.append(
+                {
+                    "table_name": name,
+                    "field_name": c.name,
+                    "field_type": ftype,
+                    "field_title": c.name,
+                    "count": n,
+                }
+            )
+    result.fields = fields
+    result.table_rows = table_rows
+
+
+def _apply_field_table_csv(result: FlattenResult) -> None:
+    """F11: user fields.csv / tables.csv reorder, retitle, filter."""
+    import csv as csvmod
+
+    opts = result.options
+    if opts.tables_csv:
+        with open(opts.tables_csv, newline="") as f:
+            rows = list(csvmod.DictReader(f))
+        keep = [r["table_name"] for r in rows]
+        titles = {r["table_name"]: r.get("table_title") or r["table_name"] for r in rows}
+        if opts.only_tables:
+            result.tables = {k: v for k, v in result.tables.items() if k in keep}
+        ordered = {k: result.tables[k] for k in keep if k in result.tables}
+        for k, v in result.tables.items():
+            if k not in ordered:
+                ordered[k] = v
+        result.tables = ordered
+        result._table_titles = titles  # type: ignore[attr-defined]
+    if opts.fields_csv:
+        with open(opts.fields_csv, newline="") as f:
+            rows = list(csvmod.DictReader(f))
+        per_table: dict[str, list[dict]] = {}
+        for r in rows:
+            per_table.setdefault(r["table_name"], []).append(r)
+        new_tables = {}
+        for name, df in result.tables.items():
+            spec = per_table.get(name)
+            if not spec:
+                new_tables[name] = df
+                continue
+            listed = [r["field_name"] for r in spec if r["field_name"] in df.columns]
+            link_cols = [c for c in df.columns if c.startswith("_link") and c not in listed]
+            rest = [] if opts.only_fields else [
+                c for c in df.columns
+                if c not in listed and not c.startswith("_link")
+            ]
+            cols = link_cols + listed + rest
+            titles = {
+                r["field_name"]: r.get("field_title") or r["field_name"] for r in spec
+            }
+            sel = [
+                F.col(f"`{c}`").alias(titles.get(c, c)) for c in cols
+            ]
+            new_tables[name] = df.select(*sel)
+        result.tables = new_tables

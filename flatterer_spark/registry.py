@@ -22,6 +22,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(EXT_QUERIES)
     except ImportError:
         pass
+    try:
+        from flatterer_spark.flatten_queries import FLATTEN_QUERIES
+
+        out.update(FLATTEN_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -34,6 +40,12 @@ def all_oracles() -> dict[str, str]:
         from flatterer_spark.ext_queries import EXT_ORACLE
 
         out.update(EXT_ORACLE)
+    except ImportError:
+        pass
+    try:
+        from flatterer_spark.flatten_queries import FLATTEN_ORACLE
+
+        out.update(FLATTEN_ORACLE)
     except ImportError:
         pass
     return out

@@ -1,0 +1,237 @@
+"""Output sinks: CSV / Parquet / SQLite / XLSX / metadata / SQL scripts.
+
+Byte-format contracts follow the reference goldens:
+ - CSV: header = field titles, minimal quoting, LF line endings; JSON numbers
+   that are whole render without the trailing ``.0`` (golden
+   `fixtures/basic_expected/csv/main.csv:2`: input ``1.0`` -> ``1``);
+ - SQL DDL: lower-cased column names, TEXT/NUMERIC/TIMESTAMP types
+   (`fixtures/basic_expected/postgresql/postgresql_schema.sql:1-7`);
+ - sqlite loader ``.mode csv`` + ``.import --skip 1``, postgres ``\\copy``
+   (`fixtures/basic_expected/sqlite/sqlite_load.sql`);
+ - datapackage.json: tabular-data-package, newer field vocabulary
+   (string/number/datetime + title/flatterer_name,
+   `fixtures/pushdown_expected/datapackage.json`).
+
+Exact-bytes CSV/SQLite/XLSX are driver-side single-writer paths (the
+reference takes the same position for XLSX, `src/lib.rs:221-225`); Parquet and
+distributed CSV go through ``df.write`` for scale.
+"""
+
+from __future__ import annotations
+
+import csv as csvmod
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import NumericType
+
+TYPE_TO_SQL = {
+    "text": "TEXT",
+    "number": "NUMERIC",
+    "date": "TIMESTAMP",
+    "datetime": "TIMESTAMP",
+    "boolean": "BOOLEAN",
+}
+TYPE_TO_DATAPACKAGE = {
+    "text": "string",
+    "number": "number",
+    "date": "datetime",
+    "datetime": "datetime",
+    "boolean": "boolean",
+}
+
+
+def formatted_strings(df: DataFrame) -> DataFrame:
+    """All-string projection with the reference's cell rendering."""
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, NumericType):
+            # whole doubles render as integers (1.0 -> "1")
+            as_str = F.when(
+                c.cast("double") == F.floor(c.cast("double")),
+                c.cast("decimal(38,0)").cast("string"),
+            ).otherwise(c.cast("string"))
+            cols.append(F.when(c.isNull(), F.lit(None)).otherwise(as_str).alias(f.name))
+        else:
+            cols.append(c.cast("string").alias(f.name))
+    return df.select(*cols)
+
+
+def write_csv_exact(df: DataFrame, path: str, preview: int = 0) -> None:
+    """Driver-side exact-bytes CSV (golden parity / test scale)."""
+    if preview:
+        df = df.limit(preview)
+    rows = formatted_strings(df).collect()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csvmod.writer(f, lineterminator="\n")
+        w.writerow(df.columns)
+        for r in rows:
+            w.writerow(["" if v is None else v for v in r])
+
+
+def write_csv_distributed(df: DataFrame, out_dir: str, preview: int = 0) -> None:
+    if preview:
+        df = df.limit(preview)
+    formatted_strings(df).write.mode("overwrite").option("header", True).csv(out_dir)
+
+
+def write_parquet(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """Typed parquet. single_file mimics the reference's one-file-per-table
+    layout (`docs/outputs.md:48-50`); pass False for the scale path (directory
+    with one file per partition)."""
+    if not single_file:
+        df.write.mode("overwrite").parquet(path)
+        return
+    tmp = path + "._dir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    shutil.move(os.path.join(tmp, part), path)
+    shutil.rmtree(tmp)
+
+
+def fields_csv_rows(fields: list[dict]) -> list[list]:
+    return [["table_name", "field_name", "field_type", "field_title", "count"]] + [
+        [f["table_name"], f["field_name"], f["field_type"], f["field_title"], f["count"]]
+        for f in fields
+    ]
+
+
+def write_metadata_csvs(out_dir: str, fields: list[dict], table_rows: list[dict]) -> None:
+    with open(os.path.join(out_dir, "fields.csv"), "w", newline="") as f:
+        csvmod.writer(f, lineterminator="\n").writerows(fields_csv_rows(fields))
+    with open(os.path.join(out_dir, "tables.csv"), "w", newline="") as f:
+        w = csvmod.writer(f, lineterminator="\n")
+        w.writerow(["table_name", "table_title"])
+        for t in table_rows:
+            w.writerow([t["table_name"], t["table_title"]])
+
+
+def write_datapackage(out_dir: str, fields: list[dict], table_rows: list[dict]) -> None:
+    resources = []
+    for t in table_rows:
+        tf = [f for f in fields if f["table_name"] == t["table_name"]]
+        resources.append(
+            {
+                "profile": "tabular-data-resource",
+                "name": t["table_name"],
+                "flatterer_name": t["table_name"],
+                "title": t["table_title"],
+                "schema": {
+                    "fields": [
+                        {
+                            "name": f["field_title"],
+                            "title": f["field_title"],
+                            "type": TYPE_TO_DATAPACKAGE.get(f["field_type"], "string"),
+                            "count": f["count"],
+                        }
+                        for f in tf
+                    ],
+                    "primaryKey": "_link",
+                    "foreignKeys": [
+                        {
+                            "fields": f["field_name"],
+                            "reference": {
+                                "resource": f["field_name"][len("_link_"):],
+                                "fields": "_link",
+                            },
+                        }
+                        for f in tf
+                        if f["field_name"].startswith("_link_")
+                    ],
+                },
+                "path": f"csv/{t['table_name']}.csv",
+            }
+        )
+    with open(os.path.join(out_dir, "datapackage.json"), "w") as f:
+        json.dump({"profile": "tabular-data-package", "resources": resources}, f, indent=2)
+
+
+def _ddl(fields: list[dict], table_rows: list[dict]) -> str:
+    chunks = []
+    for t in table_rows:
+        tf = [f for f in fields if f["table_name"] == t["table_name"]]
+        cols = ",\n".join(
+            f'    "{f["field_title"].lower()}" {TYPE_TO_SQL.get(f["field_type"], "TEXT")}'
+            for f in tf
+        )
+        chunks.append(f'CREATE TABLE "{t["table_name"]}"(\n{cols});\n')
+    return "\n".join(chunks)
+
+
+def write_sql_scripts(out_dir: str, fields: list[dict], table_rows: list[dict]) -> None:
+    ddl = _ddl(fields, table_rows)
+    pg = os.path.join(out_dir, "postgresql")
+    lite = os.path.join(out_dir, "sqlite")
+    os.makedirs(pg, exist_ok=True)
+    os.makedirs(lite, exist_ok=True)
+    with open(os.path.join(pg, "postgresql_schema.sql"), "w") as f:
+        f.write(ddl)
+    with open(os.path.join(pg, "postgresql_load.sql"), "w") as f:
+        for t in table_rows:
+            f.write(
+                f"\\copy \"{t['table_name']}\" from 'csv/{t['table_name']}.csv' with CSV HEADER\n"
+            )
+    with open(os.path.join(lite, "sqlite_schema.sql"), "w") as f:
+        f.write(ddl)
+    with open(os.path.join(lite, "sqlite_load.sql"), "w") as f:
+        f.write(".mode csv \n")
+        for t in table_rows:
+            f.write(f".import 'csv/{t['table_name']}.csv' {t['table_name']} --skip 1 \n")
+
+
+def write_sqlite(
+    db_path: str,
+    tables: dict[str, DataFrame],
+    fields: list[dict],
+    table_rows: list[dict],
+    preview: int = 0,
+) -> None:
+    """Driver-side SQLite load (single-writer sink; K3).  Scale path: JDBC."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        for t in table_rows:
+            name = t["table_name"]
+            if name not in tables:
+                continue
+            tf = [f for f in fields if f["table_name"] == name]
+            cols = ", ".join(
+                f'"{f["field_title"].lower()}" {TYPE_TO_SQL.get(f["field_type"], "TEXT")}'
+                for f in tf
+            )
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+            con.execute(f'CREATE TABLE "{name}"({cols})')
+            df = tables[name].limit(preview) if preview else tables[name]
+            rows = [tuple(r) for r in formatted_strings(df).collect()]
+            ph = ", ".join("?" for _ in tf)
+            con.executemany(f'INSERT INTO "{name}" VALUES ({ph})', rows)
+        con.commit()
+    finally:
+        con.close()
+
+
+def write_xlsx(
+    xlsx_path: str, tables: dict[str, DataFrame], preview: int = 0
+) -> str | None:
+    """Single output.xlsx, one sheet per table (K2).  Sheet names truncated to
+    Excel's 31-char limit with invalid chars stripped (docs/outputs.md:36-38).
+    Gated on openpyxl availability."""
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+    except ImportError:
+        return None
+    with pd.ExcelWriter(xlsx_path, engine="openpyxl") as xw:
+        for name, df in tables.items():
+            sheet = "".join(ch for ch in name if ch not in "[]:*?/\\")[:31]
+            pdf_df = df.limit(preview) if preview else df
+            pdf = formatted_strings(pdf_df).toPandas()
+            pdf.to_excel(xw, sheet_name=sheet, index=False)
+    return xlsx_path

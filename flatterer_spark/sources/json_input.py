@@ -1,0 +1,236 @@
+"""JSON input modalities -> a parsed DataFrame with a deterministic ordinal.
+
+Covers the reference's source operators (SURVEY.md §2.1):
+ - S1 top-level JSON array file  -> ``spark.read.option("multiLine", True)``
+ - S2 ``path`` array selector    -> multiLine read + explode of the key path
+ - S3 NDJSON                     -> ``spark.read.json`` (native line reader)
+ - S5 top-level single object    -> multiLine read (one row)
+ - S6 Python iterator of dict/str/bytes -> staged to a temp NDJSON file
+   driver-side (the reference pumps the iterator over an FFI channel,
+   `/root/reference/src/lib.rs:287-312`; a driver-side spool is the Spark
+   equivalent -- executors then read it in parallel)
+ - S7 multi-file input           -> list of paths to one reader
+ - S8 gzip                       -> Spark decompresses ``.gz`` natively
+ - S9 ``json_path`` row filter   -> ``get_json_object`` on the raw object
+
+Ordinals: the reference assigns each root object a 0-based input ordinal used
+as the main-table ``_link`` (`fixtures/basic_expected/csv/main.csv:2-3`).
+``ordinals="strict"`` reproduces that exactly with a two-pass JVM-side scheme
+(per-partition counts -> cumulative offsets -> offset + in-partition index
+from the lower bits of ``monotonically_increasing_id``) -- no Python
+round-trip, no single-partition window, scales to any size at the cost of one
+extra tiny job.  ``ordinals="partition"`` is the reference's own
+multi-threaded behavior (`src/lib.rs:248`: per-thread ``{i}.`` prefix): pure
+single-pass, keys are ``<partition>.<index>`` strings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Iterable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_MONO_MASK = (1 << 33) - 1  # monotonically_increasing_id: partition << 33 | seq
+
+
+def read_json_source(
+    spark: SparkSession,
+    source,
+    *,
+    ndjson: bool = False,
+    json_stream: bool = False,
+    path: tuple[str, ...] = (),
+    json_path: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Return (parsed DataFrame of root objects, key-order sample map)."""
+    tmp = None
+    if not isinstance(source, (str, list)):
+        tmp = _spool_iterator(source)
+        source, ndjson = tmp, True
+    paths = [source] if isinstance(source, str) else list(source)
+
+    if json_stream:
+        # S4 concatenated JSON stream: no native Spark reader; a driver-side
+        # JSON-aware chunker respools to NDJSON.  This serializes the parse --
+        # the same position the reference is in for non-NDJSON inputs
+        # (docs/options.md:800-801: "the parser is the serial bottleneck").
+        paths = [_respool_stream(p) for p in paths]
+        ndjson = True
+
+    if ndjson:
+        df = spark.read.json(paths)
+    else:
+        df = spark.read.option("multiLine", True).json(paths)
+        for key in path:  # S2: descend to the array under a key path
+            df = df.select(F.explode(F.col(key)).alias("_el")).select("_el.*")
+
+    if json_path:
+        # S9: JSONPath row filter. get_json_object covers plain-path
+        # expressions; re-serialize the parsed row to apply it uniformly.
+        df = df.where(
+            F.get_json_object(F.to_json(F.struct(*df.columns)), json_path).isNotNull()
+        )
+
+    key_order = sample_key_order(paths, ndjson=ndjson, path=path)
+    return df, key_order
+
+
+def _spool_iterator(it: Iterable) -> str:
+    """Stage an iterator of dict/str/bytes to a temp NDJSON file (S6)."""
+    import decimal
+
+    def default(o):
+        if isinstance(o, decimal.Decimal):
+            return float(o)  # flatterer/__init__.py:42-45 Decimal coercion
+        raise TypeError(type(o).__name__)
+
+    fd, p = tempfile.mkstemp(suffix=".jsonl", prefix="flatterer_spark_")
+    with os.fdopen(fd, "wb") as f:
+        for item in it:
+            if isinstance(item, bytes):
+                f.write(item)
+            elif isinstance(item, str):
+                f.write(item.encode("utf-8"))
+            else:
+                f.write(json.dumps(item, default=default).encode("utf-8"))
+            f.write(b"\n")
+    return p
+
+
+def iter_json_stream(text: str):
+    """Split concatenated top-level JSON values (brace/bracket/string aware)."""
+    dec = json.JSONDecoder()
+    i, n = 0, len(text)
+    while i < n:
+        while i < n and text[i] in " \t\r\n":
+            i += 1
+        if i >= n:
+            break
+        obj, end = dec.raw_decode(text, i)
+        yield obj
+        i = end
+
+
+def _respool_stream(p: str) -> str:
+    import gzip
+
+    opener = gzip.open if p.endswith(".gz") else open
+    with opener(p, "rt", encoding="utf-8") as f:
+        text = f.read()
+    fd, out = tempfile.mkstemp(suffix=".jsonl", prefix="flatterer_stream_")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        for obj in iter_json_stream(text):
+            f.write(json.dumps(obj))
+            f.write("\n")
+    return out
+
+
+def sample_key_order(
+    paths: list[str],
+    *,
+    ndjson: bool,
+    path: tuple[str, ...] = (),
+    max_bytes: int = 64 << 20,
+    max_objects: int = 500,
+) -> dict[tuple[str, ...], list[str]]:
+    """Driver-side sample parse recovering first-seen key order per path.
+
+    Spark's JSON schema inference sorts keys alphabetically; the reference
+    preserves document order (serde preserve_order, SURVEY.md §1.3).  Python
+    dicts preserve insertion order, so a bounded sample of leading objects
+    rebuilds the order map; fields first seen beyond the sample append
+    alphabetically (same rule the reference applies to fields missing from a
+    user fields.csv, docs/options.md:532).
+    """
+    import gzip
+
+    order: dict[tuple[str, ...], list[str]] = {}
+
+    def visit(obj, at: tuple[str, ...]) -> None:
+        if not isinstance(obj, dict):
+            return
+        seen = order.setdefault(at, [])
+        for k, v in obj.items():
+            if k not in seen:
+                seen.append(k)
+            if isinstance(v, dict):
+                visit(v, at + (k,))
+            elif isinstance(v, list):
+                for el in v:
+                    if isinstance(el, dict):
+                        visit(el, at + (k,))
+
+    n = 0
+    for p in paths:
+        try:
+            opener = gzip.open if p.endswith(".gz") else open
+            if ndjson:
+                with opener(p, "rt", encoding="utf-8") as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        visit(json.loads(line), ())
+                        n += 1
+                        if n >= max_objects:
+                            return order
+            else:
+                if os.path.getsize(p) > max_bytes:
+                    continue  # too big for a driver parse; alphabetical fallback
+                with opener(p, "rt", encoding="utf-8") as f:
+                    doc = json.load(f)
+                for key in path:
+                    doc = doc[key] if isinstance(doc, dict) else doc
+                docs = doc if isinstance(doc, list) else [doc]
+                for d in docs[:max_objects]:
+                    visit(d, ())
+                    n += 1
+        except (OSError, ValueError, KeyError):
+            continue
+    return order
+
+
+def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
+    """Add a ``_ord`` column: the main-table link key source."""
+    if mode == "partition":
+        mid = F.monotonically_increasing_id()
+        return df.withColumn(
+            "_ord",
+            F.concat_ws(
+                ".",
+                F.shiftright(mid, 33).cast("string"),
+                (mid.bitwiseAND(F.lit(_MONO_MASK))).cast("string"),
+            ),
+        )
+    if mode != "strict":
+        raise ValueError(f"unknown ordinal mode: {mode}")
+    mid_df = df.withColumn("_mid", F.monotonically_increasing_id())
+    counts = (
+        mid_df.groupBy(F.spark_partition_id().alias("_pid"))
+        .count()
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    spark = df.sparkSession
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    _ = spark
+    return (
+        mid_df.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_ord",
+            (omap[F.col("_pid")] + F.col("_mid").bitwiseAND(F.lit(_MONO_MASK))).cast(
+                "long"
+            ),
+        )
+        .drop("_mid", "_pid")
+    )

@@ -1,0 +1,239 @@
+"""Golden-output tests against the reference fixtures
+(/root/reference/fixtures/*_expected), modeled on the reference's own suite
+(flatterer/tests.py): record-wise comparison of every output table plus the
+fields/tables metadata, across input modalities."""
+
+from __future__ import annotations
+
+import csv
+import gzip
+import json
+import os
+
+import pytest
+
+FIX = "/root/reference/fixtures"
+
+
+def read_golden_csv(path: str) -> list[dict]:
+    with open(path, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+def read_our_csv(path: str) -> list[dict]:
+    with open(path, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+def records(rows: list[dict]) -> list[dict]:
+    # order-insensitive on columns (dict equality), ordered on rows --
+    # exactly what the reference's pandas to_dict('records') comparison does
+    return rows
+
+
+@pytest.fixture(scope="module")
+def basic_out(spark, tmp_path_factory):
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path_factory.mktemp("flat") / "basic")
+    res = flatten(f"{FIX}/basic.json", out, spark=spark, sql_scripts=True, sqlite=True)
+    return out, res
+
+
+def test_basic_tables_match_golden(basic_out):
+    out, _ = basic_out
+    for table in ("main", "developer", "platforms"):
+        got = records(read_our_csv(f"{out}/csv/{table}.csv"))
+        want = records(read_golden_csv(f"{FIX}/basic_expected/csv/{table}.csv"))
+        assert got == want, f"{table}: {got} != {want}"
+
+
+def test_basic_fields_match_golden(basic_out):
+    out, _ = basic_out
+    got = {
+        (r["table_name"], r["field_name"], r["field_type"], r["count"])
+        for r in read_our_csv(f"{out}/fields.csv")
+    }
+    want = {
+        (r["table_name"], r["field_name"], r["field_type"], r["count"])
+        for r in read_golden_csv(f"{FIX}/basic_expected/fields.csv")
+    }
+    assert got == want
+
+
+def test_basic_tables_csv_match_golden(basic_out):
+    out, _ = basic_out
+    assert read_our_csv(f"{out}/tables.csv") == read_golden_csv(
+        f"{FIX}/basic_expected/tables.csv"
+    )
+
+
+def test_basic_sql_schema_matches_golden(basic_out):
+    out, _ = basic_out
+    with open(f"{out}/postgresql/postgresql_schema.sql") as f:
+        got = f.read()
+    with open(f"{FIX}/basic_expected/postgresql/postgresql_schema.sql") as f:
+        want = f.read()
+    # column order differs (we use document key order); compare structure
+    def norm(s):
+        tables = {}
+        for chunk in s.strip().split("CREATE TABLE"):
+            if not chunk.strip():
+                continue
+            name = chunk.split("(")[0].strip().strip('"')
+            cols = sorted(
+                c.strip().rstrip(");").strip()
+                for c in chunk.split("(", 1)[1].split(",")
+            )
+            tables[name] = cols
+        return tables
+
+    assert norm(got) == norm(want)
+
+
+def test_basic_sqlite_loaded(basic_out):
+    import sqlite3
+
+    out, res = basic_out
+    con = sqlite3.connect(res["sqlite"])
+    n = con.execute('SELECT COUNT(*) FROM "platforms"').fetchone()[0]
+    names = {r[0] for r in con.execute('SELECT name FROM "developer"')}
+    con.close()
+    assert n == 3 and names == {"deva", "devb"}
+
+
+def test_pushdown_matches_golden(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path / "push")
+    flatten(f"{FIX}/basic.json", out, spark=spark, pushdown=("id", "title"))
+    for table in ("main", "developer", "platforms"):
+        got = records(read_our_csv(f"{out}/csv/{table}.csv"))
+        want = records(read_golden_csv(f"{FIX}/pushdown_expected/csv/{table}.csv"))
+        assert got == want, f"{table}"
+
+
+# ---- input modalities (reference tests.py:47-85) --------------------------
+
+def _flatten_tables(spark, tmp_path, source, **kw):
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path / "mod")
+    flatten(source, out, spark=spark, force=True, **kw)
+    return {
+        t: read_our_csv(f"{out}/csv/{t}.csv")
+        for t in ("main", "developer", "platforms")
+    }
+
+
+@pytest.fixture(scope="module")
+def golden_tables():
+    return {
+        t: read_golden_csv(f"{FIX}/basic_expected/csv/{t}.csv")
+        for t in ("main", "developer", "platforms")
+    }
+
+
+def test_json_stream_input(spark, tmp_path, golden_tables):
+    """basic.jl is concatenated pretty-printed JSON (S4), not NDJSON."""
+    assert (
+        _flatten_tables(spark, tmp_path, f"{FIX}/basic.jl", json_stream=True)
+        == golden_tables
+    )
+
+
+def test_ndjson_input(spark, tmp_path, golden_tables):
+    import json as j
+
+    with open(f"{FIX}/basic.json") as f:
+        docs = j.load(f)
+    p = str(tmp_path / "basic_lines.jsonl")
+    with open(p, "w") as f:
+        for d in docs:
+            f.write(j.dumps(d) + "\n")
+    assert _flatten_tables(spark, tmp_path, p, ndjson=True) == golden_tables
+
+
+def test_iterator_of_dicts(spark, tmp_path, golden_tables):
+    with open(f"{FIX}/basic.json") as f:
+        docs = json.load(f)
+    assert _flatten_tables(spark, tmp_path, iter(docs)) == golden_tables
+
+
+def test_iterator_of_strings(spark, tmp_path, golden_tables):
+    with open(f"{FIX}/basic.json") as f:
+        docs = json.load(f)
+    assert _flatten_tables(spark, tmp_path, (json.dumps(d) for d in docs)) == golden_tables
+
+
+def test_iterator_of_bytes(spark, tmp_path, golden_tables):
+    with open(f"{FIX}/basic.json") as f:
+        docs = json.load(f)
+    assert (
+        _flatten_tables(spark, tmp_path, (json.dumps(d).encode() for d in docs))
+        == golden_tables
+    )
+
+
+def test_multi_file_doubles_counts(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path / "multi")
+    res = flatten([f"{FIX}/basic.json", f"{FIX}/basic.json"], out, spark=spark)
+    fields = res["fields"]
+    main_id = fields[(fields.table_name == "main") & (fields.field_name == "id")]
+    assert int(main_id["count"].iloc[0]) == 4
+    rows = read_our_csv(f"{out}/csv/main.csv")
+    assert len(rows) == 4
+    assert [r["_link"] for r in rows] == ["0", "1", "2", "3"]
+
+
+def test_gzip_ndjson_big(spark, tmp_path):
+    """daily_16.json.gz: 4,999 objects, ~4 nesting levels
+    (reference tests.py:59-61)."""
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path / "daily")
+    res = flatten(f"{FIX}/daily_16.json.gz", out, spark=spark, ndjson=True)
+    main = res["data"]["main"] if isinstance(res["data"], dict) else None
+    rows = read_our_csv(f"{out}/csv/main.csv")
+    assert len(rows) == 4999
+
+
+def test_no_link(spark, tmp_path):
+    t = _flatten_tables(spark, tmp_path, f"{FIX}/basic.json", no_link=True)
+    assert list(t["main"][0].keys())[0] != "_link"
+    assert "_link_main" not in t["platforms"][0]
+
+
+def test_id_prefix(spark, tmp_path):
+    t = _flatten_tables(spark, tmp_path, f"{FIX}/basic.json", id_prefix="x.")
+    assert [r["_link"] for r in t["main"]] == ["x.0", "x.1"]
+    assert t["platforms"][0]["_link"] == "x.0.platforms.0"
+
+
+def test_partition_ordinals_mode(spark, tmp_path):
+    """Scale mode: per-partition keys (reference MT behavior, src/lib.rs:248).
+    Links are unique and child FKs still join to the main table."""
+    t = _flatten_tables(spark, tmp_path, f"{FIX}/basic.json", ordinals="partition")
+    links = [r["_link"] for r in t["main"]]
+    assert len(set(links)) == 2
+    assert {r["_link_main"] for r in t["platforms"]} <= set(links)
+
+
+def test_preview_limits_rows_not_stats(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path / "prev")
+    res = flatten(f"{FIX}/basic.json", out, spark=spark, preview=1)
+    assert len(read_our_csv(f"{out}/csv/main.csv")) == 1
+    fields = res["fields"]
+    assert int(fields[fields.table_name == "main"]["count"].iloc[0]) == 2
+
+
+def test_dataframe_output(spark):
+    from flatterer_spark.flatten import flatten
+
+    res = flatten(f"{FIX}/basic.json", None, spark=spark, dataframe=True)
+    assert set(res["data"]) == {"main", "developer", "platforms"}
+    assert list(res["data"]["main"]["title"]) == ["A Game", "B Game"]
