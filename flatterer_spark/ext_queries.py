@@ -416,6 +416,20 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _multimodal() -> tuple[dict, dict]:
+    from flatterer_spark.operators import multimodal as M
+
+    queries = {
+        "mm_binary_meta": M.binary_metadata,
+        "mm_frame_sample": M.frame_sample,
+    }
+    oracles = {
+        "mm_binary_meta": M.MM_ORACLE,
+        "mm_frame_sample": M.FRAME_ORACLE,
+    }
+    return queries, oracles
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _make_query(builder, tables)
     for name, (builder, tables) in _BUILDERS.items()
@@ -425,3 +439,7 @@ EXT_QUERIES.update(_custom_spark())
 EXT_ORACLE: dict[str, str] = {
     name: builder(Gen(spark=False)) for name, (builder, tables) in _BUILDERS.items()
 }
+
+_mm_q, _mm_o = _multimodal()
+EXT_QUERIES.update(_mm_q)
+EXT_ORACLE.update(_mm_o)

@@ -60,11 +60,23 @@ def flatten(
     only_fields: bool = False,
     tables_csv: str | None = None,
     only_tables: bool = False,
+    schema: str | None = None,
+    schema_titles: str | None = None,
+    stats: bool = False,
+    drop: bool = False,
+    truncate: bool = False,
+    evolve: bool = False,
     threads: int = 0,       # accepted for API parity; Spark owns parallelism
     low_memory: bool = False,
     low_disk: bool = False,
 ) -> dict:
-    _ = (threads, low_memory, low_disk)
+    _ = (threads, low_memory, low_disk, drop)
+    if evolve and not id_prefix:
+        # docs/options.md:437: random prefix per load so ids stay unique
+        import uuid
+
+        id_prefix = uuid.uuid4().hex[:8] + "."
+    sqlite_mode = "evolve" if evolve else ("truncate" if truncate else "drop")
     if output_dir is None and not (dataframe or sqlite_path):
         raise ValueError("output_dir required unless dataframe or sqlite_path set")
 
@@ -112,6 +124,9 @@ def flatten(
             tables_csv=tables_csv,
             only_tables=only_tables,
             preview=preview,
+            schema=schema,
+            schema_titles=schema_titles,
+            stats=stats,
         )
         compute_metadata(result)
 
@@ -121,7 +136,7 @@ def flatten(
             for name, df in result.tables.items():
                 p = os.path.join(csv_dir, f"{name}.csv")
                 if exact_csv:
-                    writers.write_csv_exact(df, p, preview=preview)
+                    writers.write_csv_exact(df, p, preview=preview, titles=result.titles)
                 else:
                     writers.write_csv_distributed(df, p, preview=preview)
                 data[name] = p
@@ -131,7 +146,10 @@ def flatten(
                     df, os.path.join(output_dir, "parquet", f"{name}.parquet")
                 )
         writers.write_metadata_csvs(output_dir, result.fields, result.table_rows)
-        writers.write_datapackage(output_dir, result.fields, result.table_rows)
+        writers.write_datapackage(
+            output_dir, result.fields, result.table_rows,
+            stats=result.stats if stats else None,
+        )
         if sql_scripts:
             writers.write_sql_scripts(output_dir, result.fields, result.table_rows)
 
@@ -141,7 +159,7 @@ def flatten(
             sqlite_file = sqlite_path or os.path.join(output_dir, "sqlite.db")
             writers.write_sqlite(
                 sqlite_file, result.tables, result.fields, result.table_rows,
-                preview=preview,
+                preview=preview, mode=sqlite_mode,
             )
             out["sqlite"] = sqlite_file
         if xlsx:

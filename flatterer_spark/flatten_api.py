@@ -43,6 +43,8 @@ class FlattenResult:
     fields: list[dict]                        # fields.csv rows, in order
     table_rows: list[dict]                    # tables.csv rows, in order
     options: "FlattenOptions" = None
+    titles: dict = dc_field(default_factory=dict)   # col name -> display title
+    stats: dict = dc_field(default_factory=dict)    # table -> field -> stats
 
 
 @dataclass
@@ -66,6 +68,9 @@ class FlattenOptions:
     tables_csv: str | None = None
     only_tables: bool = False
     preview: int = 0
+    schema: str | None = None
+    schema_titles: str | None = None
+    stats: bool = False
     _raw: dict = dc_field(default_factory=dict)
 
 
@@ -87,7 +92,9 @@ def _cell(c: Column, spec: ColSpec) -> Column:
     if spec.json_encode:
         if isinstance(spec.dtype, (ArrayType, StructType)):
             return F.to_json(c)
-        return c.cast("string")
+        # scalar array elements stay typed: the CSV renderer applies the
+        # reference's number formatting (2.0 -> "2", docs/options.md:646)
+        return c
     return c
 
 
@@ -108,6 +115,25 @@ def flatten_dataframes(
         path=tuple(opts.path),
         json_path=opts.json_path,
     )
+
+    title_map: dict[str, str] = {}
+    if opts.schema:
+        # F12: JSONSchema-driven field order (+ optional titles)
+        from flatterer_spark.sources.schema_guide import (
+            apply_schema_titles,
+            schema_key_order_and_titles,
+        )
+
+        s_order, s_titles = schema_key_order_and_titles(opts.schema)
+        merged: dict[tuple[str, ...], list[str]] = {}
+        for at in set(s_order) | set(key_order):
+            so = s_order.get(at, [])
+            merged[at] = so + [k for k in key_order.get(at, []) if k not in so]
+        key_order = merged
+        if opts.schema_titles:
+            title_map = apply_schema_titles(
+                s_titles, opts.schema_titles, opts.path_separator
+            )
 
     # inline_one_to_one needs global max array sizes (F6: docs/options.md:624)
     max_sizes: dict[tuple[str, ...], int] = {}
@@ -139,7 +165,10 @@ def flatten_dataframes(
     for plan in plans:
         tables[plan.name] = _execute_table(df, plan, by_name, opts, root_link)
 
-    result = FlattenResult(tables=tables, plans=by_name, fields=[], table_rows=[], options=opts)
+    result = FlattenResult(
+        tables=tables, plans=by_name, fields=[], table_rows=[], options=opts,
+        titles=title_map,
+    )
     _apply_field_table_csv(result)
     return result
 
@@ -319,12 +348,36 @@ def compute_metadata(result: FlattenResult) -> None:
                     "table_name": name,
                     "field_name": c.name,
                     "field_type": ftype,
-                    "field_title": c.name,
+                    "field_title": result.titles.get(c.name, c.name),
                     "count": n,
                 }
             )
     result.fields = fields
     result.table_rows = table_rows
+    if result.options is not None and result.options.stats:
+        _compute_stats(result)
+
+
+def _compute_stats(result: FlattenResult) -> None:
+    """K11 `stats`: per-field distinct estimate + min/max into
+    datapackage.json (reference uses streaming-stats/pdatastructs sketches;
+    approx_count_distinct is the Spark-native HLL equivalent)."""
+    for name, df in result.tables.items():
+        aggs = []
+        for c in df.columns:
+            q = f"`{c}`"
+            aggs.append(F.approx_count_distinct(F.col(q)).alias(f"d::{c}"))
+            aggs.append(F.min(F.col(q).cast("string")).alias(f"mn::{c}"))
+            aggs.append(F.max(F.col(q).cast("string")).alias(f"mx::{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        result.stats[name] = {
+            c: {
+                "approx_distinct": row[f"d::{c}"],
+                "min": row[f"mn::{c}"],
+                "max": row[f"mx::{c}"],
+            }
+            for c in df.columns
+        }
 
 
 def _apply_field_table_csv(result: FlattenResult) -> None:

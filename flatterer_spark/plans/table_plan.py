@@ -83,6 +83,11 @@ def derive_plan(schema: StructType, opts: PlanOptions) -> list[TablePlan]:
     def table_name(path: tuple[str, ...]) -> str:
         return opts.table_prefix + (sep.join(path) if path else opts.main_table_name)
 
+    def col_name(fpath: tuple[str, ...]) -> str:
+        # the __first__ sentinel (inline_one_to_one deref) is an accessor
+        # instruction, not a name segment
+        return sep.join(p for p in fpath if p != "__first__")
+
     def walk_struct(
         st: StructType,
         table: TablePlan,
@@ -115,10 +120,10 @@ def derive_plan(schema: StructType, opts: PlanOptions) -> list[TablePlan]:
                 else:
                     # scalar/nested array inlined as a JSON-encoded cell (F8)
                     table.cols.append(
-                        ColSpec(sep.join(fpath), fpath, dt, json_encode=True)
+                        ColSpec(col_name(fpath), fpath, dt, json_encode=True)
                     )
             else:
-                table.cols.append(ColSpec(sep.join(fpath), fpath, dt))
+                table.cols.append(ColSpec(col_name(fpath), fpath, dt))
 
     def new_table(
         apath: tuple[str, ...],

@@ -346,6 +346,77 @@ def q18_correlated(spark, sf_dir):
     )
 
 
+# Q21 as-of join: for each click, the most recent purchase by the same user.
+# Spark-first plan: tag-union + running last() window -- one shuffle on
+# user_id, no range join, no skew (the classic scalable as-of pattern).
+# The oracle uses DuckDB's native ASOF JOIN; to keep the result deterministic
+# under ties we output the matched purchase *timestamp* (max ts <= click ts),
+# not an arbitrary matched row id.
+
+def q21_asof_join(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    tagged = clicks.withColumn("tag", F.lit(1)).unionByName(
+        purchases.withColumn("event_id", F.lit(None).cast("long")).withColumn(
+            "tag", F.lit(0)
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_purchase_ts",
+            F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .where(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
+        .orderBy("event_id")
+    )
+
+
+# Q22 cube: revenue by (nation, order status) over all grouping combinations
+
+def q22_cube(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    customer = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).join(broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return (
+        joined.cube("n_name", "o_orderstatus")
+        .agg(
+            round_half_up(F.sum("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.asc_nulls_first("n_name"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+# Q23 pivot: event counts per user across fixed event types
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q23_pivot(spark, sf_dir):
+    pivoted = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES],
+    ).orderBy("user_id")
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -366,6 +437,9 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_json_extract": q16_json_extract,
     "q17_range_join": q17_range_join,
     "q18_correlated": q18_correlated,
+    "q21_asof_join": q21_asof_join,
+    "q22_cube": q22_cube,
+    "q23_pivot": q23_pivot,
 }
 
 
@@ -508,5 +582,37 @@ CORE_ORACLE: dict[str, str] = {
         WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey
+    """,
+    "q21_asof_join": """
+        WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events),
+        clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        purchases AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id, c.ts, p.ts AS last_purchase_ts
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+        ORDER BY c.event_id
+    """,
+    "q22_cube": f"""
+        SELECT n_name, o_orderstatus,
+               {_sql_round('SUM(o_totalprice)')} AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE (n_name, o_orderstatus)
+        ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    "q23_pivot": """
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click')    AS click,
+               COUNT(*) FILTER (event_type = 'error')    AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (event_type = 'view')     AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
     """,
 }

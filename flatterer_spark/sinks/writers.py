@@ -61,15 +61,18 @@ def formatted_strings(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def write_csv_exact(df: DataFrame, path: str, preview: int = 0) -> None:
-    """Driver-side exact-bytes CSV (golden parity / test scale)."""
+def write_csv_exact(
+    df: DataFrame, path: str, preview: int = 0, titles: dict | None = None
+) -> None:
+    """Driver-side exact-bytes CSV (golden parity / test scale).  Headers are
+    field titles (docs/outputs.md:32-34); ``titles`` maps name -> title."""
     if preview:
         df = df.limit(preview)
     rows = formatted_strings(df).collect()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w", newline="") as f:
         w = csvmod.writer(f, lineterminator="\n")
-        w.writerow(df.columns)
+        w.writerow([(titles or {}).get(c, c) for c in df.columns])
         for r in rows:
             w.writerow(["" if v is None else v for v in r])
 
@@ -112,7 +115,12 @@ def write_metadata_csvs(out_dir: str, fields: list[dict], table_rows: list[dict]
             w.writerow([t["table_name"], t["table_title"]])
 
 
-def write_datapackage(out_dir: str, fields: list[dict], table_rows: list[dict]) -> None:
+def write_datapackage(
+    out_dir: str,
+    fields: list[dict],
+    table_rows: list[dict],
+    stats: dict | None = None,
+) -> None:
     resources = []
     for t in table_rows:
         tf = [f for f in fields if f["table_name"] == t["table_name"]]
@@ -146,6 +154,11 @@ def write_datapackage(out_dir: str, fields: list[dict], table_rows: list[dict]) 
                     ],
                 },
                 "path": f"csv/{t['table_name']}.csv",
+                **(
+                    {"stats": stats[t["table_name"]]}
+                    if stats and t["table_name"] in stats
+                    else {}
+                ),
             }
         )
     with open(os.path.join(out_dir, "datapackage.json"), "w") as f:
@@ -191,8 +204,14 @@ def write_sqlite(
     fields: list[dict],
     table_rows: list[dict],
     preview: int = 0,
+    mode: str = "drop",
 ) -> None:
-    """Driver-side SQLite load (single-writer sink; K3).  Scale path: JDBC."""
+    """Driver-side SQLite load (single-writer sink; K3).  Scale path: JDBC.
+
+    ``mode`` implements the C5 table lifecycle (docs/options.md:425-498):
+    ``drop`` recreates, ``truncate`` deletes rows keeping the schema,
+    ``evolve`` adds missing tables/columns -- on type conflict SQLite keeps
+    the original column type (docs/options.md:434-436)."""
     import sqlite3
 
     con = sqlite3.connect(db_path)
@@ -202,16 +221,38 @@ def write_sqlite(
             if name not in tables:
                 continue
             tf = [f for f in fields if f["table_name"] == name]
-            cols = ", ".join(
-                f'"{f["field_title"].lower()}" {TYPE_TO_SQL.get(f["field_type"], "TEXT")}'
-                for f in tf
+            colnames = [f["field_title"].lower() for f in tf]
+            ddl_cols = ", ".join(
+                f'"{cn}" {TYPE_TO_SQL.get(f["field_type"], "TEXT")}'
+                for cn, f in zip(colnames, tf)
             )
-            con.execute(f'DROP TABLE IF EXISTS "{name}"')
-            con.execute(f'CREATE TABLE "{name}"({cols})')
+            exists = con.execute(
+                "SELECT 1 FROM sqlite_master WHERE type=\'table\' AND name=?",
+                (name,),
+            ).fetchone()
+            if mode == "drop" or not exists:
+                con.execute(f'DROP TABLE IF EXISTS "{name}"')
+                con.execute(f'CREATE TABLE "{name}"({ddl_cols})')
+            elif mode == "truncate":
+                con.execute(f'DELETE FROM "{name}"')
+            elif mode == "evolve":
+                have = {
+                    r[1].lower()
+                    for r in con.execute(f'PRAGMA table_info("{name}")')
+                }
+                for cn, f in zip(colnames, tf):
+                    if cn not in have:
+                        con.execute(
+                            f'ALTER TABLE "{name}" ADD COLUMN "{cn}" '
+                            + TYPE_TO_SQL.get(f["field_type"], "TEXT")
+                        )
             df = tables[name].limit(preview) if preview else tables[name]
             rows = [tuple(r) for r in formatted_strings(df).collect()]
+            collist = ", ".join(f'"{cn}"' for cn in colnames)
             ph = ", ".join("?" for _ in tf)
-            con.executemany(f'INSERT INTO "{name}" VALUES ({ph})', rows)
+            con.executemany(
+                f'INSERT INTO "{name}" ({collist}) VALUES ({ph})', rows
+            )
         con.commit()
     finally:
         con.close()

@@ -1,0 +1,165 @@
+"""Structured Streaming surface: streaming flatten, watermarked windows,
+stateful sessionization.
+
+The reference is batch-only ("streaming" there means bounded-memory streaming
+of a finite input, docs/index.md:16 -- SURVEY.md §1.1); this module is the
+unbounded extension the north star asks for.  All three operators are plain
+Structured Streaming plans: the same logical table-plan the batch engine
+derives is applied to a ``readStream`` source, so a user points the engine at
+a growing directory and gets continuously-appended child tables.
+
+Link keys in streaming mode: global ordinals don't exist in an unbounded
+stream, so `_link` = md5 of the serialized object plus the within-batch
+position -- stable, replayable from the source, and unique for distinct
+objects (duplicate identical objects in the SAME microbatch share a prefix
+and are disambiguated by position; across batches exact re-delivery is
+idempotent, which is what a Delta/exactly-once sink wants)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def flatten_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    **options,
+) -> dict[str, DataFrame]:
+    """Streaming flatten: NDJSON directory -> dict of streaming DataFrames
+    (one per table plan), each ready for ``writeStream``."""
+    from flatterer_spark.flatten_api import FlattenOptions, _execute_table
+    from flatterer_spark.plans.table_plan import PlanOptions, derive_plan
+
+    opts = FlattenOptions(
+        **{k: v for k, v in options.items() if k in FlattenOptions.__dataclass_fields__}
+    )
+    plan_opts = PlanOptions(
+        main_table_name=opts.main_table_name,
+        path_separator=opts.path_separator,
+        table_prefix=opts.table_prefix,
+        arrays_new_table=opts.arrays_new_table,
+        emit_obj=tuple(tuple(p) for p in opts.emit_obj),
+        pushdown=tuple(opts.pushdown),
+    )
+    plans = derive_plan(schema, plan_opts)
+    by_name = {p.name: p for p in plans}
+
+    stream = spark.readStream.schema(schema).json(input_dir)
+    stream = stream.withColumn(
+        "_ord", F.md5(F.to_json(F.struct(*[F.col(f"`{c}`") for c in stream.columns])))
+    )
+    root_link = F.concat(F.lit(opts.id_prefix), F.col("_ord"))
+    return {
+        plan.name: _execute_table(stream, plan, by_name, opts, root_link)
+        for plan in plans
+    }
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data beyond the watermark
+    is dropped; state is bounded by watermark horizon -- the 100 TB/day
+    posture for stream aggs)."""
+    # watermarks require TIMESTAMP (ltz); NTZ sources cast losslessly under
+    # the engine's fixed UTC session timezone (session.py)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, end long, n long"
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: gap-based
+    sessionization per user.  Emits a session row when the idle gap exceeds
+    ``gap_minutes`` (processing-time timeout closes the final session)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        sessions = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                sessions.append((user_id, s, e, n))
+                state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                ts_us.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+                )
+            ts_us.sort()
+            cur = list(state.get) if state.exists else None
+            for t in ts_us:
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] > gap_us:
+                    sessions.append((user_id, cur[0], cur[1], cur[2]))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [s[0] for s in sessions],
+                "session_start": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                "session_end": [pd.Timestamp(s[2], unit="us") for s in sessions],
+                "n_events": [s[3] for s in sessions],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DataFrame with the availableNow trigger into an
+    in-memory table and return the batch result (test/bench harness).
+    Windowed aggregations need ``output_mode="complete"`` to surface
+    still-open windows in a single drain."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,215 @@
+"""Option-surface tests: JSONSchema ordering/titles (F12), sqlite lifecycle
+(C5: drop/truncate/evolve), stats (K11), arrays_new_table (F7),
+inline_one_to_one (F6), emit_obj (F9), path selector (S2), json_path (S9),
+table_prefix/path_separator (F14), fields_csv/only_fields (F11)."""
+
+from __future__ import annotations
+
+import csv
+import json
+import sqlite3
+
+import pytest
+
+FIX = "/root/reference/fixtures"
+
+
+def _write(tmp_path, name, obj):
+    p = tmp_path / name
+    with open(p, "w") as f:
+        json.dump(obj, f)
+    return str(p)
+
+
+def _read_csv(path):
+    with open(path, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+def test_schema_field_order_and_titles(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    schema = _write(
+        tmp_path,
+        "schema.json",
+        {
+            "type": "object",
+            "properties": {
+                "title": {"type": "string", "title": "Game Title"},
+                "id": {"type": "number", "title": "Game ID"},
+                "releaseDate": {"type": "string"},
+            },
+        },
+    )
+    out = str(tmp_path / "out")
+    res = flatten(
+        f"{FIX}/basic.json", out, spark=spark,
+        schema=schema, schema_titles="underscore_slug",
+    )
+    main_cols = [
+        f for f in res["fields"].itertuples() if f.table_name == "main"
+    ]
+    names = [f.field_name for f in main_cols]
+    # schema order first (title before id before releaseDate), then the rest
+    assert names.index("title") < names.index("id") < names.index("releaseDate")
+    titles = {f.field_name: f.field_title for f in main_cols}
+    assert titles["title"] == "game_title" and titles["id"] == "game_id"
+    # CSV header uses the titles
+    with open(f"{out}/csv/main.csv") as f:
+        header = f.readline().strip().split(",")
+    assert "game_title" in header and "game_id" in header
+
+
+def test_sqlite_evolve_adds_columns(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    db = str(tmp_path / "e.db")
+    doc_v1 = [{"id": 1, "name": "a"}]
+    doc_v2 = [{"id": 2, "name": "b", "extra": "x"}]
+    flatten(
+        _write(tmp_path, "v1.json", doc_v1), str(tmp_path / "o1"),
+        spark=spark, sqlite_path=db, id_prefix="a.",
+    )
+    flatten(
+        _write(tmp_path, "v2.json", doc_v2), str(tmp_path / "o2"),
+        spark=spark, sqlite_path=db, evolve=True,
+    )
+    con = sqlite3.connect(db)
+    cols = [r[1] for r in con.execute('PRAGMA table_info("main")')]
+    rows = con.execute('SELECT id, name, extra FROM "main" ORDER BY id').fetchall()
+    con.close()
+    assert "extra" in cols
+    # id column has NUMERIC affinity -> SQLite stores the values as integers
+    assert rows == [(1, "a", None), (2, "b", "x")]
+
+
+def test_sqlite_truncate_replaces_rows(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    db = str(tmp_path / "t.db")
+    doc = [{"id": 1}]
+    flatten(_write(tmp_path, "a.json", doc), str(tmp_path / "oa"), spark=spark, sqlite_path=db)
+    flatten(
+        _write(tmp_path, "b.json", [{"id": 9}]), str(tmp_path / "ob"),
+        spark=spark, sqlite_path=db, truncate=True,
+    )
+    con = sqlite3.connect(db)
+    rows = con.execute('SELECT id FROM "main"').fetchall()
+    con.close()
+    assert rows == [(9,)]  # NUMERIC affinity
+
+
+def test_stats_in_datapackage(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path / "st")
+    flatten(f"{FIX}/basic.json", out, spark=spark, stats=True)
+    with open(f"{out}/datapackage.json") as f:
+        dp = json.load(f)
+    main = next(r for r in dp["resources"] if r["name"] == "main")
+    assert main["stats"]["title"]["approx_distinct"] == 2
+    assert main["stats"]["title"]["min"] == "A Game"
+
+
+def test_arrays_new_table(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    doc = [{"id": 1, "tags": ["x", "y"], "nums": [1.5, 2]}]
+    out = str(tmp_path / "ant")
+    flatten(_write(tmp_path, "d.json", doc), out, spark=spark, arrays_new_table=True)
+    tags = _read_csv(f"{out}/csv/tags.csv")
+    nums = _read_csv(f"{out}/csv/nums.csv")
+    assert [r["value"] for r in tags] == ["x", "y"]  # strings verbatim
+    assert [r["value"] for r in nums] == ["1.5", "2"]
+    assert tags[0]["_link"] == "0.tags.0" and tags[0]["_link_main"] == "0"
+
+
+def test_scalar_arrays_inline_json_by_default(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    doc = [{"id": 1, "tags": ["x", "y"]}]
+    out = str(tmp_path / "inl")
+    flatten(_write(tmp_path, "d.json", doc), out, spark=spark)
+    main = _read_csv(f"{out}/csv/main.csv")
+    assert json.loads(main[0]["tags"]) == ["x", "y"]
+
+
+def test_inline_one_to_one(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    doc = [
+        {"id": 1, "meta": [{"k": "a"}]},
+        {"id": 2, "meta": [{"k": "b"}]},
+    ]
+    out = str(tmp_path / "o2o")
+    flatten(_write(tmp_path, "d.json", doc), out, spark=spark, inline_one_to_one=True)
+    main = _read_csv(f"{out}/csv/main.csv")
+    assert main[0]["meta_k"] == "a" and main[1]["meta_k"] == "b"
+    import os
+
+    assert not os.path.exists(f"{out}/csv/meta.csv")
+
+
+def test_emit_obj(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path / "eo")
+    flatten(
+        f"{FIX}/basic.json", out, spark=spark, emit_obj=(("rating",),),
+    )
+    rating = _read_csv(f"{out}/csv/rating.csv")
+    main = _read_csv(f"{out}/csv/main.csv")
+    assert rating[0]["code"] == "E" and rating[0]["_link"] == "0.rating.0"
+    assert "rating_code" not in main[0]
+
+
+def test_path_selector(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    doc = {"results": [{"id": 1}, {"id": 2}], "meta": "x"}
+    out = str(tmp_path / "ps")
+    flatten(_write(tmp_path, "d.json", doc), out, spark=spark, path=("results",))
+    main = _read_csv(f"{out}/csv/main.csv")
+    assert [r["id"] for r in main] == ["1", "2"]
+
+
+def test_json_path_filter(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    doc = [{"id": 1, "keep": {"flag": 1}}, {"id": 2}]
+    out = str(tmp_path / "jp")
+    flatten(
+        _write(tmp_path, "d.json", doc), out, spark=spark,
+        json_path="$.keep.flag",
+    )
+    main = _read_csv(f"{out}/csv/main.csv")
+    assert [r["id"] for r in main] == ["1"]
+
+
+def test_table_prefix_and_separator(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path / "pref")
+    res = flatten(
+        f"{FIX}/basic.json", out, spark=spark,
+        table_prefix="t_", path_separator="__",
+    )
+    assert set(res["tables"]["table_name"]) == {"t_main", "t_developer", "t_platforms"}
+    main = _read_csv(f"{out}/csv/t_main.csv")
+    assert "rating__code" in main[0]
+
+
+def test_fields_csv_reorder_and_only(spark, tmp_path):
+    from flatterer_spark.flatten import flatten
+
+    fc = tmp_path / "fields.csv"
+    with open(fc, "w") as f:
+        f.write("table_name,field_name,field_title\n")
+        f.write("main,title,THE_TITLE\nmain,id,id\n")
+    out = str(tmp_path / "fcsv")
+    flatten(
+        f"{FIX}/basic.json", out, spark=spark,
+        fields_csv=str(fc), only_fields=True,
+    )
+    main = _read_csv(f"{out}/csv/main.csv")
+    assert list(main[0].keys()) == ["_link", "THE_TITLE", "id"]
