@@ -48,9 +48,45 @@ def flatten_stream(
     by_name = {p.name: p for p in plans}
 
     stream = spark.readStream.schema(schema).json(input_dir)
-    stream = stream.withColumn(
-        "_ord", F.md5(F.to_json(F.struct(*[F.col(f"`{c}`") for c in stream.columns])))
+    # _ord = md5(content + source file) + batch position.  Content hash alone
+    # would collide for identical objects in one microbatch (duplicate _link
+    # PKs and aliased child FK chains); the position suffix disambiguates.
+    # monotonically_increasing_id and non-time window functions are both
+    # unsupported on streams, so the position comes from an Arrow-batched
+    # mapInPandas: partition_id << 33 | running row offset -- same layout as
+    # monotonically_increasing_id, deterministic for a replay of the same
+    # file splits.
+    data_cols = list(stream.columns)
+    stream = stream.withColumn("_file", F.input_file_name())
+    pos_schema = (
+        StructType.fromJson(schema.jsonValue()).add("_file", "string").add("_pos", "long")
     )
+
+    def _add_pos(it):
+        from pyspark import TaskContext
+
+        base = TaskContext.get().partitionId() << 33
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["_pos"] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    stream = stream.mapInPandas(_add_pos, pos_schema)
+    stream = stream.withColumn(
+        "_ord",
+        F.concat_ws(
+            "-",
+            F.md5(
+                F.concat(
+                    F.to_json(F.struct(*[F.col(f"`{c}`") for c in data_cols])),
+                    F.col("_file"),
+                )
+            ),
+            F.col("_pos").cast("string"),
+        ),
+    ).drop("_pos", "_file")
     root_link = F.concat(F.lit(opts.id_prefix), F.col("_ord"))
     return {
         plan.name: _execute_table(stream, plan, by_name, opts, root_link)
@@ -92,14 +128,28 @@ SESSION_SCHEMA = (
 SESSION_STATE_SCHEMA = "start long, end long, n long"
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: gap-based
-    sessionization per user.  Emits a session row when the idle gap exceeds
-    ``gap_minutes`` (processing-time timeout closes the final session)."""
+    sessionization per user.
+
+    A session row is emitted when the idle gap exceeds ``gap_minutes``.  Open
+    sessions are closed by an **event-time timeout**: the timeout fires when
+    the watermark (max seen ``ts`` minus ``watermark``) passes
+    ``session_end + gap``.  Event-time timeouts are served by watermark
+    advancement, so a bounded ``availableNow`` drain terminates and still
+    flushes every session whose gap has provably elapsed -- unlike a
+    processing-time timer, which a batch drain can never serve (it would wait
+    wall-clock minutes inside the query).  State is bounded by the watermark
+    horizon: one (start, end, n) triple per active user."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
+
+    events = events.withWatermark("ts", watermark)
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -128,7 +178,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     cur[2] += 1
             if cur is not None:
                 state.update(tuple(cur))
-                state.setTimeoutDuration(gap_minutes * 60 * 1000)
+                # fire once the watermark passes end-of-session + gap; the
+                # timestamp must stay ahead of the current watermark or Spark
+                # rejects it (can happen replaying late-but-unexpired state)
+                timeout_ms = max(
+                    cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1
+                )
+                state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [s[0] for s in sessions],
@@ -143,17 +199,22 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputStructType=SESSION_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: float = 300.0,
 ) -> DataFrame:
     """Drain a streaming DataFrame with the availableNow trigger into an
     in-memory table and return the batch result (test/bench harness).
     Windowed aggregations need ``output_mode="complete"`` to surface
-    still-open windows in a single drain."""
+    still-open windows in a single drain.  ``timeout_sec`` hard-gates the
+    drain: a query that has not terminated by then is stopped and raises,
+    so a mis-wired stateful operator can never hang a test run."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -161,5 +222,9 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain '{query_name}' did not terminate in {timeout_sec}s"
+        )
     return stream_df.sparkSession.table(query_name)

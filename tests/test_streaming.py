@@ -45,6 +45,32 @@ def test_flatten_stream_matches_batch(spark, stream_dir):
     assert child_fks <= main_links
 
 
+def test_flatten_stream_duplicate_objects_unique_links(spark, tmp_path):
+    """Identical objects in one microbatch must still get distinct _link PKs
+    (content hash is salted with source position)."""
+    from flatterer_spark.streaming.stream_flatten import (
+        flatten_stream,
+        run_available_now,
+    )
+
+    d = tmp_path / "dup_in"
+    d.mkdir()
+    doc = {"id": 1, "tags": [{"t": "a"}, {"t": "b"}]}
+    with open(d / "a.jsonl", "w") as f:
+        for _ in range(3):
+            f.write(json.dumps(doc) + "\n")
+    schema = spark.read.json(str(d)).schema
+    tables = flatten_stream(spark, str(d), schema)
+    main = run_available_now(tables["main"], "dup_main", timeout_sec=120)
+    links = [r["_link"] for r in main.collect()]
+    assert len(links) == 3 and len(set(links)) == 3
+    tags = run_available_now(tables["tags"], "dup_tags", timeout_sec=120)
+    # 3 parents x 2 tags, each child row FK-linked to a distinct parent
+    assert tags.count() == 6
+    fks = {r["_link_main"] for r in tags.collect()}
+    assert fks == set(links)
+
+
 def test_windowed_event_stats(spark, sf_dir):
     from flatterer_spark.queries import T
     from flatterer_spark.streaming.stream_flatten import (
@@ -75,8 +101,10 @@ def test_windowed_event_stats(spark, sf_dir):
 
 
 def test_sessionize_stateful(spark, tmp_path):
-    """Gap-based sessions: 3 events close together then one far later =>
-    one closed session emitted (the open one stays in state)."""
+    """Gap-based sessions, both close paths: user 1's first session closes by
+    in-batch gap; user 2's lone session closes by event-time timeout when the
+    final watermark (02:00) passes its end + gap (01:30).  User 1's open
+    session at 02:00 (timeout 02:30 > watermark) stays in state."""
     from flatterer_spark.streaming.stream_flatten import (
         run_available_now,
         sessionize,
@@ -100,10 +128,13 @@ def test_sessionize_stateful(spark, tmp_path):
         .withColumn("ts", F.to_timestamp("ts"))
     )
     sessions = sessionize(stream, gap_minutes=30)
-    got = run_available_now(sessions, "sessions")
-    closed = got.collect()
-    assert len(closed) == 1
-    s = closed[0]
-    assert s.user_id == 1 and s.n_events == 3
-    assert str(s.session_start).startswith("2024-01-01 00:00:00")
-    assert str(s.session_end).startswith("2024-01-01 00:10:00")
+    got = run_available_now(sessions, "sessions", timeout_sec=120)
+    closed = {r.user_id: r for r in got.collect()}
+    assert set(closed) == {1, 2}
+    s1 = closed[1]
+    assert s1.n_events == 3
+    assert str(s1.session_start).startswith("2024-01-01 00:00:00")
+    assert str(s1.session_end).startswith("2024-01-01 00:10:00")
+    s2 = closed[2]
+    assert s2.n_events == 1
+    assert str(s2.session_start).startswith("2024-01-01 01:00:00")
