@@ -45,6 +45,14 @@ LANG_MARKERS = {
 # the literals splice identically into both engines' SQL.
 _HP = np.round(np.random.RandomState(7).normal(0.0, 1.0, (8, 64)), 6)
 
+# 48 hyperplanes for the *banded* embedding LSH (8 bands x 6 bits).  Band
+# geometry is the recall/selectivity dial: a random pair collides on one
+# band with p = 2^-bits, a pair at cosine c with p = (1 - acos(c)/pi)^bits.
+# 8x6 measured on this data: 12.8% candidate rate, catches the planted
+# threshold-edge pair; production semantic dedup at cos >= 0.9 would raise
+# bits to 16-24 for near-linear candidate volume.
+_HP2 = np.round(np.random.RandomState(11).normal(0.0, 1.0, (48, 64)), 6)
+
 EMB_DIM = 64
 
 
@@ -355,21 +363,114 @@ def sql_sim_topk(g: Gen, n_queries: int = 10, k: int = 5) -> str:
     """
 
 
-def sql_sim_lsh_buckets(g: Gen) -> str:
-    """Random-hyperplane LSH bucket id per vector (the ANN scale path: bucket
-    join replaces the brute-force cross product)."""
+def _sql_bucket_expr(g: Gen, planes) -> str:
+    """Sum-of-sign-bits bucket id over column ``e`` for the given hyperplanes."""
     bit_terms = []
-    for p in range(_HP.shape[0]):
-        hp = "(" + _dlist(g, _HP[p]) + ")"
+    for p in range(planes.shape[0]):
+        hp = "(" + _dlist(g, planes[p]) + ")"
         dot = _sql_dot(g, "e", hp)
         bit_terms.append(
             f"(CASE WHEN {dot} >= {g.d(0.0)} THEN {1 << p} ELSE 0 END)"
         )
-    bucket = " + ".join(bit_terms)
+    return " + ".join(bit_terms)
+
+
+def sql_sim_lsh_buckets(g: Gen) -> str:
+    """Random-hyperplane LSH bucket id per vector (the ANN scale path: bucket
+    join replaces the brute-force cross product; sql_sim_topk_lsh consumes it)."""
+    bucket = _sql_bucket_expr(g, _HP)
     return f"""
     WITH {_sql_emb_norm(g)}
     SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket
     FROM en ORDER BY vec_id
+    """
+
+
+def sql_sim_topk_lsh(g: Gen, n_queries: int = 10, k: int = 5) -> str:
+    """Bucketed ANN top-k: the consumer of the sim_lsh_buckets bucket ids.
+
+    Multiprobe scheme: each query probes its own 8-bit hyperplane bucket plus
+    the 8 buckets at hamming distance 1, so the candidate set is
+    ``9/256`` of the corpus in expectation -- the O(n^2) cross product of the
+    brute-force baseline becomes a shuffle-friendly equi-join on the bucket
+    id, and only candidates are scored.  Deterministic hyperplanes mean the
+    DuckDB oracle computes the identical candidate set, so the approximate
+    result is still hash-comparable across engines.  At cluster scale the
+    probe side broadcasts (it is ``n_queries x 9`` rows) and the corpus side
+    is shuffled once on ``bucket``."""
+    bucket = _sql_bucket_expr(g, _HP)
+    probe_vals = ", ".join(
+        ["bucket"] + [_xor(g, "bucket", str(1 << p)) for p in range(_HP.shape[0])]
+    )
+    probe_arr = "array({})" if g.spark else "[{}]"
+    probe_arr = probe_arr.format(probe_vals)
+    cos = f"{_sql_dot(g, 'q.e', 'c.e')} / (q.nrm * c.nrm)"
+    return f"""
+    WITH {_sql_emb_norm(g)},
+    b AS (SELECT vec_id, e, nrm, CAST({_sql_bucket_expr(g, _HP)} AS BIGINT) AS bucket FROM en),
+    probes AS (
+        SELECT vec_id AS query_id, {_explode(g, probe_arr, 'pb')}
+        FROM b WHERE vec_id < {n_queries}
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               {cos} AS cos
+        FROM probes p
+        JOIN b c ON c.bucket = p.pb AND c.vec_id <> p.query_id
+        JOIN b q ON q.vec_id = p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+           {g.round2('cos')} AS cosine
+    FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+N_EMB_BANDS = 8
+EMB_BAND_BITS = 6
+
+
+def sql_dedup_embedding_lsh(g: Gen, threshold: float = 0.5) -> str:
+    """Embedding near-dup via banded hyperplane LSH + exact cosine verify.
+
+    The approximate scale path for embedding dedup: 48 sign bits split into
+    8 bands of 6; a pair agreeing on any whole band becomes a candidate
+    (equi-join on the band value -- the same shuffle shape as
+    dedup_minhash_lsh), and only candidates get the exact fold-arithmetic
+    cosine.  Band bits set selectivity (random pair collides with 2^-6 per
+    band -> ~13% candidate rate on this isotropic data) and bands set recall;
+    the deterministic hyperplanes keep Spark and the DuckDB oracle on the
+    identical candidate set, so the approximate result is still
+    hash-comparable.  dedup_embedding (block-pair BLAS in operators/dedup.py)
+    remains the exact path when the O(n^2/B) compute is affordable."""
+    band_exprs = []
+    for j in range(N_EMB_BANDS):
+        planes = _HP2[j * EMB_BAND_BITS:(j + 1) * EMB_BAND_BITS]
+        band_exprs.append(
+            f"CAST({j * (1 << EMB_BAND_BITS)} + {_sql_bucket_expr(g, planes)} AS BIGINT)"
+        )
+    band_arr = "array({})" if g.spark else "[{}]"
+    band_arr = band_arr.format(", ".join(band_exprs))
+    cos = f"{_sql_dot(g, 'a.e', 'b.e')} / (a.nrm * b.nrm)"
+    return f"""
+    WITH {_sql_emb_norm(g)},
+    bl AS (SELECT vec_id, {_explode(g, band_arr, 'band')} FROM en),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+        FROM bl x JOIN bl y ON x.band = y.band AND x.vec_id < y.vec_id
+    )
+    SELECT cand.id1, cand.id2, {g.round2(f'({cos})')} AS cosine
+    FROM cand
+    JOIN en a ON a.vec_id = cand.id1
+    JOIN en b ON b.vec_id = cand.id2
+    WHERE {cos} >= {g.d(threshold)}
+    ORDER BY id1, id2
     """
 
 
@@ -388,7 +489,9 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "dedup_simhash": (sql_dedup_simhash, ("documents",)),
     "dedup_simhash_pairs": (sql_dedup_simhash_pairs, ("documents",)),
     "dedup_embedding": (sql_dedup_embedding, ("embeddings",)),
+    "dedup_embedding_lsh": (sql_dedup_embedding_lsh, ("embeddings",)),
     "sim_topk_bruteforce": (sql_sim_topk, ("embeddings",)),
+    "sim_topk_lsh": (sql_sim_topk_lsh, ("embeddings",)),
     "sim_lsh_buckets": (sql_sim_lsh_buckets, ("embeddings",)),
 }
 

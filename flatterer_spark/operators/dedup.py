@@ -7,13 +7,15 @@ plans that survive 100x data growth:
 - ``simhash_sig``: signature via explode + groupBy (whole-stage codegen'd
   integer aggregates) instead of 32 interpreted higher-order-function lambdas
   per row.
-- ``embedding_near_dup_pairs`` / scale notes: BLAS-vectorized candidate
-  generation via mapInPandas (Arrow batches, numpy matmul against a broadcast
-  matrix) with a 1e-6 cosine margin, then the deterministic fold-arithmetic
-  cosine recomputed on the (tiny) candidate set so the final filter matches
-  the oracle bit-for-bit.  The broadcast matrix caps at ~1M vectors; beyond
-  that the same verify stage sits behind an IVF/LSH bucket join
-  (sim_lsh_buckets is the bucketing half).
+- ``embedding_near_dup_pairs``: exact near-dup with *distributed* candidate
+  generation -- vectors are hashed into blocks, replicated to unordered block
+  pairs, and one applyInPandas task per block pair runs the BLAS matmul; no
+  driver collect, no closure-broadcast matrix, memory bounded by block size.
+  A 1e-6 cosine margin over-collects, then the deterministic fold-arithmetic
+  cosine is recomputed on the (tiny) candidate set so the final filter
+  matches the oracle bit-for-bit.  The approximate near-linear alternative is
+  ``dedup_embedding_lsh`` (ext_queries): banded hyperplane LSH candidates +
+  the same exact verify.
 """
 
 from __future__ import annotations
@@ -93,35 +95,71 @@ EMB_DIM = 64
 
 
 def embedding_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, n_blocks: int = 8
 ) -> DataFrame:
-    """Exact cosine >= threshold pairs: BLAS candidates + fold-exact verify."""
-    import numpy as np
-    import pandas as pd
+    """Exact cosine >= threshold pairs: block-pair BLAS candidates +
+    fold-exact verify.
 
+    Candidate generation is fully distributed -- no driver collect, no
+    closure-broadcast matrix.  Each vector is hashed to one of ``n_blocks``
+    blocks and replicated to every block *pair* it participates in (factor
+    n_blocks), then one applyInPandas task per unordered block pair runs a
+    numpy matmul between the two blocks' matrices.  Every unordered vector
+    pair lands in exactly one block pair, so no cross-task dedup is needed.
+    Shuffle volume is n * n_blocks rows; per-task memory is ~2(n/B) vectors,
+    so at scale pick n_blocks ~ n * dim * 8B / executor_budget (the exact
+    all-pairs O(n^2/B^2) flops per task are the price of *exact* dedup --
+    dedup_embedding_lsh in ext_queries is the near-linear approximate path).
+    A 1e-6 cosine margin over-collects candidates; the deterministic
+    fold-arithmetic cosine then recomputes the (tiny) candidate set so the
+    final filter matches the oracle bit-for-bit."""
     from flatterer_spark.queries import T
 
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # candidate index; see module docstring for the
-    # >1M-vector path (IVF/LSH bucketed candidates feeding the same verify)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    matn = mat / norms[:, None]
+    B = n_blocks
     margin = 1e-6
 
-    def gen_candidates(batches):
-        for pdf in batches:
-            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
-            vnorm = vecs / np.sqrt((vecs * vecs).sum(axis=1))[:, None]
-            cos = vnorm @ matn.T  # (batch, N)
-            bi, ni = np.nonzero(cos >= threshold - margin)
-            qid = pdf["vec_id"].to_numpy()[bi]
-            nid = ids[ni]
-            keep = qid < nid
-            yield pd.DataFrame({"id1": qid[keep], "id2": nid[keep]})
+    rep = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"pmod(crc32(CAST(vec_id AS STRING)), {B}) AS blk",
+    ).selectExpr(
+        "vec_id",
+        "embedding",
+        "blk",
+        f"explode(transform(sequence(0, {B - 1}),"
+        f" j -> least(blk, CAST(j AS BIGINT)) * {B} + greatest(blk, CAST(j AS BIGINT)))) AS pk",
+    )
 
-    cand = emb.mapInPandas(gen_candidates, "id1 long, id2 long")
+    def _block_pair_cands(pdf):
+        # nested (pickled by value): executor workers can't import the
+        # package when __spark_entry__ is loaded by file path
+        import numpy as np
+        import pandas as pd
+
+        pk = int(pdf["pk"].iloc[0])
+        i, j = divmod(pk, B)
+        vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+        vn = vecs / np.sqrt((vecs * vecs).sum(axis=1))[:, None]
+        ids = pdf["vec_id"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        li = np.nonzero(blk == i)[0]
+        rj = np.nonzero(blk == j)[0]
+        if len(li) == 0 or len(rj) == 0:
+            return pd.DataFrame({"id1": pd.array([], dtype="int64"),
+                                 "id2": pd.array([], dtype="int64")})
+        cos = vn[li] @ vn[rj].T
+        ai, bj = np.nonzero(cos >= threshold - margin)
+        u = ids[li][ai]
+        v = ids[rj][bj]
+        if i == j:  # both sides are the same set: keep each pair once
+            keep = u < v
+            u, v = u[keep], v[keep]
+        return pd.DataFrame(
+            {"id1": np.minimum(u, v), "id2": np.maximum(u, v)}
+        )
+
+    cand = rep.groupBy("pk").applyInPandas(_block_pair_cands, "id1 long, id2 long")
 
     g = Gen(spark=True)
     elems = g.transform(

@@ -38,6 +38,45 @@ def test_minhash_candidates_subset_of_exact(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_embedding_lsh_subset_and_planted_pair(spark, sf_dir):
+    """LSH-verified embedding pairs must be a subset of the exact block-pair
+    result (same threshold; banding can only lose candidates, and the verify
+    filter is identical), and the planted threshold-edge pair is recovered."""
+    exact = {
+        (r.id1, r.id2)
+        for r in EXT_QUERIES["dedup_embedding"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in EXT_QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.5
+
+
+def test_sim_topk_lsh_scores_match_bruteforce(spark, sf_dir):
+    """Every (query, neighbor) the bucketed ANN returns must carry the same
+    cosine the brute-force scorer assigns it, and per-query the ANN top-1 can
+    never beat the exhaustive top-1."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in EXT_QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    bf_top1 = {
+        r.query_id: r.cosine
+        for r in EXT_QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+        if r.rnk == 1
+    }
+    ann = EXT_QUERIES["sim_topk_lsh"](spark, sf_dir).collect()
+    assert ann, "bucketed ANN returned no rows"
+    for r in ann:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+        if r.rnk == 1:
+            assert r.cosine <= bf_top1[r.query_id] + 1e-9
+
+
 def test_lsh_recall_on_planted_near_dups(spark, sf_dir):
     """The driver data plants high-Jaccard near-dup pairs; 8 bands x 2 rows
     must recover essentially all pairs above the verify threshold of 0.5."""
