@@ -13,11 +13,12 @@ Scale posture (100 TB):
  - dedup_exact: single hash-groupBy -- one shuffle on the fingerprint, AQE
    coalesces; no skew (md5 is uniform).
  - ngram/minhash/simhash dedup: the quadratic all-pairs step is replaced by a
-   *bucketed* candidate join (LSH bands / simhash bands) so the shuffle key is
-   the band value; only candidates sharing a bucket are verified.  The DuckDB
-   oracles for the banded variants compute the mathematically-equivalent
-   closed form (pigeonhole: hamming <= 3 over 4 bands of 8 bits always shares
-   a band), proving the bucketed plan loses nothing.
+   *bucketed* candidate join (LSH bands / simhash bands / DF-ranked prefix
+   shingles) so the shuffle key is the band value; only candidates sharing a
+   bucket are verified.  The DuckDB oracles for the banded variants compute
+   the mathematically-equivalent closed form (pigeonhole: hamming <= 3 over
+   4 bands of 8 bits always shares a band; prefix filtering per SSJoin),
+   proving the bucketed plan loses nothing.
  - embedding ops: fold-based dot products keep floats deterministic for the
    oracle; at real scale swap in the pandas_udf BLAS path (bench-only,
    numerically equivalent to ~1e-7).
@@ -168,23 +169,76 @@ def sql_dedup_exact(g: Gen) -> str:
     """
 
 
-def sql_dedup_ngram_jaccard(g: Gen, k: int = 3, threshold: float = 0.3) -> str:
+def sql_dedup_ngram_jaccard(
+    g: Gen, k: int = 3, threshold: float = 0.3, prefix_filter: bool = True
+) -> str:
+    """Exact Jaccard >= threshold pairs over k-gram shingles.
+
+    ``prefix_filter=True`` (default, the 100 TB plan) generates candidates
+    with SSJoin-style prefix filtering instead of the naive inverted-index
+    self-join: rank each doc's shingles by ascending global document
+    frequency (rarest first) and join only on each doc's first
+    ``n - ceil(t*n) + 1`` shingles.  Provably lossless: a pair with
+    ``J >= t`` must agree on at least one shingle inside both prefixes
+    (if all shared shingles sat outside a prefix, the overlap would be
+    below ``t*n``).  Hot boilerplate shingles have maximal document
+    frequency, rank last, and fall outside every prefix, so the candidate
+    join is immune to the quadratic skew blowup the naive gram join hits
+    when one shingle appears in a large fraction of the corpus.  Verification
+    recomputes the exact intersection from the full shingle sets, so the
+    result is identical to ``prefix_filter=False`` (tested).
+    """
     toks = g.tokens("text")
+    jac = "CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)"
+    if not prefix_filter:
+        return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        sh AS (SELECT doc_id, {g.shingles('toks', k)} AS s FROM t),
+        e AS (SELECT doc_id, CAST({g.size('s')} AS BIGINT) AS n, {_explode(g, 's', 'gram')} FROM sh),
+        pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(COUNT(*) AS BIGINT) AS inter,
+                   MIN(a.n) AS n1, MIN(b.n) AS n2
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id1, id2, {g.round2(jac)} AS jaccard
+        FROM pairs
+        WHERE {jac} >= {g.d(threshold)}
+        ORDER BY id1, id2
+        """
+    inter = g.size(_intersect(g, "sa.s", "sb.s"))
     return f"""
     WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
     sh AS (SELECT doc_id, {g.shingles('toks', k)} AS s FROM t),
     e AS (SELECT doc_id, CAST({g.size('s')} AS BIGINT) AS n, {_explode(g, 's', 'gram')} FROM sh),
-    pairs AS (
-        SELECT a.doc_id AS id1, b.doc_id AS id2,
-               CAST(COUNT(*) AS BIGINT) AS inter,
-               MIN(a.n) AS n1, MIN(b.n) AS n2
-        FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+    gdf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY gram),
+    rk AS (
+        SELECT e.doc_id, e.gram, e.n,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                  ORDER BY gdf.df, e.gram) AS rnk
+        FROM e JOIN gdf ON e.gram = gdf.gram
+    ),
+    pref AS (
+        SELECT doc_id, gram FROM rk
+        WHERE rnk <= n - CEIL({g.d(threshold)} * n) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT cand.id1, cand.id2,
+               CAST({inter} AS BIGINT) AS inter,
+               CAST({g.size('sa.s')} AS BIGINT) AS n1,
+               CAST({g.size('sb.s')} AS BIGINT) AS n2
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id1
+        JOIN sh sb ON sb.doc_id = cand.id2
     )
-    SELECT id1, id2,
-           {g.round2('CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)')} AS jaccard
-    FROM pairs
-    WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= {g.d(threshold)}
+    SELECT id1, id2, {g.round2(jac)} AS jaccard
+    FROM ver
+    WHERE {jac} >= {g.d(threshold)}
     ORDER BY id1, id2
     """
 

@@ -24,6 +24,23 @@ def test_ext_query_matches_oracle(name, spark, sf_dir, con):
     assert not problems, f"{name}: {problems}"
 
 
+def test_prefix_filter_lossless(spark, sf_dir):
+    """Prefix-filtered candidate generation must produce the identical
+    verified pair set as the naive inverted-index join (the filter only
+    prunes candidates that provably cannot reach the threshold)."""
+    from flatterer_spark.ext_queries import sql_dedup_ngram_jaccard
+    from flatterer_spark.functions.textgen import Gen
+    from flatterer_spark.queries import T
+
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    pref = spark.sql(sql_dedup_ngram_jaccard(Gen(spark=True), prefix_filter=True))
+    naive = spark.sql(sql_dedup_ngram_jaccard(Gen(spark=True), prefix_filter=False))
+    pref_rows = {(r.id1, r.id2, r.jaccard) for r in pref.collect()}
+    naive_rows = {(r.id1, r.id2, r.jaccard) for r in naive.collect()}
+    assert pref_rows == naive_rows
+    assert pref_rows, "degenerate: no near-dup pairs at this sf"
+
+
 def test_minhash_candidates_subset_of_exact(spark, sf_dir):
     """Every LSH-verified pair must also pass the exhaustive n-gram Jaccard
     screen at a lower threshold (LSH can only lose pairs, never invent)."""
