@@ -101,6 +101,9 @@ def flatten(
         output_dir = tempfile.mkdtemp(prefix="flatterer_spark_")
         tmp_cleanup = output_dir
 
+    from flatterer_spark.sources import json_input
+
+    spool_before = set(json_input._SPOOL_FILES)
     try:
         result = flatten_dataframes(
             spark,
@@ -136,7 +139,9 @@ def flatten(
             for name, df in result.tables.items():
                 p = os.path.join(csv_dir, f"{name}.csv")
                 if exact_csv:
-                    writers.write_csv_exact(df, p, preview=preview, titles=result.titles)
+                    writers.write_csv_exact(
+                        df, p, preview=preview, titles=result.titles_for(name)
+                    )
                 else:
                     writers.write_csv_distributed(df, p, preview=preview)
                 data[name] = p
@@ -164,7 +169,10 @@ def flatten(
             out["sqlite"] = sqlite_file
         if xlsx:
             x = writers.write_xlsx(
-                os.path.join(output_dir, "output.xlsx"), result.tables, preview=preview
+                os.path.join(output_dir, "output.xlsx"),
+                result.tables,
+                preview=preview,
+                sheet_titles=result.table_titles,
             )
             if x:
                 out["xlsx"] = x
@@ -187,9 +195,24 @@ def flatten(
                 }
                 loaded[name] = pd.read_csv(data[name], dtype=types or None)
             data = loaded
+        elif tmp_cleanup:
+            # sqlite_path-only flow: the CSVs live in the about-to-be-removed
+            # tempdir; don't return dangling paths
+            data = {}
         out.update({"fields": fields_df, "tables": tables_df, "data": data})
         return out
+    except BaseException:
+        # C2 error hygiene: a failed run must not leave a partial output dir
+        # (docs/changelog.md:318-319)
+        shutil.rmtree(output_dir, ignore_errors=True)
+        raise
     finally:
-        if tmp_cleanup and not (sqlite_path and os.path.dirname(sqlite_path) == tmp_cleanup):
-            if dataframe:
-                shutil.rmtree(tmp_cleanup, ignore_errors=True)
+        # spool temp files created by this call are fully consumed once the
+        # sink writes above have run (or the run failed) -- unlink them now
+        json_input.cleanup_spools(
+            [p for p in json_input._SPOOL_FILES if p not in spool_before]
+        )
+        if tmp_cleanup and not (
+            sqlite_path and os.path.dirname(sqlite_path) == tmp_cleanup
+        ):
+            shutil.rmtree(tmp_cleanup, ignore_errors=True)

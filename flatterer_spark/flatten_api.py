@@ -45,6 +45,14 @@ class FlattenResult:
     options: "FlattenOptions" = None
     titles: dict = dc_field(default_factory=dict)   # col name -> display title
     stats: dict = dc_field(default_factory=dict)    # table -> field -> stats
+    table_titles: dict = dc_field(default_factory=dict)  # table -> display title
+    field_titles: dict = dc_field(default_factory=dict)  # table -> {field -> title}
+
+    def titles_for(self, table: str) -> dict[str, str]:
+        """Display titles for one table's columns (schema titles overridden
+        by per-table fields_csv titles); applied at the sink layer only so
+        DataFrame column names stay the original field names."""
+        return {**self.titles, **self.field_titles.get(table, {})}
 
 
 @dataclass
@@ -321,7 +329,14 @@ def compute_metadata(result: FlattenResult) -> None:
                 )
         row = df.agg(*aggs).collect()[0].asDict()
         nrows = row["__rows"]
-        table_rows.append({"table_name": name, "table_title": name})
+        table_rows.append(
+            {
+                "table_name": name,
+                # tables_csv table_title renames tables in tables.csv,
+                # datapackage and XLSX sheets (docs/options.md:564-586)
+                "table_title": result.table_titles.get(name, name),
+            }
+        )
         for c in df.schema.fields:
             n = row[f"n::{c.name}"]
             if c.name.startswith("_link"):
@@ -348,7 +363,9 @@ def compute_metadata(result: FlattenResult) -> None:
                     "table_name": name,
                     "field_name": c.name,
                     "field_type": ftype,
-                    "field_title": result.titles.get(c.name, c.name),
+                    # field_name stays the original key (so an emitted
+                    # fields.csv can be fed back in); the title is display-only
+                    "field_title": result.titles_for(name).get(c.name, c.name),
                     "count": n,
                 }
             )
@@ -397,7 +414,9 @@ def _apply_field_table_csv(result: FlattenResult) -> None:
             if k not in ordered:
                 ordered[k] = v
         result.tables = ordered
-        result._table_titles = titles  # type: ignore[attr-defined]
+        result.table_titles = {
+            k: v for k, v in titles.items() if k in result.tables
+        }
     if opts.fields_csv:
         with open(opts.fields_csv, newline="") as f:
             rows = list(csvmod.DictReader(f))
@@ -417,11 +436,12 @@ def _apply_field_table_csv(result: FlattenResult) -> None:
                 if c not in listed and not c.startswith("_link")
             ]
             cols = link_cols + listed + rest
-            titles = {
-                r["field_name"]: r.get("field_title") or r["field_name"] for r in spec
+            # reorder/filter only; titles are applied at the sink layer so
+            # the DataFrame (and fields.csv field_name) keep original names
+            result.field_titles[name] = {
+                r["field_name"]: r["field_title"]
+                for r in spec
+                if r.get("field_title") and r["field_title"] != r["field_name"]
             }
-            sel = [
-                F.col(f"`{c}`").alias(titles.get(c, c)) for c in cols
-            ]
-            new_tables[name] = df.select(*sel)
+            new_tables[name] = df.select(*[F.col(f"`{c}`") for c in cols])
         result.tables = new_tables

@@ -259,11 +259,15 @@ def write_sqlite(
 
 
 def write_xlsx(
-    xlsx_path: str, tables: dict[str, DataFrame], preview: int = 0
+    xlsx_path: str,
+    tables: dict[str, DataFrame],
+    preview: int = 0,
+    sheet_titles: dict | None = None,
 ) -> str | None:
-    """Single output.xlsx, one sheet per table (K2).  Sheet names truncated to
-    Excel's 31-char limit with invalid chars stripped (docs/outputs.md:36-38).
-    Gated on openpyxl availability."""
+    """Single output.xlsx, one sheet per table (K2).  Sheet names come from
+    ``sheet_titles`` (tables_csv table_title renames sheets,
+    docs/options.md:564-586), truncated to Excel's 31-char limit with invalid
+    chars stripped (docs/outputs.md:36-38).  Gated on openpyxl availability."""
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
@@ -271,7 +275,8 @@ def write_xlsx(
         return None
     with pd.ExcelWriter(xlsx_path, engine="openpyxl") as xw:
         for name, df in tables.items():
-            sheet = "".join(ch for ch in name if ch not in "[]:*?/\\")[:31]
+            title = (sheet_titles or {}).get(name, name)
+            sheet = "".join(ch for ch in title if ch not in "[]:*?/\\")[:31]
             pdf_df = df.limit(preview) if preview else df
             pdf = formatted_strings(pdf_df).toPandas()
             pdf.to_excel(xw, sheet_name=sheet, index=False)

@@ -36,6 +36,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MONO_MASK = (1 << 33) - 1  # monotonically_increasing_id: partition << 33 | seq
 
+# Temp NDJSON spool files (iterator input S6, json-stream respool S4).  Spark
+# reads them lazily on every action, so they cannot be unlinked inline;
+# flatten() cleans the ones its own call created once all writes are done,
+# and atexit sweeps whatever remains (flatten_dataframes callers holding
+# lazy DataFrames).
+_SPOOL_FILES: list[str] = []
+_atexit_registered = False
+
+
+def _track_spool(p: str) -> str:
+    global _atexit_registered
+    _SPOOL_FILES.append(p)
+    if not _atexit_registered:
+        import atexit
+
+        atexit.register(cleanup_spools)
+        _atexit_registered = True
+    return p
+
+
+def cleanup_spools(paths: list[str] | None = None) -> None:
+    """Unlink spool temp files (all tracked ones, or just ``paths``)."""
+    for p in list(_SPOOL_FILES) if paths is None else list(paths):
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+        if p in _SPOOL_FILES:
+            _SPOOL_FILES.remove(p)
+
 
 def read_json_source(
     spark: SparkSession,
@@ -98,7 +128,7 @@ def _spool_iterator(it: Iterable) -> str:
             else:
                 f.write(json.dumps(item, default=default).encode("utf-8"))
             f.write(b"\n")
-    return p
+    return _track_spool(p)
 
 
 def iter_json_stream(text: str):
@@ -126,7 +156,7 @@ def _respool_stream(p: str) -> str:
         for obj in iter_json_stream(text):
             f.write(json.dumps(obj))
             f.write("\n")
-    return out
+    return _track_spool(out)
 
 
 def sample_key_order(

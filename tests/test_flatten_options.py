@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import csv
 import json
+import os
 import sqlite3
 
 import pytest
@@ -213,3 +214,76 @@ def test_fields_csv_reorder_and_only(spark, tmp_path):
     )
     main = _read_csv(f"{out}/csv/main.csv")
     assert list(main[0].keys()) == ["_link", "THE_TITLE", "id"]
+    # fields.csv keeps the ORIGINAL field_name (so it can be fed back in);
+    # only field_title carries the display name (reference semantics)
+    frows = _read_csv(f"{out}/fields.csv")
+    trow = next(r for r in frows if r["field_title"] == "THE_TITLE")
+    assert trow["field_name"] == "title"
+    # emitted fields.csv round-trips as a fields_csv input
+    out2 = str(tmp_path / "fcsv2")
+    flatten(
+        f"{FIX}/basic.json", out2, spark=spark,
+        fields_csv=f"{out}/fields.csv", only_fields=True,
+    )
+    assert list(_read_csv(f"{out2}/csv/main.csv")[0].keys()) == [
+        "_link", "THE_TITLE", "id",
+    ]
+
+
+def test_tables_csv_title_plumbed(spark, tmp_path):
+    """tables_csv table_title renames tables in tables.csv and datapackage
+    (docs/options.md:564-586)."""
+    import json as jsonmod
+
+    from flatterer_spark.flatten import flatten
+
+    tc = tmp_path / "tables.csv"
+    with open(tc, "w") as f:
+        f.write("table_name,table_title\n")
+        f.write("platforms,Platform List\nmain,Games\n")
+    out = str(tmp_path / "tcsv")
+    res = flatten(f"{FIX}/basic.json", out, spark=spark, tables_csv=str(tc))
+    titles = dict(zip(res["tables"]["table_name"], res["tables"]["table_title"]))
+    assert titles["platforms"] == "Platform List"
+    assert titles["main"] == "Games"
+    assert titles["developer"] == "developer"
+    with open(f"{out}/datapackage.json") as f:
+        dp = jsonmod.load(f)
+    by_name = {r["name"]: r for r in dp["resources"]}
+    assert by_name["platforms"]["title"] == "Platform List"
+    rows = _read_csv(f"{out}/tables.csv")
+    assert {r["table_name"]: r["table_title"] for r in rows}["main"] == "Games"
+
+
+def test_failure_removes_partial_output(spark, tmp_path, monkeypatch):
+    """C2 error hygiene: any failure deletes the partial output dir
+    (docs/changelog.md:318-319)."""
+    from flatterer_spark import flatten as flatten_mod
+    from flatterer_spark.flatten import flatten
+    from flatterer_spark.sinks import writers
+
+    def boom(*a, **kw):
+        raise RuntimeError("forced mid-write failure")
+
+    monkeypatch.setattr(writers, "write_metadata_csvs", boom)
+    out = str(tmp_path / "failing")
+    with pytest.raises(RuntimeError, match="forced mid-write"):
+        flatten(f"{FIX}/basic.json", out, spark=spark)
+    assert not os.path.exists(out)
+    _ = flatten_mod
+
+
+def test_iterator_spool_files_cleaned(spark, tmp_path):
+    """S6 iterator input stages to a temp NDJSON spool; flatten() must unlink
+    it once the run (success or failure) is done."""
+    from flatterer_spark.flatten import flatten
+    from flatterer_spark.sources import json_input
+
+    before = set(json_input._SPOOL_FILES)
+    out = str(tmp_path / "iter_out")
+    res = flatten(
+        iter([{"a": 1, "tags": [{"t": "x"}]}, {"a": 2}]), out, spark=spark
+    )
+    assert set(res["data"]) == {"main", "tags"}
+    leaked = [p for p in json_input._SPOOL_FILES if p not in before]
+    assert leaked == []
