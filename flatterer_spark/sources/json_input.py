@@ -11,7 +11,9 @@ Covers the reference's source operators (SURVEY.md §2.1):
    equivalent -- executors then read it in parallel)
  - S7 multi-file input           -> list of paths to one reader
  - S8 gzip                       -> Spark decompresses ``.gz`` natively
- - S9 ``json_path`` row filter   -> ``get_json_object`` on the raw object
+ - S9 ``json_path`` row filter   -> native Catalyst predicate (plain paths +
+   ==/!=/</> with && and ||, see jsonpath_filter.py); get_json_object
+   serialize-and-probe fallback for the rest
 
 Ordinals: the reference assigns each root object a 0-based input ordinal used
 as the main-table ``_link`` (`fixtures/basic_expected/csv/main.csv:2-3`).
@@ -99,11 +101,22 @@ def read_json_source(
             df = df.select(F.explode(F.col(key)).alias("_el")).select("_el.*")
 
     if json_path:
-        # S9: JSONPath row filter. get_json_object covers plain-path
-        # expressions; re-serialize the parsed row to apply it uniformly.
-        df = df.where(
-            F.get_json_object(F.to_json(F.struct(*df.columns)), json_path).isNotNull()
-        )
+        # S9: JSONPath row filter (keep object iff expr is non-null,
+        # docs/options.md:343-384).  Plain paths and ==/!=/<,>/&&/|| filter
+        # predicates translate to a native Catalyst predicate (pushed into
+        # the scan); expressions beyond that subset fall back to
+        # serialize-and-probe via get_json_object.
+        from flatterer_spark.sources.jsonpath_filter import jsonpath_predicate
+
+        pred = jsonpath_predicate(json_path, df.schema)
+        if pred is not None:
+            df = df.where(pred)
+        else:
+            df = df.where(
+                F.get_json_object(
+                    F.to_json(F.struct(*df.columns)), json_path
+                ).isNotNull()
+            )
 
     key_order = sample_key_order(paths, ndjson=ndjson, path=path)
     return df, key_order

@@ -187,6 +187,65 @@ def test_json_path_filter(spark, tmp_path):
     assert [r["id"] for r in main] == ["1"]
 
 
+_JP_DOCS = [
+    {"id": 1, "type": "film", "year": 1999, "rating": {"code": "PG"}},
+    {"id": 2, "type": "game", "year": 2005},
+    {"id": 3, "type": "game", "year": 1990},
+    {"id": 4, "type": "book"},
+]
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        ("$[?(@.type == 'game')]", [2, 3]),
+        ("$[?(@.type == 'game' || @.type == 'film')]", [1, 2, 3]),
+        ("$[?(@.type == 'game' && @.year > 2000)]", [2]),
+        ("$[?(@.year >= 1999)]", [1, 2]),
+        ("$[?(@.type != 'game')]", [1, 4]),
+        ("$[?(@.rating.code == 'PG')]", [1]),
+        ("$[?(@.rating)]", [1]),
+        ("$[?((@.type == 'book' || @.type == 'film') && @.id < 2)]", [1]),
+        ("$.rating.code", [1]),
+        ("$.nosuchfield", []),
+        ("$[?(@.nosuchfield == 'x')]", []),
+    ],
+)
+def test_json_path_predicates(spark, tmp_path, expr, want):
+    """Reference predicate filters (docs/options.md:343-384) translated to
+    native Catalyst predicates."""
+    from flatterer_spark.sources.json_input import read_json_source
+
+    p = tmp_path / "preds.jsonl"
+    with open(p, "w") as f:
+        for d in _JP_DOCS:
+            f.write(json.dumps(d) + "\n")
+    df, _ = read_json_source(spark, str(p), ndjson=True, json_path=expr)
+    assert sorted(r.id for r in df.collect()) == want
+
+
+def test_json_path_predicate_is_native(spark, tmp_path):
+    """The supported subset must not pay the to_json serialize-and-probe
+    round-trip: no to_json/get_json_object in the optimized plan."""
+    from flatterer_spark.sources.json_input import read_json_source
+
+    p = tmp_path / "nat.jsonl"
+    with open(p, "w") as f:
+        for d in _JP_DOCS:
+            f.write(json.dumps(d) + "\n")
+    df, _ = read_json_source(
+        spark, str(p), ndjson=True, json_path="$[?(@.type == 'game')]"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "to_json" not in plan and "get_json_object" not in plan
+    # unsupported form (wildcard) falls back to serialize-and-probe
+    df2, _ = read_json_source(
+        spark, str(p), ndjson=True, json_path="$.rating[*].code"
+    )
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "get_json_object" in plan2
+
+
 def test_table_prefix_and_separator(spark, tmp_path):
     from flatterer_spark.flatten import flatten
 
