@@ -11,8 +11,10 @@ Unsupported-by-design (documented divergences):
  - ``threads`` is accepted and ignored -- parallelism is Spark's job
    (partitions replace the reference's worker threads, F15);
  - ``low_memory`` / ``low_disk`` are no-ops (Spark spills, §4);
- - Postgres direct load needs a JDBC driver jar on the cluster; we always
-   emit the SQL scripts so `\\copy` loading works without one.
+ - Postgres direct load (``postgres=``, K5/C5 incl. drop/truncate/evolve)
+   executes when psycopg is importable (driver-side COPY) -- see
+   sinks/postgres.py for the JDBC cluster path; the SQL scripts are always
+   emittable so `\\copy` loading works without any driver.
 """
 
 from __future__ import annotations
@@ -35,6 +37,8 @@ def flatten(
     parquet: bool = False,
     sqlite: bool = False,
     sqlite_path: str | None = None,
+    postgres: str | None = None,
+    postgres_schema: str | None = None,
     xlsx: bool = False,
     dataframe: bool = False,
     sql_scripts: bool = False,
@@ -70,15 +74,23 @@ def flatten(
     low_memory: bool = False,
     low_disk: bool = False,
 ) -> dict:
-    _ = (threads, low_memory, low_disk, drop)
+    _ = (threads, low_memory, low_disk)
     if evolve and not id_prefix:
         # docs/options.md:437: random prefix per load so ids stay unique
         import uuid
 
         id_prefix = uuid.uuid4().hex[:8] + "."
     sqlite_mode = "evolve" if evolve else ("truncate" if truncate else "drop")
-    if output_dir is None and not (dataframe or sqlite_path):
-        raise ValueError("output_dir required unless dataframe or sqlite_path set")
+    pg_mode = (
+        "evolve" if evolve else
+        "truncate" if truncate else
+        "drop" if drop else
+        "create"
+    )
+    if output_dir is None and not (dataframe or sqlite_path or postgres):
+        raise ValueError(
+            "output_dir required unless dataframe, sqlite_path or postgres set"
+        )
 
     own_spark = spark is None
     if own_spark:
@@ -167,6 +179,19 @@ def flatten(
                 preview=preview, mode=sqlite_mode,
             )
             out["sqlite"] = sqlite_file
+        if postgres:
+            from flatterer_spark.sinks.postgres import write_postgres
+
+            write_postgres(
+                postgres,
+                result.tables,
+                result.fields,
+                result.table_rows,
+                mode=pg_mode,
+                postgres_schema=postgres_schema,
+                preview=preview,
+            )
+            out["postgres"] = True
         if xlsx:
             x = writers.write_xlsx(
                 os.path.join(output_dir, "output.xlsx"),
