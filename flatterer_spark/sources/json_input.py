@@ -10,7 +10,9 @@ Covers the reference's source operators (SURVEY.md §2.1):
    `/root/reference/src/lib.rs:287-312`; a driver-side spool is the Spark
    equivalent -- executors then read it in parallel)
  - S7 multi-file input           -> list of paths to one reader
- - S8 gzip                       -> Spark decompresses ``.gz`` natively
+ - S8 stdin ``-`` / http(s) URLs -> staged to temp files driver-side;
+   ``s3://`` -> ``s3a://`` native connector; gzip -> Spark decompresses
+   ``.gz`` natively
  - S9 ``json_path`` row filter   -> native Catalyst predicate (plain paths +
    ==/!=/</> with && and ||, see jsonpath_filter.py); get_json_object
    serialize-and-probe fallback for the rest
@@ -84,6 +86,11 @@ def read_json_source(
         tmp = _spool_iterator(source)
         source, ndjson = tmp, True
     paths = [source] if isinstance(source, str) else list(source)
+    # S8: '-' (stdin) and http(s):// are staged to local temp files driver-side
+    # (same position as the reference: both are single-stream reads that need
+    # a seekable copy, docs/inputs.md:13-26); s3:// maps to Spark's native
+    # s3a:// connector so executors read object-store bytes in parallel.
+    paths = [_stage_input(p) for p in paths]
 
     if json_stream:
         # S4 concatenated JSON stream: no native Spark reader; a driver-side
@@ -120,6 +127,38 @@ def read_json_source(
 
     key_order = sample_key_order(paths, ndjson=ndjson, path=path)
     return df, key_order
+
+
+def _stage_input(p: str) -> str:
+    """Resolve one input path: stdin / HTTP staged to temp files, s3 mapped
+    to the s3a connector, local paths passed through."""
+    if p == "-":
+        import sys
+
+        fd, out = tempfile.mkstemp(suffix=".json", prefix="flatterer_stdin_")
+        with os.fdopen(fd, "wb") as f:
+            while True:
+                chunk = sys.stdin.buffer.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        return _track_spool(out)
+    if p.startswith(("http://", "https://")):
+        import urllib.request
+
+        # keep the URL's suffix so .gz detection and NDJSON sniffing hold
+        suffix = ".json.gz" if p.split("?", 1)[0].endswith(".gz") else ".json"
+        fd, out = tempfile.mkstemp(suffix=suffix, prefix="flatterer_http_")
+        with urllib.request.urlopen(p) as resp, os.fdopen(fd, "wb") as f:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        return _track_spool(out)
+    if p.startswith("s3://"):
+        return "s3a://" + p[len("s3://"):]
+    return p
 
 
 def _spool_iterator(it: Iterable) -> str:

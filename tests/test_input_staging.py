@@ -1,0 +1,90 @@
+"""S8 input modalities: stdin ('-'), HTTP(S) staging, s3->s3a mapping
+(docs/inputs.md:7-40)."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import os
+import socketserver
+import subprocess
+import sys
+import threading
+
+FIX = "/root/reference/fixtures"
+
+
+def test_stdin_input_stages(tmp_path):
+    """'-' reads the whole of stdin; run in a subprocess so the parent's
+    stdin isn't consumed.  The child flattens reference basic.json piped in
+    and prints the resulting table names + main row count."""
+    script = tmp_path / "child.py"
+    script.write_text(
+        """
+import json, sys
+sys.path.insert(0, "/root/repo")
+from flatterer_spark.session import get_spark
+from flatterer_spark.flatten_api import flatten_dataframes
+
+spark = get_spark("stdin-test", cpus=2)
+res = flatten_dataframes(spark, "-")
+print(json.dumps({
+    "tables": sorted(res.tables),
+    "main_rows": res.tables["main"].count(),
+}))
+"""
+    )
+    with open(f"{FIX}/basic.json", "rb") as f:
+        out = subprocess.run(
+            [sys.executable, str(script)],
+            stdin=f,
+            capture_output=True,
+            timeout=240,
+        )
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+    got = json.loads(out.stdout.decode().strip().splitlines()[-1])
+    assert got == {"tables": ["developer", "main", "platforms"], "main_rows": 2}
+
+
+def test_http_input_staged(spark, tmp_path):
+    """https:// input downloads to a temp file and flattens like a local
+    path (served here by a loopback http.server)."""
+    from flatterer_spark.flatten_api import flatten_dataframes
+    from flatterer_spark.sources import json_input
+
+    docdir = tmp_path / "www"
+    docdir.mkdir()
+    with open(f"{FIX}/basic.json") as f:
+        (docdir / "basic.json").write_text(f.read())
+
+    class Quiet(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(docdir), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Quiet) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            before = set(json_input._SPOOL_FILES)
+            res = flatten_dataframes(
+                spark, f"http://127.0.0.1:{port}/basic.json"
+            )
+            assert sorted(res.tables) == ["developer", "main", "platforms"]
+            assert res.tables["main"].count() == 2
+            staged = [p for p in json_input._SPOOL_FILES if p not in before]
+            assert len(staged) == 1 and os.path.exists(staged[0])
+            json_input.cleanup_spools(staged)
+            assert not os.path.exists(staged[0])
+        finally:
+            httpd.shutdown()
+
+
+def test_s3_maps_to_s3a():
+    from flatterer_spark.sources.json_input import _stage_input
+
+    assert _stage_input("s3://bucket/key.json") == "s3a://bucket/key.json"
+    assert _stage_input("/local/path.json") == "/local/path.json"
