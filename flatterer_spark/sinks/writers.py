@@ -122,6 +122,7 @@ def write_datapackage(
     stats: dict | None = None,
 ) -> None:
     resources = []
+    present = {t["table_name"] for t in table_rows}
     for t in table_rows:
         tf = [f for f in fields if f["table_name"] == t["table_name"]]
         resources.append(
@@ -150,7 +151,11 @@ def write_datapackage(
                             },
                         }
                         for f in tf
+                        # FK targets must exist in the package: an excluded
+                        # intermediate table (only_tables) keeps its _link_*
+                        # column but must not emit a dangling FK
                         if f["field_name"].startswith("_link_")
+                        and f["field_name"][len("_link_"):] in present
                     ],
                 },
                 "path": f"csv/{t['table_name']}.csv",

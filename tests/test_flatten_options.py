@@ -314,6 +314,43 @@ def test_tables_csv_title_plumbed(spark, tmp_path):
     assert {r["table_name"]: r["table_title"] for r in rows}["main"] == "Games"
 
 
+def test_only_tables_excluding_intermediate(spark, tmp_path):
+    """Excluding a middle table of a chain must not error; the grandchild
+    keeps its full FK chain and the datapackage emits no dangling FK
+    (docs/changelog.md:21, 0.19.18)."""
+    doc = [
+        {"id": 1, "platforms": [
+            {"name": "PC", "requirements": [{"os": "win"}, {"os": "mac"}]}
+        ]},
+        {"id": 2, "platforms": [
+            {"name": "X", "requirements": [{"os": "bsd"}]}
+        ]},
+    ]
+    tc = tmp_path / "tables.csv"
+    with open(tc, "w") as f:
+        f.write("table_name,table_title\nmain,main\nplatforms_requirements,reqs\n")
+    out = str(tmp_path / "mid")
+    res = flatten_mod = None
+    from flatterer_spark.flatten import flatten
+
+    res = flatten(
+        _write(tmp_path, "mid.json", doc), out, spark=spark,
+        tables_csv=str(tc), only_tables=True,
+    )
+    assert sorted(res["tables"]["table_name"]) == ["main", "platforms_requirements"]
+    rows = _read_csv(f"{out}/csv/platforms_requirements.csv")
+    assert list(rows[0].keys()) == ["_link", "_link_platforms", "_link_main", "os"]
+    assert [r["_link_main"] for r in rows] == ["0", "0", "1"]
+    with open(f"{out}/datapackage.json") as f:
+        dp = json.load(f)
+    gc = next(r for r in dp["resources"] if r["name"] == "platforms_requirements")
+    # _link_platforms FK dropped (target resource excluded); _link_main kept
+    assert gc["schema"]["foreignKeys"] == [
+        {"fields": "_link_main", "reference": {"resource": "main", "fields": "_link"}}
+    ]
+    _ = flatten_mod
+
+
 def test_failure_removes_partial_output(spark, tmp_path, monkeypatch):
     """C2 error hygiene: any failure deletes the partial output dir
     (docs/changelog.md:318-319)."""
