@@ -169,8 +169,25 @@ def sql_dedup_exact(g: Gen) -> str:
     """
 
 
+def sql_shingle_cte(g: Gen, k: int = 3) -> str:
+    """Standalone (doc_id, s) shingle-set query.  Spark inlines WITH-CTEs, so
+    a CTE referenced three times is computed three times; the Spark paths
+    materialize this once (persisted temp view) and splice its name into the
+    builders via ``sh_table`` -- the expression tree per value is unchanged,
+    so oracle parity holds."""
+    toks = g.tokens("text")
+    return (
+        f"SELECT doc_id, {g.shingles('toks', k)} AS s FROM "
+        f"(SELECT doc_id, {toks} AS toks FROM documents) t"
+    )
+
+
 def sql_dedup_ngram_jaccard(
-    g: Gen, k: int = 3, threshold: float = 0.3, prefix_filter: bool = True
+    g: Gen,
+    k: int = 3,
+    threshold: float = 0.3,
+    prefix_filter: bool = True,
+    sh_table: str | None = None,
 ) -> str:
     """Exact Jaccard >= threshold pairs over k-gram shingles.
 
@@ -188,13 +205,13 @@ def sql_dedup_ngram_jaccard(
     recomputes the exact intersection from the full shingle sets, so the
     result is identical to ``prefix_filter=False`` (tested).
     """
-    toks = g.tokens("text")
     jac = "CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)"
+    sh = sh_table or "sh"
+    sh_cte = "" if sh_table else f"sh AS ({sql_shingle_cte(g, k)}),"
     if not prefix_filter:
         return f"""
-        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-        sh AS (SELECT doc_id, {g.shingles('toks', k)} AS s FROM t),
-        e AS (SELECT doc_id, CAST({g.size('s')} AS BIGINT) AS n, {_explode(g, 's', 'gram')} FROM sh),
+        WITH {sh_cte}
+        e AS (SELECT doc_id, CAST({g.size('s')} AS BIGINT) AS n, {_explode(g, 's', 'gram')} FROM {sh}),
         pairs AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
                    CAST(COUNT(*) AS BIGINT) AS inter,
@@ -209,9 +226,8 @@ def sql_dedup_ngram_jaccard(
         """
     inter = g.size(_intersect(g, "sa.s", "sb.s"))
     return f"""
-    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-    sh AS (SELECT doc_id, {g.shingles('toks', k)} AS s FROM t),
-    e AS (SELECT doc_id, CAST({g.size('s')} AS BIGINT) AS n, {_explode(g, 's', 'gram')} FROM sh),
+    WITH {sh_cte}
+    e AS (SELECT doc_id, CAST({g.size('s')} AS BIGINT) AS n, {_explode(g, 's', 'gram')} FROM {sh}),
     gdf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY gram),
     rk AS (
         SELECT e.doc_id, e.gram, e.n,
@@ -233,8 +249,8 @@ def sql_dedup_ngram_jaccard(
                CAST({g.size('sa.s')} AS BIGINT) AS n1,
                CAST({g.size('sb.s')} AS BIGINT) AS n2
         FROM cand
-        JOIN sh sa ON sa.doc_id = cand.id1
-        JOIN sh sb ON sb.doc_id = cand.id2
+        JOIN {sh} sa ON sa.doc_id = cand.id1
+        JOIN {sh} sb ON sb.doc_id = cand.id2
     )
     SELECT id1, id2, {g.round2(jac)} AS jaccard
     FROM ver
@@ -247,14 +263,15 @@ N_MINHASH = 16
 N_BANDS = 8  # 2 rows per band
 
 
-def sql_dedup_minhash_lsh(g: Gen, k: int = 3, threshold: float = 0.5) -> str:
+def sql_dedup_minhash_lsh(
+    g: Gen, k: int = 3, threshold: float = 0.5, sh_table: str | None = None
+) -> str:
     """MinHash signatures -> banded LSH candidate join -> exact-Jaccard verify.
 
     The md5-based minhash is engine-portable, so Spark and DuckDB produce the
     identical candidate set; the final verified-pair list is therefore
     hash-comparable even though LSH itself is probabilistic.
     """
-    toks = g.tokens("text")
     mh_parts = []
     for i in range(N_MINHASH):
         body = "md5('" + str(i) + ":' || x)"
@@ -270,10 +287,11 @@ def sql_dedup_minhash_lsh(g: Gen, k: int = 3, threshold: float = 0.5) -> str:
     band_arr = "array({})" if g.spark else "[{}]"
     band_arr = band_arr.format(", ".join(f"band{j}" for j in range(N_BANDS)))
     inter = g.size(_intersect(g, "sa.s", "sb.s"))
+    sh = sh_table or "sh"
+    sh_cte = "" if sh_table else f"sh AS ({sql_shingle_cte(g, k)}),"
     return f"""
-    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-    sh AS (SELECT doc_id, {g.shingles('toks', k)} AS s FROM t),
-    sig AS (SELECT doc_id, {mh} FROM sh),
+    WITH {sh_cte}
+    sig AS (SELECT doc_id, {mh} FROM {sh}),
     bands AS (SELECT doc_id, {bands} FROM sig),
     bl AS (SELECT doc_id, {_explode(g, band_arr, 'band')} FROM bands),
     cand AS (
@@ -286,8 +304,8 @@ def sql_dedup_minhash_lsh(g: Gen, k: int = 3, threshold: float = 0.5) -> str:
                CAST({g.size('sa.s')} AS BIGINT) AS n1,
                CAST({g.size('sb.s')} AS BIGINT) AS n2
         FROM cand
-        JOIN sh sa ON sa.doc_id = cand.id1
-        JOIN sh sb ON sb.doc_id = cand.id2
+        JOIN {sh} sa ON sa.doc_id = cand.id1
+        JOIN {sh} sb ON sb.doc_id = cand.id2
     )
     SELECT id1, id2,
            {g.round2('CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)')} AS jaccard
@@ -561,15 +579,50 @@ def _make_query(builder, tables):
     return run
 
 
+_SH_VIEW = "sh_materialized"
+_sh_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingle_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the shared shingle set once per (session, sf_dir) as a
+    persisted temp view.  Spark inlines WITH-CTEs, so minhash/ngram would
+    otherwise recompute tokenize+shingle 3x each (and once more per query
+    sharing it); persisting turns that into one scan + one in-memory read.
+    At cluster scale this is the standard pattern: stage the shingle table
+    once, run every dedup pass against it."""
+    from flatterer_spark.queries import T
+
+    key = (id(spark), sf_dir)
+    if key not in _sh_cache:
+        T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        df = spark.sql(sql_shingle_cte(Gen(spark=True))).persist()
+        df.createOrReplaceTempView(_SH_VIEW)
+        _sh_cache[key] = df
+    return _SH_VIEW
+
+
+def _make_sh_query(builder):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flatterer_spark.queries import T
+
+        view = _shingle_view(spark, sf_dir)
+        T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        return spark.sql(builder(Gen(spark=True), sh_table=view))
+
+    return run
+
+
 def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Scale-path Spark plans (operators/dedup.py) that produce byte-identical
-    results to the declarative builders; the oracle SQL stays the spec."""
+    """Scale-path Spark plans that produce byte-identical results to the
+    declarative builders; the oracle SQL stays the spec."""
     from flatterer_spark.operators import dedup as D
 
     return {
         "dedup_simhash": D.simhash_query,
         "dedup_simhash_pairs": D.simhash_pairs_query,
         "dedup_embedding": D.embedding_near_dup_pairs,
+        "dedup_ngram_jaccard": _make_sh_query(sql_dedup_ngram_jaccard),
+        "dedup_minhash_lsh": _make_sh_query(sql_dedup_minhash_lsh),
     }
 
 
