@@ -198,6 +198,7 @@ def flatten(
                 result.tables,
                 preview=preview,
                 sheet_titles=result.table_titles,
+                field_titles=result.field_titles,
             )
             if x:
                 out["xlsx"] = x

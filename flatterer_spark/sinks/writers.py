@@ -268,21 +268,26 @@ def write_xlsx(
     tables: dict[str, DataFrame],
     preview: int = 0,
     sheet_titles: dict | None = None,
+    field_titles: dict | None = None,
 ) -> str | None:
-    """Single output.xlsx, one sheet per table (K2).  Sheet names come from
-    ``sheet_titles`` (tables_csv table_title renames sheets,
-    docs/options.md:564-586), truncated to Excel's 31-char limit with invalid
-    chars stripped (docs/outputs.md:36-38).  Gated on openpyxl availability."""
-    try:
-        import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError:
-        return None
-    with pd.ExcelWriter(xlsx_path, engine="openpyxl") as xw:
-        for name, df in tables.items():
-            title = (sheet_titles or {}).get(name, name)
-            sheet = "".join(ch for ch in title if ch not in "[]:*?/\\")[:31]
-            pdf_df = df.limit(preview) if preview else df
-            pdf = formatted_strings(pdf_df).toPandas()
-            pdf.to_excel(xw, sheet_name=sheet, index=False)
-    return xlsx_path
+    """Single output.xlsx, one sheet per table (K2) via the vendored stdlib
+    writer (sinks/xlsx_writer.py -- no openpyxl needed).  Sheet names come
+    from ``sheet_titles`` (tables_csv table_title renames sheets,
+    docs/options.md:564-586); the writer applies the reference's fidelity
+    rules (31-char truncation, bad-char strip, 32767-char cells, nan/inf
+    dropped, hard row/col limits)."""
+    from flatterer_spark.sinks.xlsx_writer import write_xlsx_tables
+
+    sheets = []
+    for name, df in tables.items():
+        title = (sheet_titles or {}).get(name, name)
+        col_titles = [
+            (field_titles or {}).get(name, {}).get(c, c) for c in df.columns
+        ]
+        numeric = [
+            isinstance(f.dataType, NumericType) for f in df.schema.fields
+        ]
+        pdf_df = df.limit(preview) if preview else df
+        rows = [tuple(r) for r in formatted_strings(pdf_df).collect()]
+        sheets.append((title, col_titles, numeric, rows))
+    return write_xlsx_tables(xlsx_path, sheets)
