@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--truncate", action="store_true")
     p.add_argument("--threads", type=int, default=0, help="accepted; Spark owns parallelism")
     p.add_argument("--ordinals", choices=["strict", "partition"], default="strict")
+    p.add_argument("--postgres", help="connection string, or env / env=VAR")
+    p.add_argument("--postgres-schema", dest="postgres_schema")
     return p
 
 
@@ -60,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     source = inputs[0] if len(inputs) == 1 else inputs
 
     from flatterer_spark.flatten import flatten
+    from flatterer_spark.logutil import setup_logging
+
+    setup_logging("info")  # CLI default info, like the reference console script
 
     kw = {
         k: getattr(args, k)
@@ -68,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
             "table_prefix inline_one_to_one arrays_new_table no_link id_prefix "
             "fields_csv only_fields tables_csv only_tables schema schema_titles "
             "preview parquet sqlite sqlite_path xlsx sql_scripts stats force "
-            "evolve drop truncate threads ordinals"
+            "evolve drop truncate threads ordinals postgres postgres_schema"
         ).split()
     }
     kw["path"] = tuple(args.path)

@@ -74,6 +74,9 @@ def flatten(
     low_memory: bool = False,
     low_disk: bool = False,
 ) -> dict:
+    from flatterer_spark.logutil import setup_logging
+
+    log = setup_logging("warning")  # C4: FLATTERER_LOG overrides
     _ = (threads, low_memory, low_disk)
     if evolve and not id_prefix:
         # docs/options.md:437: random prefix per load so ids stay unique
@@ -116,6 +119,7 @@ def flatten(
     from flatterer_spark.sources import json_input
 
     spool_before = set(json_input._SPOOL_FILES)
+    log.info("flatten: source=%s output_dir=%s", source, output_dir)
     try:
         result = flatten_dataframes(
             spark,

@@ -88,7 +88,8 @@ def _accessor(root: Column | None, path: tuple[str, ...]) -> Column:
     c = root
     for p in path:
         if p == "__first__":
-            c = F.element_at(c, 1)
+            # empty arrays yield NULL (ANSI element_at throws on index 1)
+            c = F.try_element_at(c, F.lit(1))
         elif c is None:
             c = F.col(f"`{p}`")
         else:
@@ -181,8 +182,26 @@ def flatten_dataframes(
     return result
 
 
+def _max_size_expr(st: StructType, path: tuple[str, ...], acc: str, vi: int) -> str:
+    """SQL expression for one row's max element count of the array at
+    ``path``: struct hops become field accessors, array-of-struct hops become
+    ``array_max(transform(...))`` -- all JVM-side HOFs, so every path (any
+    depth) is measured in ONE aggregate pass with no explode/join."""
+    name = path[0]
+    a = f"{acc}`{name}`"
+    dt = st[name].dataType
+    if len(path) == 1:
+        return f"coalesce(size({a}), -1)"
+    if isinstance(dt, StructType):
+        return _max_size_expr(dt, path[1:], a + ".", vi)
+    v = f"_x{vi}"
+    inner = _max_size_expr(dt.elementType, path[1:], v + ".", vi + 1)
+    return f"coalesce(array_max(transform({a}, {v} -> {inner})), -1)"
+
+
 def _max_array_sizes(df: DataFrame) -> dict[tuple[str, ...], int]:
-    """One cheap agg pass: max element count for every array-of-struct path."""
+    """One agg pass: max element count for every array-of-struct path at any
+    nesting depth (F6 is a *global* data property, docs/options.md:624)."""
     paths: list[tuple[str, ...]] = []
 
     def walk(st: StructType, at: tuple[str, ...]):
@@ -198,15 +217,13 @@ def _max_array_sizes(df: DataFrame) -> dict[tuple[str, ...], int]:
     walk(df.schema, ())
     if not paths:
         return {}
-    # nested paths measured on the exploded parent would need joins; measure
-    # top-level paths only (the common case); deeper arrays stay child tables
-    tops = [p for p in paths if len(p) == 1]
-    if not tops:
-        return {}
     row = df.agg(
-        *[F.max(F.size(F.col(p[0]))).alias("_".join(p)) for p in tops]
+        *[
+            F.max(F.expr(_max_size_expr(df.schema, p, "", 0))).alias(f"_m{i}")
+            for i, p in enumerate(paths)
+        ]
     ).collect()[0]
-    return {p: (row["_".join(p)] or 0) for p in tops}
+    return {p: (row[f"_m{i}"] or 0) for i, p in enumerate(paths)}
 
 
 def _execute_table(

@@ -314,6 +314,34 @@ def test_tables_csv_title_plumbed(spark, tmp_path):
     assert {r["table_name"]: r["table_title"] for r in rows}["main"] == "Games"
 
 
+def test_inline_one_to_one_nested_array(spark, tmp_path):
+    """F6 at depth: a nested array that never exceeds one element anywhere is
+    inlined into its parent (child) table; the parent array with >1 elements
+    stays a child table."""
+    doc = [
+        {"id": 1, "platforms": [
+            {"name": "PC", "req": [{"os": "win"}]},
+            {"name": "X", "req": []},
+        ]},
+        {"id": 2, "platforms": [{"name": "PS", "req": [{"os": "bsd"}]}]},
+    ]
+    out = str(tmp_path / "nest")
+    res = flatten_or = None
+    from flatterer_spark.flatten import flatten
+
+    res = flatten(
+        _write(tmp_path, "nest.json", doc), out, spark=spark,
+        inline_one_to_one=True,
+    )
+    assert sorted(res["tables"]["table_name"]) == ["main", "platforms"]
+    rows = _read_csv(f"{out}/csv/platforms.csv")
+    assert list(rows[0].keys()) == ["_link", "_link_main", "name", "req_os"]
+    assert [(r["name"], r["req_os"]) for r in rows] == [
+        ("PC", "win"), ("X", ""), ("PS", "bsd"),
+    ]
+    _ = flatten_or
+
+
 def test_only_tables_excluding_intermediate(spark, tmp_path):
     """Excluding a middle table of a chain must not error; the grandchild
     keeps its full FK chain and the datapackage emits no dangling FK
@@ -367,6 +395,20 @@ def test_failure_removes_partial_output(spark, tmp_path, monkeypatch):
         flatten(f"{FIX}/basic.json", out, spark=spark)
     assert not os.path.exists(out)
     _ = flatten_mod
+
+
+def test_flatterer_log_env_hook(monkeypatch):
+    """C4: FLATTERER_LOG env overrides the default level (reference
+    docs/development.md:46-48; 'trace' maps to DEBUG)."""
+    import logging
+
+    from flatterer_spark.logutil import setup_logging
+
+    monkeypatch.setenv("FLATTERER_LOG", "trace")
+    assert setup_logging("warning").level == logging.DEBUG
+    monkeypatch.delenv("FLATTERER_LOG")
+    assert setup_logging("warning").level == logging.WARNING
+    assert setup_logging("info").level == logging.INFO
 
 
 def test_iterator_spool_files_cleaned(spark, tmp_path):
