@@ -236,12 +236,22 @@ def sql_dedup_ngram_jaccard(
         FROM e JOIN gdf ON e.gram = gdf.gram
     ),
     pref AS (
-        SELECT doc_id, gram FROM rk
+        SELECT doc_id, gram, n, rnk FROM rk
         WHERE rnk <= n - CEIL({g.d(threshold)} * n) + 1
     ),
     cand AS (
+        -- SSJoin pruning, both provably safe at threshold t:
+        --  * length filter: J >= t forces t*n2 <= n1 (and vice versa);
+        --  * positional filter: a pair first matching at prefix positions
+        --    (i, j) has at most 1 + min(n1-i, n2-j) overlap, which must
+        --    reach ceil(t/(1+t)*(n1+n2)).
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        FROM pref a JOIN pref b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+         AND a.n >= CEIL({g.d(threshold)} * b.n)
+         AND b.n >= CEIL({g.d(threshold)} * a.n)
+         AND 1 + LEAST(a.n - a.rnk, b.n - b.rnk)
+             >= CEIL({g.d(threshold)} / (1 + {g.d(threshold)}) * (a.n + b.n))
     ),
     ver AS (
         SELECT cand.id1, cand.id2,
