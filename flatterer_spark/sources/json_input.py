@@ -94,10 +94,17 @@ def read_json_source(
 
     if json_stream:
         # S4 concatenated JSON stream: no native Spark reader; a driver-side
-        # JSON-aware chunker respools to NDJSON.  This serializes the parse --
-        # the same position the reference is in for non-NDJSON inputs
-        # (docs/options.md:800-801: "the parser is the serial bottleneck").
-        paths = [_respool_stream(p) for p in paths]
+        # JSON-aware chunker respools each file to NDJSON in bounded memory.
+        # One file is inherently serial -- the same position the reference is
+        # in for non-NDJSON inputs (docs/options.md:800-801: "the parser is
+        # the serial bottleneck") -- but multiple files respool concurrently.
+        if len(paths) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+                paths = list(ex.map(_respool_stream, paths))
+        else:
+            paths = [_respool_stream(p) for p in paths]
         ndjson = True
 
     if ndjson:
@@ -197,17 +204,64 @@ def iter_json_stream(text: str):
         i = end
 
 
+def iter_json_stream_file(f, chunk_size: int = 1 << 20):
+    """Bounded-memory version of :func:`iter_json_stream` over a text file:
+    values are decoded out of a sliding buffer that holds at most one
+    in-flight JSON value plus one read chunk, so a multi-GB concatenated
+    stream never materializes in memory (the reference's yajlish parser has
+    the same one-value footprint)."""
+    dec = json.JSONDecoder()
+    buf = ""
+    pos = 0
+    eof = False
+    while True:
+        while pos < len(buf) and buf[pos] in " \t\r\n":
+            pos += 1
+        if pos:
+            buf = buf[pos:]
+            pos = 0
+        if buf:
+            try:
+                obj, end = dec.raw_decode(buf, 0)
+            except ValueError:
+                if eof:
+                    raise
+            else:
+                # a value consuming the whole buffer may continue in the
+                # next chunk ('3' of '3.5', 'tru'+'e'); likewise a number
+                # followed by '.', 'e' or 'E' is a partially-read float
+                # ('3.' of '3.5' decodes as 3 with '.' left over).  Accept
+                # only when provably terminated or the stream is exhausted.
+                num_cont = (
+                    isinstance(obj, (int, float))
+                    and not isinstance(obj, bool)
+                    and end < len(buf)
+                    and buf[end] in ".eE"
+                )
+                if (end < len(buf) and not num_cont) or eof:
+                    yield obj
+                    pos = end
+                    continue
+        if eof:
+            break
+        chunk = f.read(chunk_size)
+        if chunk:
+            buf += chunk
+        else:
+            eof = True
+
+
 def _respool_stream(p: str) -> str:
     import gzip
 
     opener = gzip.open if p.endswith(".gz") else open
-    with opener(p, "rt", encoding="utf-8") as f:
-        text = f.read()
     fd, out = tempfile.mkstemp(suffix=".jsonl", prefix="flatterer_stream_")
-    with os.fdopen(fd, "w", encoding="utf-8") as f:
-        for obj in iter_json_stream(text):
-            f.write(json.dumps(obj))
-            f.write("\n")
+    with opener(p, "rt", encoding="utf-8") as src, os.fdopen(
+        fd, "w", encoding="utf-8"
+    ) as dst:
+        for obj in iter_json_stream_file(src):
+            dst.write(json.dumps(obj))
+            dst.write("\n")
     return _track_spool(out)
 
 

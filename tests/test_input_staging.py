@@ -83,6 +83,25 @@ def test_http_input_staged(spark, tmp_path):
             httpd.shutdown()
 
 
+def test_json_stream_chunker_bounded_memory():
+    """The concatenated-JSON chunker decodes out of a sliding buffer; values
+    split across arbitrary chunk boundaries (incl. numbers and literals)
+    reassemble correctly."""
+    import io
+
+    from flatterer_spark.sources.json_input import iter_json_stream_file
+
+    s = '{"a": 1}{"b": [1,2,{"c":"}{"}]}  true 3.5 "str}{" null\n{"d":2} 1e10'
+    want = [
+        {"a": 1}, {"b": [1, 2, {"c": "}{"}]}, True, 3.5, "str}{", None,
+        {"d": 2}, 1e10,
+    ]
+    for cs in (1, 2, 3, 7, 1 << 20):
+        got = list(iter_json_stream_file(io.StringIO(s), chunk_size=cs))
+        assert got == want, f"chunk_size={cs}"
+    assert list(iter_json_stream_file(io.StringIO("  \n "))) == []
+
+
 def test_s3_maps_to_s3a():
     from flatterer_spark.sources.json_input import _stage_input
 
