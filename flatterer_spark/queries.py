@@ -417,6 +417,44 @@ def q23_pivot(spark, sf_dir):
     ).orderBy("user_id")
 
 
+# Q24 analytic window functions: lag/lead/ntile per user over event time
+
+def q24_window_analytics(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            round_half_up(F.lag("value", 1).over(w)).alias("prev_value"),
+            round_half_up(F.lead("value", 1).over(w)).alias("next_value"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# Q25 unpivot/melt: wide orders metrics -> long (id, metric, val) form
+
+def q25_unpivot(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderkey"],
+            values=["totalprice", "custkey"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .select("o_orderkey", "metric", round_half_up(F.col("val")).alias("val"))
+        .orderBy("o_orderkey", "metric")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -440,6 +478,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_asof_join": q21_asof_join,
     "q22_cube": q22_cube,
     "q23_pivot": q23_pivot,
+    "q24_window_analytics": q24_window_analytics,
+    "q25_unpivot": q25_unpivot,
 }
 
 
@@ -614,5 +654,26 @@ CORE_ORACLE: dict[str, str] = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    "q24_window_analytics": f"""
+        WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                   FROM events)
+        SELECT event_id, user_id,
+               {_sql_round('LAG(value, 1) OVER w')} AS prev_value,
+               {_sql_round('LEAD(value, 1) OVER w')} AS next_value,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    "q25_unpivot": f"""
+        SELECT o_orderkey, 'totalprice' AS metric,
+               {_sql_round('CAST(o_totalprice AS DOUBLE)')} AS val
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey' AS metric,
+               {_sql_round('CAST(o_custkey AS DOUBLE)')} AS val
+        FROM orders
+        ORDER BY o_orderkey, metric
     """,
 }
