@@ -50,9 +50,12 @@ def formatted_strings(df: DataFrame) -> DataFrame:
     for f in df.schema.fields:
         c = F.col(f"`{f.name}`")
         if isinstance(f.dataType, NumericType):
-            # whole doubles render as integers (1.0 -> "1")
+            # whole doubles render as integers (1.0 -> "1"); +-inf must not
+            # take this branch (inf == floor(inf), but the decimal cast
+            # would silently null it -- render "Infinity" via plain cast)
+            d = c.cast("double")
             as_str = F.when(
-                c.cast("double") == F.floor(c.cast("double")),
+                (d == F.floor(d)) & (F.abs(d) != F.lit(float("inf"))),
                 c.cast("decimal(38,0)").cast("string"),
             ).otherwise(c.cast("string"))
             cols.append(F.when(c.isNull(), F.lit(None)).otherwise(as_str).alias(f.name))

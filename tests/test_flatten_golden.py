@@ -195,7 +195,7 @@ def test_gzip_ndjson_big(spark, tmp_path):
 
     out = str(tmp_path / "daily")
     res = flatten(f"{FIX}/daily_16.json.gz", out, spark=spark, ndjson=True)
-    main = res["data"]["main"] if isinstance(res["data"], dict) else None
+    assert "main" in res["data"]
     rows = read_our_csv(f"{out}/csv/main.csv")
     assert len(rows) == 4999
 
