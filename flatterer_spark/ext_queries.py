@@ -57,13 +57,6 @@ _HP2 = np.round(np.random.RandomState(11).normal(0.0, 1.0, (48, 64)), 6)
 EMB_DIM = 64
 
 
-def _dlist(g: Gen, vals) -> str:
-    """Double-array literal."""
-    if g.spark:
-        return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
-    return "CAST([" + ", ".join(repr(float(v)) for v in vals) + "] AS DOUBLE[])"
-
-
 def _explode(g: Gen, arr: str, alias: str) -> str:
     return f"explode({arr}) AS {alias}" if g.spark else f"unnest({arr}) AS {alias}"
 
@@ -405,9 +398,55 @@ def _sql_emb_norm(g: Gen) -> str:
     """
 
 
+def sql_emb_norm_query(g: Gen) -> str:
+    """Standalone (vec_id, e, nrm) query -- the materializable form of
+    :func:`_sql_emb_norm` (same expressions, so substituting a persisted
+    view of this for the CTE cannot change any value)."""
+    elems = g.transform(
+        g.seq("1", str(EMB_DIM)), "i", f"CAST({g.at('embedding', 'i')} AS DOUBLE)"
+    )
+    sq = g.fold_sum(g.transform("e", "x", "x * x"))
+    return (
+        f"SELECT vec_id, e, sqrt({sq}) AS nrm FROM "
+        f"(SELECT vec_id, {elems} AS e FROM embeddings) ev"
+    )
+
+
+def _en_parts(g: Gen, en_table: str | None) -> tuple[str, str]:
+    """(with-clause prefix, table name) for the normalized-embedding source."""
+    if en_table:
+        return "", en_table
+    return f"{_sql_emb_norm(g)},", "en"
+
+
 def _sql_dot(g: Gen, a: str, b: str) -> str:
+    """Fold-based 64-term dot product.
+
+    Measured note: unrolling this to plain ``e1[1]*e2[1] + ...`` arithmetic
+    (tempting for whole-stage codegen) is ~60% SLOWER on the 1.6M-pair
+    verify join at sf0.1, and unrolling the 48-dot bucket expressions is 5x
+    slower (expression trees past JIT method limits force interpretation).
+    The single higher-order fold per dot is the fastest Catalyst shape for
+    this; keep it."""
     prods = g.transform(
         g.seq("1", str(EMB_DIM)), "i", f"{g.at(a, 'i')} * {g.at(b, 'i')}"
+    )
+    return g.fold_sum(prods)
+
+
+def _sql_dot_const(g: Gen, a: str, coeffs) -> str:
+    """Dot of a vector column with a constant hyperplane, as a fold over an
+    array literal.  NOT unrolled: bucket expressions evaluate 48 of these per
+    row, and 48 x 64 unrolled terms form an expression tree past the JVM's
+    JIT method limits -- codegen falls back to interpretation and the whole
+    projection slows ~5x (measured).  The fold keeps each dot one compact
+    higher-order call; per-row cost is fine because banding runs once per
+    vector, not per pair."""
+    lit = "array(" + ", ".join(f"{float(c)!r}D" for c in coeffs) + ")"
+    if not g.spark:
+        lit = "CAST([" + ", ".join(repr(float(c)) for c in coeffs) + "] AS DOUBLE[])"
+    prods = g.transform(
+        g.seq("1", str(len(coeffs))), "i", f"{g.at(a, 'i')} * {g.at(f'({lit})', 'i')}"
     )
     return g.fold_sum(prods)
 
@@ -423,14 +462,17 @@ def sql_dedup_embedding(g: Gen, threshold: float = 0.5) -> str:
     """
 
 
-def sql_sim_topk(g: Gen, n_queries: int = 10, k: int = 5) -> str:
+def sql_sim_topk(
+    g: Gen, n_queries: int = 10, k: int = 5, en_table: str | None = None
+) -> str:
     """Brute-force cosine top-k for a fixed query set (ANN baseline)."""
     cos = f"{_sql_dot(g, 'q.e', 'c.e')} / (q.nrm * c.nrm)"
+    en_cte, en = _en_parts(g, en_table)
     return f"""
-    WITH {_sql_emb_norm(g)},
+    WITH {en_cte}
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
-        FROM en q JOIN en c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+        FROM {en} q JOIN {en} c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
     ),
     ranked AS (
         SELECT query_id, neighbor_id, cos,
@@ -449,26 +491,30 @@ def _sql_bucket_expr(g: Gen, planes) -> str:
     """Sum-of-sign-bits bucket id over column ``e`` for the given hyperplanes."""
     bit_terms = []
     for p in range(planes.shape[0]):
-        hp = "(" + _dlist(g, planes[p]) + ")"
-        dot = _sql_dot(g, "e", hp)
+        dot = _sql_dot_const(g, "e", planes[p])
         bit_terms.append(
             f"(CASE WHEN {dot} >= {g.d(0.0)} THEN {1 << p} ELSE 0 END)"
         )
     return " + ".join(bit_terms)
 
 
-def sql_sim_lsh_buckets(g: Gen) -> str:
+def sql_sim_lsh_buckets(g: Gen, en_table: str | None = None) -> str:
     """Random-hyperplane LSH bucket id per vector (the ANN scale path: bucket
     join replaces the brute-force cross product; sql_sim_topk_lsh consumes it)."""
     bucket = _sql_bucket_expr(g, _HP)
+    sel = f"SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket"
+    if en_table:
+        return f"{sel} FROM {en_table} ORDER BY vec_id"
     return f"""
     WITH {_sql_emb_norm(g)}
-    SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket
+    {sel}
     FROM en ORDER BY vec_id
     """
 
 
-def sql_sim_topk_lsh(g: Gen, n_queries: int = 10, k: int = 5) -> str:
+def sql_sim_topk_lsh(
+    g: Gen, n_queries: int = 10, k: int = 5, en_table: str | None = None
+) -> str:
     """Bucketed ANN top-k: the consumer of the sim_lsh_buckets bucket ids.
 
     Multiprobe scheme: each query probes its own 8-bit hyperplane bucket plus
@@ -487,9 +533,11 @@ def sql_sim_topk_lsh(g: Gen, n_queries: int = 10, k: int = 5) -> str:
     probe_arr = "array({})" if g.spark else "[{}]"
     probe_arr = probe_arr.format(probe_vals)
     cos = f"{_sql_dot(g, 'q.e', 'c.e')} / (q.nrm * c.nrm)"
+    en_cte, en = _en_parts(g, en_table)
+    _ = bucket
     return f"""
-    WITH {_sql_emb_norm(g)},
-    b AS (SELECT vec_id, e, nrm, CAST({_sql_bucket_expr(g, _HP)} AS BIGINT) AS bucket FROM en),
+    WITH {en_cte}
+    b AS (SELECT vec_id, e, nrm, CAST({_sql_bucket_expr(g, _HP)} AS BIGINT) AS bucket FROM {en}),
     probes AS (
         SELECT vec_id AS query_id, {_explode(g, probe_arr, 'pb')}
         FROM b WHERE vec_id < {n_queries}
@@ -518,7 +566,9 @@ N_EMB_BANDS = 8
 EMB_BAND_BITS = 6
 
 
-def sql_dedup_embedding_lsh(g: Gen, threshold: float = 0.5) -> str:
+def sql_dedup_embedding_lsh(
+    g: Gen, threshold: float = 0.5, en_table: str | None = None
+) -> str:
     """Embedding near-dup via banded hyperplane LSH + exact cosine verify.
 
     The approximate scale path for embedding dedup: 48 sign bits split into
@@ -540,17 +590,18 @@ def sql_dedup_embedding_lsh(g: Gen, threshold: float = 0.5) -> str:
     band_arr = "array({})" if g.spark else "[{}]"
     band_arr = band_arr.format(", ".join(band_exprs))
     cos = f"{_sql_dot(g, 'a.e', 'b.e')} / (a.nrm * b.nrm)"
+    en_cte, en = _en_parts(g, en_table)
     return f"""
-    WITH {_sql_emb_norm(g)},
-    bl AS (SELECT vec_id, {_explode(g, band_arr, 'band')} FROM en),
+    WITH {en_cte}
+    bl AS (SELECT vec_id, {_explode(g, band_arr, 'band')} FROM {en}),
     cand AS (
         SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
         FROM bl x JOIN bl y ON x.band = y.band AND x.vec_id < y.vec_id
     )
     SELECT cand.id1, cand.id2, {g.round2(f'({cos})')} AS cosine
     FROM cand
-    JOIN en a ON a.vec_id = cand.id1
-    JOIN en b ON b.vec_id = cand.id2
+    JOIN {en} a ON a.vec_id = cand.id1
+    JOIN {en} b ON b.vec_id = cand.id2
     WHERE {cos} >= {g.d(threshold)}
     ORDER BY id1, id2
     """
@@ -622,6 +673,36 @@ def _make_sh_query(builder):
     return run
 
 
+_EN_VIEW = "en_materialized"
+_en_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _emb_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (vec_id, e, nrm) once per (session, sf_dir) -- the norm
+    fold is otherwise recomputed at every ``en`` reference (Spark inlines
+    CTEs; dedup_embedding_lsh alone references it 3x)."""
+    from flatterer_spark.queries import T
+
+    key = (id(spark), sf_dir)
+    if key not in _en_cache:
+        T(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+        df = spark.sql(sql_emb_norm_query(Gen(spark=True))).persist()
+        df.createOrReplaceTempView(_EN_VIEW)
+        _en_cache[key] = df
+    return _EN_VIEW
+
+
+def _make_en_query(builder):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flatterer_spark.queries import T
+
+        view = _emb_view(spark, sf_dir)
+        T(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+        return spark.sql(builder(Gen(spark=True), en_table=view))
+
+    return run
+
+
 def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Scale-path Spark plans that produce byte-identical results to the
     declarative builders; the oracle SQL stays the spec."""
@@ -633,6 +714,10 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": D.embedding_near_dup_pairs,
         "dedup_ngram_jaccard": _make_sh_query(sql_dedup_ngram_jaccard),
         "dedup_minhash_lsh": _make_sh_query(sql_dedup_minhash_lsh),
+        "dedup_embedding_lsh": _make_en_query(sql_dedup_embedding_lsh),
+        "sim_topk_bruteforce": _make_en_query(sql_sim_topk),
+        "sim_topk_lsh": _make_en_query(sql_sim_topk_lsh),
+        "sim_lsh_buckets": _make_en_query(sql_sim_lsh_buckets),
     }
 
 
