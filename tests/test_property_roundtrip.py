@@ -1,0 +1,116 @@
+"""Property-based flattening invariants (SURVEY.md §5 'added rigor'):
+random nested JSON documents -> flatten -> structural invariants hold and
+children rejoin losslessly to their parents on the _link chain.  The
+reference's own issue history shows edge cases are where flattening breaks
+(docs/changelog.md:318 'Lots of edge cases handled better')."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+# -- document strategy -------------------------------------------------------
+# keys from a small alphabet so documents share/collide fields; values cover
+# scalars, sub-objects, arrays of scalars and arrays of objects, depth <= 3.
+
+_KEYS = st.sampled_from(["a", "b", "c", "d", "e_f", "g1"])
+_SCALARS = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(alphabet="xyz ,:{}[]\"'", max_size=8),
+)
+
+
+def _obj(depth: int):
+    if depth <= 0:
+        return st.dictionaries(_KEYS, _SCALARS, min_size=1, max_size=3)
+    inner = _obj(depth - 1)
+    value = st.one_of(
+        _SCALARS,
+        inner,
+        st.lists(_SCALARS, max_size=3),
+        st.lists(inner, max_size=3),
+    )
+    return st.dictionaries(_KEYS, value, min_size=1, max_size=4)
+
+
+DOCS = st.lists(_obj(2), min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=DOCS)
+def test_flatten_invariants(spark, tmp_path_factory, docs):
+    from flatterer_spark.flatten_api import compute_metadata, flatten_dataframes
+
+    d = tmp_path_factory.mktemp("prop")
+    p = d / "docs.jsonl"
+    with open(p, "w") as f:
+        for doc in docs:
+            f.write(json.dumps(doc) + "\n")
+
+    res = flatten_dataframes(spark, str(p), ndjson=True)
+    tables = {name: df.collect() for name, df in res.tables.items()}
+
+    # 1. main-table cardinality == input cardinality, _link is a dense
+    #    0-based ordinal (strict mode)
+    main = tables[res.options.main_table_name]
+    assert len(main) == len(docs)
+    assert sorted(r["_link"] for r in main) == [str(i) for i in range(len(docs))]
+
+    # 2. every child row's FK chain resolves: _link_<t> exists in table t,
+    #    and _link extends the nearest ancestor's _link
+    links = {
+        name: {r["_link"] for r in rows} for name, rows in tables.items()
+    }
+    for name, df in res.tables.items():
+        plan = res.plans[name]
+        if not plan.ancestors:
+            continue
+        nearest = plan.ancestors[-1][0]
+        for r in tables[name]:
+            for anc_name, _ in plan.ancestors:
+                fk = r[f"_link_{anc_name}"]
+                assert fk in links[anc_name], (name, anc_name, fk)
+            assert r["_link"].startswith(r[f"_link_{nearest}"] + "."), r
+
+    # 3. child multiset reconstructs the parent arrays: per parent row,
+    #    the number of child rows == len(array) in the source document
+    for name, df in res.tables.items():
+        plan = res.plans[name]
+        if len(plan.ancestors) != 1 or plan.is_object:
+            continue  # top-level arrays only (deeper handled transitively)
+        key = plan.path
+        from_parent: dict[str, int] = {}
+        for i, doc in enumerate(docs):
+            v = doc
+            for k in key:
+                v = v.get(k) if isinstance(v, dict) else None
+                if v is None:
+                    break
+            if isinstance(v, list) and all(isinstance(x, dict) for x in v) and v:
+                from_parent[str(i)] = len(v)
+        got: dict[str, int] = {}
+        for r in tables[name]:
+            got[r["_link_main"]] = got.get(r["_link_main"], 0) + 1
+        assert got == from_parent, (name, got, from_parent)
+
+    # 4. metadata counts: every fields.csv count <= table row count, and
+    #    _link count == row count
+    compute_metadata(res)
+    nrows = {name: len(rows) for name, rows in tables.items()}
+    for f in res.fields:
+        assert f["count"] <= nrows[f["table_name"]]
+        if f["field_name"] == "_link":
+            assert f["count"] == nrows[f["table_name"]]
