@@ -100,6 +100,37 @@ def test_windowed_event_stats(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_dedup_stream(spark, tmp_path):
+    """Streaming exact dedup: first arrival of each content hash survives;
+    state bounded by the watermark."""
+    from flatterer_spark.streaming.stream_flatten import (
+        dedup_stream,
+        run_available_now,
+    )
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "hello world", "ts": "2024-01-01 00:00:00"},
+        {"doc_id": 2, "text": "hello world", "ts": "2024-01-01 00:01:00"},
+        {"doc_id": 3, "text": "something else", "ts": "2024-01-01 00:02:00"},
+        {"doc_id": 4, "text": "hello world", "ts": "2024-01-01 00:03:00"},
+    ]
+    with open(d / "a.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts string")
+        .json(str(d))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    got = run_available_now(
+        dedup_stream(stream, ["text"]), "dedup_stream", timeout_sec=120
+    )
+    kept = sorted(r.doc_id for r in got.collect())
+    assert kept == [1, 3]
+
+
 def test_sessionize_stateful(spark, tmp_path):
     """Gap-based sessions, both close paths: user 1's first session closes by
     in-batch gap; user 2's lone session closes by event-time timeout when the
