@@ -1,0 +1,110 @@
+"""Physical-plan contracts: the optimizations the 100 TB posture depends on
+must be visible in the optimized/physical plans, not assumed.  A regression
+that silently drops a pushdown, a broadcast, or partial aggregation passes
+value-correctness tests but fails here."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from flatterer_spark.queries import CORE_QUERIES
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    """Scan-level pushdown: the status filter must reach the parquet reader
+    and the scan must read only the projected columns."""
+    plan = _plan(CORE_QUERIES["q01_filter_project"](spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1].splitlines()[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_custkey" not in read_schema  # column pruning
+
+
+def test_q02_dimension_joins_broadcast(spark, sf_dir):
+    """Both dimension joins must be broadcast, never shuffle the fact side."""
+    plan = _plan(CORE_QUERIES["q02_join_dims"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q06_partial_final_aggregation(spark, sf_dir):
+    """Hash aggregation must run map-side partial + final (one shuffle of
+    pre-aggregated groups, not raw rows)."""
+    plan = _plan(CORE_QUERIES["q06_groupby_agg"](spark, sf_dir))
+    assert "partial_sum" in plan or "Functions [partial_" in plan or (
+        plan.count("HashAggregate") >= 2
+    )
+
+
+def test_q11_topk_is_take_ordered(spark, sf_dir):
+    """Global top-k must plan as TakeOrderedAndProject, not a full sort."""
+    plan = _plan(CORE_QUERIES["q11_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q04_semi_and_q05_anti_join_shapes(spark, sf_dir):
+    plan4 = _plan(CORE_QUERIES["q04_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan4
+    plan5 = _plan(CORE_QUERIES["q05_anti_join"](spark, sf_dir))
+    assert "LeftAnti" in plan5
+
+
+def test_q17_range_join_is_equi_join_on_user(spark, sf_dir):
+    """The bounded time-range self-join must hash-join on user_id (range
+    predicate inside the join condition), not a nested-loop cross join."""
+    plan = _plan(CORE_QUERIES["q17_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    """Exact dedup is one hash-groupBy: exactly one exchange (plus AQE
+    reads), no joins."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    import re
+
+    plan = _plan(EXT_QUERIES["dedup_exact"](spark, sf_dir))
+    assert "Join" not in plan
+    # tree nodes render as "Exchange (n)"; group-key exchange + ORDER BY range
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) <= 2
+
+
+def test_embedding_ops_have_no_local_table_scan(spark, sf_dir):
+    """Scale-path guarantee: no driver-side LocalTableScan of the vector set
+    (the old dedup_embedding collect() would show one)."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    for name in ("dedup_embedding", "dedup_embedding_lsh", "sim_topk_lsh"):
+        plan = _plan(EXT_QUERIES[name](spark, sf_dir))
+        assert "LocalTableScan" not in plan, name
+
+
+def test_flatten_tables_prune_nested_schema(spark, tmp_path):
+    """Each emitted table's plan must read only its own struct branches
+    (nested-schema pruning): the child table scan must not read the parent's
+    scalar columns."""
+    import json
+
+    from flatterer_spark.flatten_api import flatten_dataframes
+
+    doc = {"id": 1, "big_scalar": "x" * 10, "tags": [{"t": "a"}]}
+    p = tmp_path / "d.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps(doc) + "\n")
+    res = flatten_dataframes(spark, str(p), ndjson=True, ordinals="partition")
+    plan = _plan(res.tables["tags"])
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "tags" in read_schema
+    assert "big_scalar" not in read_schema
