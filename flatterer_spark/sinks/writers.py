@@ -240,7 +240,26 @@ def write_sqlite(
             ).fetchone()
             if mode == "drop" or not exists:
                 con.execute(f'DROP TABLE IF EXISTS "{name}"')
-                con.execute(f'CREATE TABLE "{name}"({ddl_cols})')
+                # reference parity (docs/changelog.md:224): _link primary key,
+                # FK constraints to ancestor tables, index per FK column
+                constraints = []
+                if "_link" in colnames:
+                    constraints.append('PRIMARY KEY ("_link")')
+                for cn in colnames:
+                    if cn.startswith("_link_"):
+                        ref = cn[len("_link_"):]
+                        if any(t2["table_name"] == ref for t2 in table_rows):
+                            constraints.append(
+                                f'FOREIGN KEY ("{cn}") REFERENCES "{ref}" ("_link")'
+                            )
+                ddl_full = ", ".join([ddl_cols] + constraints)
+                con.execute(f'CREATE TABLE "{name}"({ddl_full})')
+                for cn in colnames:
+                    if cn.startswith("_link_"):
+                        con.execute(
+                            f'CREATE INDEX IF NOT EXISTS "idx_{name}_{cn}" '
+                            f'ON "{name}" ("{cn}")'
+                        )
             elif mode == "truncate":
                 con.execute(f'DELETE FROM "{name}"')
             elif mode == "evolve":

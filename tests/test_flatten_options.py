@@ -61,6 +61,39 @@ def test_schema_field_order_and_titles(spark, tmp_path):
     assert "game_title" in header and "game_id" in header
 
 
+def test_sqlite_has_pk_fk_and_indexes(spark, tmp_path):
+    """Reference parity (docs/changelog.md:224): SQLite export carries _link
+    primary keys, FK constraints to ancestors, and indexes on FK columns."""
+    from flatterer_spark.flatten import flatten
+
+    doc = [{"id": 1, "tags": [{"t": "x"}, {"t": "y"}]}]
+    db = str(tmp_path / "k.db")
+    flatten(
+        _write(tmp_path, "k.json", doc), str(tmp_path / "ok"),
+        spark=spark, sqlite_path=db,
+    )
+    con = sqlite3.connect(db)
+    try:
+        tags_sql = con.execute(
+            "SELECT sql FROM sqlite_master WHERE type='table' AND name='tags'"
+        ).fetchone()[0]
+        assert 'PRIMARY KEY ("_link")' in tags_sql
+        assert 'FOREIGN KEY ("_link_main") REFERENCES "main" ("_link")' in tags_sql
+        idx = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='index'"
+            )
+        }
+        assert "idx_tags__link_main" in idx
+        # FK integrity actually holds for the loaded data
+        con.execute("PRAGMA foreign_keys=ON")
+        violations = con.execute("PRAGMA foreign_key_check").fetchall()
+        assert violations == []
+    finally:
+        con.close()
+
+
 def test_sqlite_evolve_adds_columns(spark, tmp_path):
     from flatterer_spark.flatten import flatten
 
