@@ -102,6 +102,30 @@ def test_json_stream_chunker_bounded_memory():
     assert list(iter_json_stream_file(io.StringIO("  \n "))) == []
 
 
+def test_cli_end_to_end(tmp_path):
+    """Console surface: python -m flatterer_spark.cli INPUT OUT --options."""
+    out = tmp_path / "cliout"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "flatterer_spark.cli",
+            f"{FIX}/basic.json", str(out),
+            "--pushdown", "id", "--sql-scripts",
+        ],
+        capture_output=True,
+        timeout=300,
+        cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "2"},
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert (out / "csv" / "main.csv").exists()
+    assert (out / "csv" / "platforms.csv").exists()
+    assert (out / "fields.csv").exists()
+    assert (out / "postgresql" / "postgresql_schema.sql").exists()
+    with open(out / "csv" / "platforms.csv") as f:
+        header = f.readline().strip().split(",")
+    assert "main_id" in header  # pushdown reached the child table
+
+
 def test_s3_maps_to_s3a():
     from flatterer_spark.sources.json_input import _stage_input
 
