@@ -727,10 +727,14 @@ def _multimodal() -> tuple[dict, dict]:
     queries = {
         "mm_binary_meta": M.binary_metadata,
         "mm_frame_sample": M.frame_sample,
+        "mm_downsample": M.downsample,
+        "mm_embed_stub": M.embed_stub,
     }
     oracles = {
         "mm_binary_meta": M.MM_ORACLE,
         "mm_frame_sample": M.FRAME_ORACLE,
+        "mm_downsample": M.DOWNSAMPLE_ORACLE,
+        "mm_embed_stub": M.EMBED_ORACLE,
     }
     return queries, oracles
 

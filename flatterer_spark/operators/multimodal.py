@@ -148,3 +148,76 @@ SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_no, off AS offset,
        lower(hex(substring(text, CAST(off + 1 AS INT), 4))) AS frame_hex
 FROM f ORDER BY doc_id, frame_no
 """
+
+
+def downsample(spark: SparkSession, sf_dir: str, stride: int = 4) -> DataFrame:
+    """Binary -> binary transform plumbing (the resize/thumbnail shape): a
+    deterministic byte-stride stands in for the real resample, and the output
+    payload's length + checksum prove the round-trip.  A real implementation
+    swaps the stride for PIL.thumbnail / librosa.resample inside the same
+    mapInPandas stage -- payload in, payload out, Arrow both ways."""
+    import pandas as pd
+
+    def resample(batches):
+        for pdf in batches:
+            outs = [bytes(p)[::stride] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "out_len": [len(o) for o in outs],
+                    "out_hex_prefix": [o[:4].hex() for o in outs],
+                }
+            )
+
+    return (
+        _payloads(spark, sf_dir)
+        .mapInPandas(resample, "doc_id long, out_len long, out_hex_prefix string")
+        .orderBy("doc_id")
+    )
+
+
+# byte-stride over ASCII text == char-stride: positions 1, 1+stride, ...
+DOWNSAMPLE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(generate_series(1, ((strlen(text) - 1) // 4) + 1),
+                          i -> substring(text, (i - 1) * 4 + 1, 1)),
+           '') AS out
+  FROM documents
+)
+SELECT doc_id, CAST(strlen(out) AS BIGINT) AS out_len,
+       lower(hex(substring(out, 1, 4))) AS out_hex_prefix
+FROM d ORDER BY doc_id
+"""
+
+EMBED_DIM = 8
+
+
+def embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> fixed-dim pseudo-embedding: the bridge from multimodal
+    bytes into the similarity stack (sim_topk_*, dedup_embedding_* consume
+    exactly this column shape).  The stub derives each dimension from
+    md5(payload || ':' || d) scaled to [0, 1), so it is deterministic and
+    oracle-checkable; a real model swaps in an ONNX/torch forward inside an
+    Arrow-batched mapInPandas stage.  Kept JVM-side here (no Python at
+    all) -- the fastest shape until a real model forces Python."""
+    from flatterer_spark.queries import T
+
+    dims = [
+        f"FLOOR(CAST(conv(substring(md5(concat(text, ':', '{d}')), 1, 8), 16, 10) AS DOUBLE)"
+        f" / 4294967296.0 * 100 + 0.5) / 100 AS e{d}"
+        for d in range(EMBED_DIM)
+    ]
+    return T(spark, sf_dir, "documents").selectExpr("doc_id", *dims).orderBy("doc_id")
+
+
+EMBED_ORACLE = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"FLOOR(CAST('0x' || substring(md5(text || ':' || '{d}'), 1, 8) AS BIGINT)"
+        f" / 4294967296.0 * 100 + 0.5) / 100 AS e{d}"
+        for d in range(EMBED_DIM)
+    )
+    + " FROM documents ORDER BY doc_id"
+)
