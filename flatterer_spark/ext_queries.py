@@ -266,24 +266,41 @@ N_MINHASH = 16
 N_BANDS = 8  # 2 rows per band
 
 
+# universal-hash permutation constants for minhash: one md5 per shingle to a
+# 32-bit int, then N_MINHASH cheap (a*h + b) mod p permutations -- vs salted
+# md5 per (shingle, permutation), which costs N_MINHASH x more hashing (12M
+# md5 calls at sf0.1).  p is the first prime above 2^32; products fit in 63
+# bits so BIGINT arithmetic is exact and identical on both engines.
+_MH_P = 4294967311
+_rs13 = np.random.RandomState(13)
+_MH_A = [int(a) | 1 for a in _rs13.randint(1, 1 << 31, N_MINHASH)]
+_MH_B = [int(b) for b in _rs13.randint(0, 1 << 31, N_MINHASH)]
+
+
 def sql_dedup_minhash_lsh(
     g: Gen, k: int = 3, threshold: float = 0.5, sh_table: str | None = None
 ) -> str:
     """MinHash signatures -> banded LSH candidate join -> exact-Jaccard verify.
 
-    The md5-based minhash is engine-portable, so Spark and DuckDB produce the
-    identical candidate set; the final verified-pair list is therefore
-    hash-comparable even though LSH itself is probabilistic.
+    Signatures use universal hashing over one md5-derived 32-bit int per
+    shingle (see _MH_A/_MH_B) -- integer-only and therefore engine-portable,
+    so Spark and DuckDB produce the identical candidate set; the final
+    verified-pair list is hash-comparable even though LSH is probabilistic.
     """
     mh_parts = []
     for i in range(N_MINHASH):
-        body = "md5('" + str(i) + ":' || x)"
-        mh_parts.append(f"{g.amin(g.transform('s', 'x', body))} AS mh{i}")
+        perm = f"({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P}"
+        mh_parts.append(f"{g.amin(g.transform('hs', 'h', perm))} AS mh{i}")
     mh = ", ".join(mh_parts)
     rows = N_MINHASH // N_BANDS
     bands = ", ".join(
         "md5('{j}:' || {cat}) AS band{j}".format(
-            j=j, cat=" || ".join(f"mh{j * rows + r}" for r in range(rows))
+            j=j,
+            cat=" || ':' || ".join(
+                f"CAST(mh{j * rows + r} AS STRING)" if g.spark
+                else f"CAST(mh{j * rows + r} AS VARCHAR)"
+                for r in range(rows)
+            ),
         )
         for j in range(N_BANDS)
     )
@@ -292,9 +309,11 @@ def sql_dedup_minhash_lsh(
     inter = g.size(_intersect(g, "sa.s", "sb.s"))
     sh = sh_table or "sh"
     sh_cte = "" if sh_table else f"sh AS ({sql_shingle_cte(g, k)}),"
+    hs = g.transform("s", "x", g.md5_32("x"))
     return f"""
     WITH {sh_cte}
-    sig AS (SELECT doc_id, {mh} FROM {sh}),
+    hsv AS (SELECT doc_id, {hs} AS hs FROM {sh}),
+    sig AS (SELECT doc_id, {mh} FROM hsv),
     bands AS (SELECT doc_id, {bands} FROM sig),
     bl AS (SELECT doc_id, {_explode(g, band_arr, 'band')} FROM bands),
     cand AS (
