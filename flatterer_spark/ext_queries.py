@@ -238,7 +238,7 @@ def sql_dedup_ngram_jaccard(
         --  * positional filter: a pair first matching at prefix positions
         --    (i, j) has at most 1 + min(n1-i, n2-j) overlap, which must
         --    reach ceil(t/(1+t)*(n1+n2)).
-        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        SELECT {g.par_hint()}DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM pref a JOIN pref b
           ON a.gram = b.gram AND a.doc_id < b.doc_id
          AND a.n >= CEIL({g.d(threshold)} * b.n)
@@ -317,7 +317,7 @@ def sql_dedup_minhash_lsh(
     bands AS (SELECT doc_id, {bands} FROM sig),
     bl AS (SELECT doc_id, {_explode(g, band_arr, 'band')} FROM bands),
     cand AS (
-        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        SELECT {g.par_hint()}DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM bl a JOIN bl b ON a.band = b.band AND a.doc_id < b.doc_id
     ),
     ver AS (
@@ -585,8 +585,23 @@ N_EMB_BANDS = 8
 EMB_BAND_BITS = 6
 
 
+def _emb_band_arr(g: Gen) -> str:
+    """Array of the 8 banded LSH values (band-index-offset + 6 sign bits)."""
+    band_exprs = []
+    for j in range(N_EMB_BANDS):
+        planes = _HP2[j * EMB_BAND_BITS:(j + 1) * EMB_BAND_BITS]
+        band_exprs.append(
+            f"CAST({j * (1 << EMB_BAND_BITS)} + {_sql_bucket_expr(g, planes)} AS BIGINT)"
+        )
+    arr = "array({})" if g.spark else "[{}]"
+    return arr.format(", ".join(band_exprs))
+
+
 def sql_dedup_embedding_lsh(
-    g: Gen, threshold: float = 0.5, en_table: str | None = None
+    g: Gen,
+    threshold: float = 0.5,
+    en_table: str | None = None,
+    bl_table: str | None = None,
 ) -> str:
     """Embedding near-dup via banded hyperplane LSH + exact cosine verify.
 
@@ -600,22 +615,20 @@ def sql_dedup_embedding_lsh(
     identical candidate set, so the approximate result is still
     hash-comparable.  dedup_embedding (block-pair BLAS in operators/dedup.py)
     remains the exact path when the O(n^2/B) compute is affordable."""
-    band_exprs = []
-    for j in range(N_EMB_BANDS):
-        planes = _HP2[j * EMB_BAND_BITS:(j + 1) * EMB_BAND_BITS]
-        band_exprs.append(
-            f"CAST({j * (1 << EMB_BAND_BITS)} + {_sql_bucket_expr(g, planes)} AS BIGINT)"
-        )
-    band_arr = "array({})" if g.spark else "[{}]"
-    band_arr = band_arr.format(", ".join(band_exprs))
     cos = f"{_sql_dot(g, 'a.e', 'b.e')} / (a.nrm * b.nrm)"
     en_cte, en = _en_parts(g, en_table)
+    if bl_table:
+        bl_cte, bl = "", bl_table
+    else:
+        band_arr = _emb_band_arr(g)
+        bl_cte = f"bl AS (SELECT vec_id, {_explode(g, band_arr, 'band')} FROM {en}),"
+        bl = "bl"
     return f"""
     WITH {en_cte}
-    bl AS (SELECT vec_id, {_explode(g, band_arr, 'band')} FROM {en}),
+    {bl_cte}
     cand AS (
-        SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-        FROM bl x JOIN bl y ON x.band = y.band AND x.vec_id < y.vec_id
+        SELECT {g.par_hint()}DISTINCT x.vec_id AS id1, y.vec_id AS id2
+        FROM {bl} x JOIN {bl} y ON x.band = y.band AND x.vec_id < y.vec_id
     )
     SELECT cand.id1, cand.id2, {g.round2(f'({cos})')} AS cosine
     FROM cand
@@ -711,6 +724,40 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> str:
     return _EN_VIEW
 
 
+_BL_VIEW = "embl_materialized"
+_bl_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _emb_band_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (vec_id, band) once per (session, sf_dir): the band
+    expression evaluates 48 hyperplane dots per vector, and the LSH self-join
+    would otherwise evaluate it on BOTH sides (Spark inlines CTEs).  At
+    cluster scale this is the staged-signature pattern: compute signatures in
+    one pass, then all candidate joins read the staged table."""
+    key = (id(spark), sf_dir)
+    if key not in _bl_cache:
+        en = _emb_view(spark, sf_dir)
+        g = Gen(spark=True)
+        df = spark.sql(
+            f"SELECT vec_id, {_explode(g, _emb_band_arr(g), 'band')} FROM {en}"
+        ).persist()
+        df.createOrReplaceTempView(_BL_VIEW)
+        _bl_cache[key] = df
+    return _BL_VIEW
+
+
+def _make_emb_lsh_query(builder):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flatterer_spark.queries import T
+
+        en = _emb_view(spark, sf_dir)
+        bl = _emb_band_view(spark, sf_dir)
+        T(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+        return spark.sql(builder(Gen(spark=True), en_table=en, bl_table=bl))
+
+    return run
+
+
 def _make_en_query(builder):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flatterer_spark.queries import T
@@ -733,7 +780,7 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": D.embedding_near_dup_pairs,
         "dedup_ngram_jaccard": _make_sh_query(sql_dedup_ngram_jaccard),
         "dedup_minhash_lsh": _make_sh_query(sql_dedup_minhash_lsh),
-        "dedup_embedding_lsh": _make_en_query(sql_dedup_embedding_lsh),
+        "dedup_embedding_lsh": _make_emb_lsh_query(sql_dedup_embedding_lsh),
         "sim_topk_bruteforce": _make_en_query(sql_sim_topk),
         "sim_topk_lsh": _make_en_query(sql_sim_topk_lsh),
         "sim_lsh_buckets": _make_en_query(sql_sim_lsh_buckets),

@@ -105,6 +105,18 @@ class Gen:
     def bit(self, h: str, b: int) -> str:
         return f"({self.shr(h, b)} & 1)"
 
+    def par_hint(self, n: int = 32) -> str:
+        """Spark-only REPARTITION hint for candidate-pair stages.
+
+        LSH candidate sets are few MB but carry huge per-row CPU (interpreted
+        higher-order-function verify math), so AQE's size-based coalescing
+        collapses them to one partition and serializes the verify join
+        (measured 4x slowdown at sf0.1).  The hint pins the exchange at ``n``
+        partitions; on a cluster set it to the executor-core count.  DuckDB
+        output is empty -- its morsel scheduler has no such pathology.
+        """
+        return f"/*+ REPARTITION({n}) */ " if self.spark else ""
+
     # ---- numeric --------------------------------------------------------
     def round2(self, x: str, scale: int = 2) -> str:
         m = 10 ** scale
