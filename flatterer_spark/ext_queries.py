@@ -221,12 +221,16 @@ def sql_dedup_ngram_jaccard(
     return f"""
     WITH {sh_cte}
     e AS (SELECT doc_id, CAST({g.size('s')} AS BIGINT) AS n, {_explode(g, 's', 'gram')} FROM {sh}),
-    gdf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY gram),
+    -- document frequency via a window over gram: one shuffle on gram, vs the
+    -- groupBy-then-join-back form which shuffles e twice (same values).
+    w AS (SELECT doc_id, gram, n,
+                 CAST(COUNT(*) OVER (PARTITION BY gram) AS BIGINT) AS df
+          FROM e),
     rk AS (
-        SELECT e.doc_id, e.gram, e.n,
-               ROW_NUMBER() OVER (PARTITION BY e.doc_id
-                                  ORDER BY gdf.df, e.gram) AS rnk
-        FROM e JOIN gdf ON e.gram = gdf.gram
+        SELECT doc_id, gram, n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY df, gram) AS rnk
+        FROM w
     ),
     pref AS (
         SELECT doc_id, gram, n, rnk FROM rk
