@@ -112,6 +112,61 @@ def sql_text_quality(g: Gen) -> str:
     """
 
 
+def sql_text_gopher_filter(g: Gen) -> str:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1 subset;
+    plus C4's symbol heuristic), evaluated wholly JVM-side.
+
+    Word-level rules only (the corpus is single-line text): word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio < 0.1
+    (``#`` and ``...``), >80% of words contain a letter, and at least two
+    distinct stopwords present.  Letter detection uses ``lower(w) <> upper(w)``
+    -- case-transform inequality holds exactly for cased letters, so both
+    engines agree without regex-dialect risk.  Each rule is also emitted as a
+    0/1 column so downstream filters can cut on any subset."""
+    toks = g.tokens("text")
+    dbl = "CAST({} AS DOUBLE)".format
+    hash_cnt = "(length(text) - length(replace(text, '#', '')))"
+    ell_cnt = "((length(text) - length(replace(text, '...', ''))) / 3)"
+    alpha_words = g.size(g.filter("toks", "w", "lower(w) <> upper(w)"))
+    stop_types = g.size(
+        g.filter(g.distinct("toks"), "t", f"t IN {g.strlist(STOPWORDS)}")
+    )
+    rules = {
+        "r_wordcount": "n_words >= 50 AND n_words <= 100000",
+        "r_meanlen": f"mean_wlen >= {g.d(3.0)} AND mean_wlen <= {g.d(10.0)}",
+        "r_symbol": f"symbol_ratio < {g.d(0.1)}",
+        "r_alpha": f"alpha_ratio > {g.d(0.8)}",
+        "r_stop": "stop_types >= 2",
+    }
+    rule_cols = ", ".join(
+        f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS BIGINT) AS {name}"
+        for name, cond in rules.items()
+    )
+    all_pass = " AND ".join(rules.values())
+    return f"""
+    WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST({g.size('toks')} AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / {dbl(g.size('toks'))} AS mean_wlen,
+               ({dbl(hash_cnt)} + {dbl(ell_cnt)})
+                   / {dbl(g.size('toks'))} AS symbol_ratio,
+               {dbl(alpha_words)} / {dbl(g.size('toks'))} AS alpha_ratio,
+               CAST({stop_types} AS BIGINT) AS stop_types
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           {g.round2('mean_wlen')} AS mean_wlen,
+           {g.round2('symbol_ratio')} AS symbol_ratio,
+           {g.round2('alpha_ratio')} AS alpha_ratio,
+           stop_types,
+           {rule_cols},
+           CAST(CASE WHEN {all_pass} THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM m ORDER BY doc_id
+    """
+
+
 def sql_text_lang_id(g: Gen) -> str:
     toks = g.tokens("text")
     scores = {
@@ -651,6 +706,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "text_token_stats": (sql_text_token_stats, ("documents",)),
     "text_quality": (sql_text_quality, ("documents",)),
     "text_lang_id": (sql_text_lang_id, ("documents",)),
+    "text_gopher_filter": (sql_text_gopher_filter, ("documents",)),
     "text_fingerprint": (sql_text_fingerprint, ("documents",)),
     "dedup_exact": (sql_dedup_exact, ("documents",)),
     "dedup_ngram_jaccard": (sql_dedup_ngram_jaccard, ("documents",)),
