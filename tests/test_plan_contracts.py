@@ -91,6 +91,20 @@ def test_embedding_ops_have_no_local_table_scan(spark, sf_dir):
         assert "LocalTableScan" not in plan, name
 
 
+def test_lsh_verify_not_serialized_by_aqe(spark, sf_dir):
+    """The LSH candidate sets are few MB but carry huge per-row CPU
+    (interpreted higher-order-function verify math); without an explicit
+    round-robin repartition AQE coalesces them to one partition and the
+    verify join runs on a single core (measured 4x at sf0.1).  The
+    REPARTITION hint must survive into the physical plan."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    for name in ("dedup_embedding_lsh", "dedup_minhash_lsh",
+                 "dedup_ngram_jaccard"):
+        plan = _plan(EXT_QUERIES[name](spark, sf_dir))
+        assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, name
+
+
 def test_flatten_tables_prune_nested_schema(spark, tmp_path):
     """Each emitted table's plan must read only its own struct branches
     (nested-schema pruning): the child table scan must not read the parent's
