@@ -112,6 +112,33 @@ def sql_text_quality(g: Gen) -> str:
     """
 
 
+# GPT2-ish piece splitter, simplified to constructs RE2 (DuckDB) and Java
+# regex (Spark) evaluate identically: letter runs capped at 4 chars (the
+# empirical BPE piece length), single digits, single punctuation marks.
+_BPE_PATTERN = "([A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ])"
+
+
+def sql_text_token_count_bpe(g: Gen) -> str:
+    """Subword-piece token counting (the 'BPE-ish regex' estimator).
+
+    Whitespace tokens undercount LLM tokens ~1.3-1.5x; this splits text into
+    GPT2-style pieces with a portable regex (both engines expose
+    ``regexp_extract_all(s, pat, group)``) and reports both counts plus the
+    pieces-per-word ratio.  Pure JVM-side expression -- no UDF."""
+    toks = g.tokens("text")
+    pieces = f"regexp_extract_all(text, '{_BPE_PATTERN}', 1)"
+    dbl = "CAST({} AS DOUBLE)".format
+    return f"""
+    WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+    SELECT doc_id,
+           CAST({g.size('toks')} AS BIGINT) AS n_ws_tokens,
+           CAST({g.size(pieces)} AS BIGINT) AS n_bpe_pieces,
+           {g.round2(f"{dbl(g.size(pieces))} / {dbl(g.size('toks'))}")}
+               AS pieces_per_word
+    FROM t ORDER BY doc_id
+    """
+
+
 def sql_text_gopher_filter(g: Gen) -> str:
     """Gopher-style document quality rules (Rae et al. 2021, table A1 subset;
     plus C4's symbol heuristic), evaluated wholly JVM-side.
@@ -707,6 +734,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "text_quality": (sql_text_quality, ("documents",)),
     "text_lang_id": (sql_text_lang_id, ("documents",)),
     "text_gopher_filter": (sql_text_gopher_filter, ("documents",)),
+    "text_token_count_bpe": (sql_text_token_count_bpe, ("documents",)),
     "text_fingerprint": (sql_text_fingerprint, ("documents",)),
     "dedup_exact": (sql_dedup_exact, ("documents",)),
     "dedup_ngram_jaccard": (sql_dedup_ngram_jaccard, ("documents",)),
