@@ -667,6 +667,64 @@ def sql_sim_topk_lsh(
     """
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+def sql_sim_topk_ivf(
+    g: Gen, n_queries: int = 10, k: int = 5, en_table: str | None = None
+) -> str:
+    """IVF (inverted-file) ANN top-k: coarse-quantize the corpus into
+    ``IVF_CELLS`` cells, probe the ``IVF_NPROBE`` nearest cells per query.
+
+    Centroids are the first ``IVF_CELLS`` corpus vectors (deterministic, so
+    the DuckDB oracle computes the identical partition; production would run
+    k-means|| and broadcast the learned centroids -- the query shape is the
+    same).  Cell assignment is an argmin over a broadcastable 16-row centroid
+    table (n x C expansion, window rank 1), so the corpus is shuffled once on
+    ``cell`` and each query scores only ~NPROBE/C of the corpus.  This is the
+    cell-partitioned counterpart to sql_sim_topk_lsh's hyperplane buckets:
+    IVF adapts to the data distribution, LSH is data-independent."""
+    cos_vc = f"{_sql_dot(g, 'v.e', 'c.e')} / (v.nrm * c.nrm)"
+    cos_qc = f"{_sql_dot(g, 'q.e', 'b.e')} / (q.nrm * b.nrm)"
+    en_cte, en = _en_parts(g, en_table)
+    return f"""
+    WITH {en_cte}
+    cent AS (SELECT vec_id AS cid, e, nrm FROM {en} WHERE vec_id < {IVF_CELLS}),
+    scored_cells AS (
+        SELECT v.vec_id, c.cid, {cos_vc} AS sim
+        FROM {en} v JOIN cent c ON 1 = 1
+    ),
+    ranked_cells AS (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid) AS crnk
+        FROM scored_cells
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE crnk = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+        WHERE vec_id < {n_queries} AND crnk <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT {g.par_hint()}p.query_id, b.vec_id AS neighbor_id, {cos_qc} AS cos
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell
+        JOIN {en} b ON b.vec_id = a.vec_id AND b.vec_id <> p.query_id
+        JOIN {en} q ON q.vec_id = p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+           {g.round2('cos')} AS cosine
+    FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
 N_EMB_BANDS = 8
 EMB_BAND_BITS = 6
 
@@ -745,6 +803,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "dedup_embedding_lsh": (sql_dedup_embedding_lsh, ("embeddings",)),
     "sim_topk_bruteforce": (sql_sim_topk, ("embeddings",)),
     "sim_topk_lsh": (sql_sim_topk_lsh, ("embeddings",)),
+    "sim_topk_ivf": (sql_sim_topk_ivf, ("embeddings",)),
     "sim_lsh_buckets": (sql_sim_lsh_buckets, ("embeddings",)),
 }
 
@@ -871,6 +930,7 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _make_emb_lsh_query(sql_dedup_embedding_lsh),
         "sim_topk_bruteforce": _make_en_query(sql_sim_topk),
         "sim_topk_lsh": _make_en_query(sql_sim_topk_lsh),
+        "sim_topk_ivf": _make_en_query(sql_sim_topk_ivf),
         "sim_lsh_buckets": _make_en_query(sql_sim_lsh_buckets),
     }
 

@@ -94,6 +94,21 @@ def test_sim_topk_lsh_scores_match_bruteforce(spark, sf_dir):
             assert r.cosine <= bf_top1[r.query_id] + 1e-9
 
 
+def test_sim_topk_ivf_scores_match_bruteforce(spark, sf_dir):
+    """IVF ANN results must carry brute-force-identical cosines, and the
+    IVF top-1 can never beat the exhaustive top-1."""
+    bf_rows = EXT_QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    bf = {(r.query_id, r.neighbor_id): r.cosine for r in bf_rows}
+    bf_top1 = {r.query_id: r.cosine for r in bf_rows if r.rnk == 1}
+    ivf = EXT_QUERIES["sim_topk_ivf"](spark, sf_dir).collect()
+    assert ivf, "IVF ANN returned no rows"
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+        if r.rnk == 1:
+            assert r.cosine <= bf_top1[r.query_id] + 1e-9
+
+
 def test_lsh_recall_on_planted_near_dups(spark, sf_dir):
     """The driver data plants high-Jaccard near-dup pairs; 8 bands x 2 rows
     must recover essentially all pairs above the verify threshold of 0.5."""
