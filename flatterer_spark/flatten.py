@@ -73,11 +73,18 @@ def flatten(
     threads: int = 0,       # accepted for API parity; Spark owns parallelism
     low_memory: bool = False,
     low_disk: bool = False,
+    files: bool = False,    # source iterable yields file paths, not JSON
+    log_error: bool = False,
 ) -> dict:
     from flatterer_spark.logutil import setup_logging
 
     log = setup_logging("warning")  # C4: FLATTERER_LOG overrides
     _ = (threads, low_memory, low_disk)
+    if files and not isinstance(source, str):
+        # reference flatten(files=True): an iterable of file paths
+        # (flatterer/__init__.py:121-134); a plain list of paths already
+        # works without the flag.
+        source = [str(p) for p in source]
     if evolve and not id_prefix:
         # docs/options.md:437: random prefix per load so ids stay unique
         import uuid
@@ -231,10 +238,13 @@ def flatten(
             data = {}
         out.update({"fields": fields_df, "tables": tables_df, "data": data})
         return out
-    except BaseException:
+    except BaseException as exc:
         # C2 error hygiene: a failed run must not leave a partial output dir
         # (docs/changelog.md:318-319)
         shutil.rmtree(output_dir, ignore_errors=True)
+        if log_error and not isinstance(exc, (KeyboardInterrupt, SystemExit)):
+            # reference CLI path (flatterer/__init__.py log_error=True)
+            log.error("flatten failed: %s", exc)
         raise
     finally:
         # spool temp files created by this call are fully consumed once the

@@ -188,6 +188,21 @@ def test_multi_file_doubles_counts(spark, tmp_path):
     assert [r["_link"] for r in rows] == ["0", "1", "2", "3"]
 
 
+def test_files_flag_generator_of_paths(spark, tmp_path):
+    """Reference parity: flatten(gen, files=True) consumes an *iterator* of
+    file paths (flatterer/__init__.py:121-134), not JSON items."""
+    from flatterer_spark.flatten import flatten
+
+    out = str(tmp_path / "filesflag")
+    res = flatten(
+        (p for p in [f"{FIX}/basic.json", f"{FIX}/basic.json"]),
+        out, spark=spark, files=True,
+    )
+    rows = read_our_csv(f"{out}/csv/main.csv")
+    assert len(rows) == 4
+    assert res["fields"] is not None
+
+
 def test_gzip_ndjson_big(spark, tmp_path):
     """daily_16.json.gz: 4,999 objects, ~4 nesting levels
     (reference tests.py:59-61)."""
