@@ -783,6 +783,55 @@ def sql_dedup_embedding_lsh(
     """
 
 
+MM_EMBED_DIM = 8
+
+
+def sql_mm_sim_topk(g: Gen, n_queries: int = 5, k: int = 3) -> str:
+    """End-to-end multimodal similarity: pseudo-embed document payloads
+    (the mm_embed_stub expression, inline) then brute-force cosine top-k.
+
+    Demonstrates the media-bytes -> embedding -> ANN bridge as ONE plan: at
+    scale the embed stage becomes an Arrow-batched model forward and the
+    top-k swaps to the sim_topk_lsh/ivf bucketed join; the column contract
+    (fixed-dim double array) is identical."""
+    dim_exprs = []
+    for d in range(MM_EMBED_DIM):
+        salted = "text || ':' || '%d'" % d
+        dim_exprs.append(
+            f"FLOOR(CAST({g.md5_32(salted)} AS DOUBLE)"
+            f" / 4294967296.0 * 100 + {g.d(0.5)}) / 100"
+        )
+    dims = ", ".join(dim_exprs)
+    arr = f"array({dims})" if g.spark else f"[{dims}]"
+    sq = g.fold_sum(g.transform("e", "x", "x * x"))
+    dot = g.fold_sum(
+        g.transform(
+            g.seq("1", str(MM_EMBED_DIM)),
+            "i",
+            f"{g.at('q.e', 'i')} * {g.at('c.e', 'i')}",
+        )
+    )
+    cos = f"{dot} / (q.nrm * c.nrm)"
+    return f"""
+    WITH emb AS (SELECT doc_id, {arr} AS e FROM documents),
+    en AS (SELECT doc_id, e, sqrt({sq}) AS nrm FROM emb),
+    scored AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, {cos} AS cos
+        FROM en q JOIN en c ON q.doc_id < {n_queries} AND c.doc_id <> q.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+           {g.round2('cos')} AS cosine
+    FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
@@ -804,6 +853,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "sim_topk_bruteforce": (sql_sim_topk, ("embeddings",)),
     "sim_topk_lsh": (sql_sim_topk_lsh, ("embeddings",)),
     "sim_topk_ivf": (sql_sim_topk_ivf, ("embeddings",)),
+    "mm_sim_topk": (sql_mm_sim_topk, ("documents",)),
     "sim_lsh_buckets": (sql_sim_lsh_buckets, ("embeddings",)),
 }
 
