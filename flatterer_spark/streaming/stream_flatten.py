@@ -122,6 +122,19 @@ def windowed_event_stats(
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a stream.
+
+    Stream-static joins are stateless in Structured Streaming -- each
+    micro-batch joins against the (re-read) static side, no watermark needed.
+    The static side is explicitly broadcast: at 100 TB/day the stream never
+    shuffles for the join and the dim table ships once per executor.  For
+    dims too large to broadcast, pre-bucket both sides on the key instead."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )

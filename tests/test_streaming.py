@@ -100,6 +100,39 @@ def test_windowed_event_stats(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_enrich_stream_matches_batch_join(spark, sf_dir):
+    """Stream-static broadcast enrichment must produce the batch join's rows."""
+    from flatterer_spark.queries import T
+    from flatterer_spark.streaming.stream_flatten import (
+        enrich_stream,
+        run_available_now,
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_enrich_")
+    try:
+        T(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(d)
+        dim = (
+            T(spark, sf_dir, "customer")
+            .selectExpr("c_custkey AS user_id", "c_mktsegment")
+        )
+        stream = spark.readStream.schema(
+            spark.read.parquet(d).schema
+        ).parquet(d)
+        got = run_available_now(
+            enrich_stream(stream, dim, "user_id"), "enrich_stream"
+        )
+        want = T(spark, sf_dir, "events").join(dim, "user_id", "left")
+        assert got.count() == want.count()
+        g = got.groupBy("c_mktsegment").count().collect()
+        w = want.groupBy("c_mktsegment").count().collect()
+        assert {(r.c_mktsegment, r["count"]) for r in g} == {
+            (r.c_mktsegment, r["count"]) for r in w
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_dedup_stream(spark, tmp_path):
     """Streaming exact dedup: first arrival of each content hash survives;
     state bounded by the watermark."""
