@@ -49,9 +49,13 @@ _HP = np.round(np.random.RandomState(7).normal(0.0, 1.0, (8, 64)), 6)
 # 48 hyperplanes for the *banded* embedding LSH (8 bands x 6 bits).  Band
 # geometry is the recall/selectivity dial: a random pair collides on one
 # band with p = 2^-bits, a pair at cosine c with p = (1 - acos(c)/pi)^bits.
-# 8x6 measured on this data: 12.8% candidate rate, catches the planted
-# threshold-edge pair; production semantic dedup at cos >= 0.9 would raise
-# bits to 16-24 for near-linear candidate volume.
+# 8x6 measured on this data: 12.8% candidate rate; recall 6/14 at sf0.1
+# where every true pair sits at the cos 0.5-0.6 threshold edge -- the
+# worst case for sign-LSH (per-bit agreement 2/3 vs 1/2 random; rho=0.585,
+# so no banding is simultaneously fast and high-recall there).  That regime
+# belongs to the exact block-pair path (dedup_embedding); LSH is the scale
+# path for real near-dup thresholds (cos >= 0.85, where 8x6 recall is
+# >98% and production would raise bits to 16-24 for near-linear volume).
 _HP2 = np.round(np.random.RandomState(11).normal(0.0, 1.0, (48, 64)), 6)
 
 EMB_DIM = 64
