@@ -1,0 +1,54 @@
+"""Bucketed (co-located) joins: the shuffle-elimination path for repeated
+big-table equi-joins.
+
+At 100 TB the dominant join cost is shuffling the fact table every time it
+meets a dimension or another fact on the same key.  Bucketing pays that
+shuffle ONCE at write time: both sides are hash-partitioned into the same
+number of buckets on the join key and sorted within each bucket, so every
+subsequent equi-join on that key is a zero-exchange sort-merge join (each
+task reads bucket i of both sides).  This is Spark's native analogue of the
+reference's pushdown advice ("save you doing extra joins for common
+queries", docs/options.md:154): pre-pay at layout time for cheap reads.
+
+Contract pinned by tests/test_bucketing.py: the joined plan contains no
+Exchange on either bucketed side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sorted_by: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed+sorted managed table.
+
+    ``n_buckets`` should be sized so one bucket of the largest table fits an
+    executor's read budget (buckets = parallelism floor for bucket scans).
+    Bucketed layout requires ``saveAsTable`` (bucket metadata lives in the
+    catalog, not the parquet files).
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(sorted_by or key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables bucketed on ``on``: planned as a zero-exchange
+    sort-merge join when both sides share the bucket count and key."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -1,0 +1,59 @@
+"""Bucketed co-located join contract: after paying the layout-time shuffle,
+equi-joins on the bucket key must plan with NO exchange on either side."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # the contract targets the both-sides-too-big-to-broadcast regime; at
+    # test scale Catalyst would otherwise pick a broadcast join and hide it
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for t in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse):
+    from flatterer_spark.operators.bucketing import colocated_join, write_bucketed
+    from flatterer_spark.queries import T
+
+    write_bucketed(
+        T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", "o_custkey", n_buckets=8,
+    )
+    write_bucketed(
+        T(spark, sf_dir, "customer").selectExpr(
+            "c_custkey AS o_custkey", "c_name", "c_acctbal"
+        ),
+        "b_customer", "o_custkey", n_buckets=8,
+    )
+    joined = colocated_join(spark, "b_orders", "b_customer", "o_custkey")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # and the join result is right
+    want = (
+        T(spark, sf_dir, "orders")
+        .join(
+            T(spark, sf_dir, "customer").selectExpr("c_custkey AS o_custkey"),
+            "o_custkey",
+        )
+        .count()
+    )
+    assert joined.count() == want
