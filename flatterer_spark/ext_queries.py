@@ -528,8 +528,8 @@ def _en_parts(g: Gen, en_table: str | None) -> tuple[str, str]:
     return f"{_sql_emb_norm(g)},", "en"
 
 
-def _sql_dot(g: Gen, a: str, b: str) -> str:
-    """Fold-based 64-term dot product.
+def _sql_dot(g: Gen, a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Fold-based ``dim``-term dot product.
 
     Measured note: unrolling this to plain ``e1[1]*e2[1] + ...`` arithmetic
     (tempting for whole-stage codegen) is ~60% SLOWER on the 1.6M-pair
@@ -538,7 +538,7 @@ def _sql_dot(g: Gen, a: str, b: str) -> str:
     The single higher-order fold per dot is the fastest Catalyst shape for
     this; keep it."""
     prods = g.transform(
-        g.seq("1", str(EMB_DIM)), "i", f"{g.at(a, 'i')} * {g.at(b, 'i')}"
+        g.seq("1", str(dim)), "i", f"{g.at(a, 'i')} * {g.at(b, 'i')}"
     )
     return g.fold_sum(prods)
 
@@ -808,14 +808,7 @@ def sql_mm_sim_topk(g: Gen, n_queries: int = 5, k: int = 3) -> str:
     dims = ", ".join(dim_exprs)
     arr = f"array({dims})" if g.spark else f"[{dims}]"
     sq = g.fold_sum(g.transform("e", "x", "x * x"))
-    dot = g.fold_sum(
-        g.transform(
-            g.seq("1", str(MM_EMBED_DIM)),
-            "i",
-            f"{g.at('q.e', 'i')} * {g.at('c.e', 'i')}",
-        )
-    )
-    cos = f"{dot} / (q.nrm * c.nrm)"
+    cos = f"{_sql_dot(g, 'q.e', 'c.e', dim=MM_EMBED_DIM)} / (q.nrm * c.nrm)"
     return f"""
     WITH emb AS (SELECT doc_id, {arr} AS e FROM documents),
     en AS (SELECT doc_id, e, sqrt({sq}) AS nrm FROM emb),
@@ -873,7 +866,17 @@ def _make_query(builder, tables):
     return run
 
 
-_SH_VIEW = "sh_materialized"
+def _view_suffix(sf_dir: str) -> str:
+    """Dataset-scoped temp-view suffix: view names must be unique per
+    sf_dir, or querying a second dataset in one session would silently
+    repoint the first dataset's cached view (createOrReplaceTempView is
+    global).  Cache growth is bounded by the number of distinct sf_dirs
+    touched in a session (1-2 in practice)."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
 _sh_cache: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -887,12 +890,13 @@ def _shingle_view(spark: SparkSession, sf_dir: str) -> str:
     from flatterer_spark.queries import T
 
     key = (id(spark), sf_dir)
+    name = f"sh_materialized_{_view_suffix(sf_dir)}"
     if key not in _sh_cache:
         T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
         df = spark.sql(sql_shingle_cte(Gen(spark=True))).persist()
-        df.createOrReplaceTempView(_SH_VIEW)
+        df.createOrReplaceTempView(name)
         _sh_cache[key] = df
-    return _SH_VIEW
+    return name
 
 
 def _make_sh_query(builder):
@@ -906,7 +910,6 @@ def _make_sh_query(builder):
     return run
 
 
-_EN_VIEW = "en_materialized"
 _en_cache: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -917,15 +920,15 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> str:
     from flatterer_spark.queries import T
 
     key = (id(spark), sf_dir)
+    name = f"en_materialized_{_view_suffix(sf_dir)}"
     if key not in _en_cache:
         T(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
         df = spark.sql(sql_emb_norm_query(Gen(spark=True))).persist()
-        df.createOrReplaceTempView(_EN_VIEW)
+        df.createOrReplaceTempView(name)
         _en_cache[key] = df
-    return _EN_VIEW
+    return name
 
 
-_BL_VIEW = "embl_materialized"
 _bl_cache: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -936,15 +939,16 @@ def _emb_band_view(spark: SparkSession, sf_dir: str) -> str:
     cluster scale this is the staged-signature pattern: compute signatures in
     one pass, then all candidate joins read the staged table."""
     key = (id(spark), sf_dir)
+    name = f"embl_materialized_{_view_suffix(sf_dir)}"
     if key not in _bl_cache:
         en = _emb_view(spark, sf_dir)
         g = Gen(spark=True)
         df = spark.sql(
             f"SELECT vec_id, {_explode(g, _emb_band_arr(g), 'band')} FROM {en}"
         ).persist()
-        df.createOrReplaceTempView(_BL_VIEW)
+        df.createOrReplaceTempView(name)
         _bl_cache[key] = df
-    return _BL_VIEW
+    return name
 
 
 def _make_emb_lsh_query(builder):

@@ -105,17 +105,29 @@ class Gen:
     def bit(self, h: str, b: int) -> str:
         return f"({self.shr(h, b)} & 1)"
 
-    def par_hint(self, n: int = 32) -> str:
+    def par_hint(self, n: int | None = None) -> str:
         """Spark-only REPARTITION hint for candidate-pair stages.
 
         LSH candidate sets are few MB but carry huge per-row CPU (interpreted
         higher-order-function verify math), so AQE's size-based coalescing
         collapses them to one partition and serializes the verify join
         (measured 4x slowdown at sf0.1).  The hint pins the exchange at ``n``
-        partitions; on a cluster set it to the executor-core count.  DuckDB
-        output is empty -- its morsel scheduler has no such pathology.
+        partitions; default comes from ``$SPARK_GRAFT_VERIFY_PARTITIONS``,
+        then ``$SPARK_GRAFT_CPUS`` (the harness core count), then 32 -- on a
+        cluster set it to the total executor-core count.  DuckDB output is
+        empty: its morsel scheduler has no such pathology.
         """
-        return f"/*+ REPARTITION({n}) */ " if self.spark else ""
+        if not self.spark:
+            return ""
+        if n is None:
+            import os
+
+            env = (
+                os.environ.get("SPARK_GRAFT_VERIFY_PARTITIONS")
+                or os.environ.get("SPARK_GRAFT_CPUS")
+            )
+            n = int(env) if env and env.isdigit() else 32
+        return f"/*+ REPARTITION({n}) */ "
 
     # ---- numeric --------------------------------------------------------
     def round2(self, x: str, scale: int = 2) -> str:

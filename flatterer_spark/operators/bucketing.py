@@ -42,6 +42,17 @@ def write_bucketed(
     )
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, str] | None:
+    """(num_buckets, bucket_columns) from the catalog, or None."""
+    n, cols = None, None
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if row.col_name == "Num Buckets":
+            n = int(row.data_type)
+        elif row.col_name == "Bucket Columns":
+            cols = row.data_type.strip("[]` ")
+    return (n, cols) if n is not None else None
+
+
 def colocated_join(
     spark: SparkSession,
     left_table: str,
@@ -50,5 +61,18 @@ def colocated_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join two tables bucketed on ``on``: planned as a zero-exchange
-    sort-merge join when both sides share the bucket count and key."""
+    sort-merge join.  Raises if either side's catalog bucketSpec is absent
+    or mismatched -- a silent fallback would reintroduce the full shuffle
+    this module exists to eliminate."""
+    specs = {t: _bucket_spec(spark, t) for t in (left_table, right_table)}
+    for t, spec in specs.items():
+        if spec is None:
+            raise ValueError(f"{t} is not bucketed (write with write_bucketed)")
+        if spec[1].split("`, `")[0].strip("` ") != on:
+            raise ValueError(f"{t} is bucketed on {spec[1]!r}, not {on!r}")
+    if specs[left_table][0] != specs[right_table][0]:
+        raise ValueError(
+            f"bucket counts differ: {specs[left_table][0]} vs "
+            f"{specs[right_table][0]} -- the join would re-shuffle"
+        )
     return spark.table(left_table).join(spark.table(right_table), on, how)

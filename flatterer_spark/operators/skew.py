@@ -10,9 +10,11 @@ itself:
 - dim side: replicate each row once per salt value;
 - join on (key, salt) -- the hot key's rows now spread over n_salts tasks.
 
-Equi-join semantics are preserved exactly (every fact row still meets every
-matching dim row exactly once).  Use for fact-dim joins where the dim side
-is small enough to replicate n_salts times but too big to broadcast whole.
+Inner/left equi-join semantics are preserved exactly (every fact row still
+meets every matching dim row exactly once); right/full joins are rejected,
+since an unmatched dim row would surface once per salt replica.  Use for
+fact-dim joins where the dim side is small enough to replicate n_salts
+times but too big to broadcast whole.
 """
 
 from __future__ import annotations
@@ -37,6 +39,12 @@ def salted_join(
     meaning; it is dropped from the result.  ``n_salts`` bounds the hot key's
     per-task share at 1/n_salts of its rows.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full would emit unmatched dim rows once per salt replica
+        raise ValueError(
+            "salted_join preserves semantics only for inner/left joins; "
+            f"got how={how!r} (salt the other side instead)"
+        )
     if SALT_COL in fact.columns or SALT_COL in dim.columns:
         raise ValueError(f"{SALT_COL} column name collides with input")
     salted_fact = fact.withColumn(

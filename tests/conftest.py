@@ -7,6 +7,17 @@ import pytest
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 
 
+def plan_of(df) -> str:
+    """Formatted physical plan as a string (shared by plan-contract tests)."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from flatterer_spark.session import get_spark

@@ -3,21 +3,13 @@ equi-joins on the bucket key must plan with NO exchange on either side."""
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 import pytest
 
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from tests.conftest import plan_of as _plan
 
 
 @pytest.fixture()
-def warehouse(spark, tmp_path):
+def warehouse(spark):
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     # the contract targets the both-sides-too-big-to-broadcast regime; at
     # test scale Catalyst would otherwise pick a broadcast join and hide it

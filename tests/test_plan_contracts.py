@@ -5,19 +5,10 @@ value-correctness tests but fails here."""
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 import pytest
 
 from flatterer_spark.queries import CORE_QUERIES
-
-
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from tests.conftest import plan_of as _plan
 
 
 def test_q01_filter_pushed_to_scan(spark, sf_dir):

@@ -31,9 +31,14 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     w = want.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
     )
-    gs = {(r.c_mktsegment, r.n, round(r.v, 6)) for r in g.collect()}
-    ws = {(r.c_mktsegment, r.n, round(r.v, 6)) for r in w.collect()}
-    assert gs == ws
+    gs = {r.c_mktsegment: (r.n, r.v) for r in g.collect()}
+    ws = {r.c_mktsegment: (r.n, r.v) for r in w.collect()}
+    assert gs.keys() == ws.keys()
+    for seg in gs:
+        assert gs[seg][0] == ws[seg][0]
+        # double addition order differs between the two plans: tolerance, not
+        # rounded equality
+        assert abs(gs[seg][1] - ws[seg][1]) < 1e-6 * max(1.0, abs(ws[seg][1]))
 
 
 def test_salted_left_join_keeps_unmatched(spark, sf_dir):
