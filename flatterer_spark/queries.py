@@ -455,6 +455,32 @@ def q25_unpivot(spark, sf_dir):
     )
 
 
+def q26_salted_join(spark, sf_dir):
+    """Skew-proof join in the correctness gate: the Spark side runs the
+    salted rewrite (operators/skew.py); the oracle is the PLAIN equi-join --
+    hash-equality proves salting changes nothing but the shuffle layout."""
+    from flatterer_spark.operators.skew import salted_join
+
+    events = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = T(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment"
+    )
+    return (
+        salted_join(events, dim, "user_id", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -480,6 +506,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_pivot": q23_pivot,
     "q24_window_analytics": q24_window_analytics,
     "q25_unpivot": q25_unpivot,
+    "q26_salted_join": q26_salted_join,
 }
 
 
@@ -675,5 +702,15 @@ CORE_ORACLE: dict[str, str] = {
                {_sql_round('CAST(o_custkey AS DOUBLE)')} AS val
         FROM orders
         ORDER BY o_orderkey, metric
+    """,
+    # oracle for the SALTED Spark join is the plain join: salting must be
+    # invisible in the result
+    "q26_salted_join": """
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
     """,
 }
