@@ -635,7 +635,6 @@ def sql_sim_topk_lsh(
     result is still hash-comparable across engines.  At cluster scale the
     probe side broadcasts (it is ``n_queries x 9`` rows) and the corpus side
     is shuffled once on ``bucket``."""
-    bucket = _sql_bucket_expr(g, _HP)
     probe_vals = ", ".join(
         ["bucket"] + [_xor(g, "bucket", str(1 << p)) for p in range(_HP.shape[0])]
     )
@@ -643,7 +642,6 @@ def sql_sim_topk_lsh(
     probe_arr = probe_arr.format(probe_vals)
     cos = f"{_sql_dot(g, 'q.e', 'c.e')} / (q.nrm * c.nrm)"
     en_cte, en = _en_parts(g, en_table)
-    _ = bucket
     return f"""
     WITH {en_cte}
     b AS (SELECT vec_id, e, nrm, CAST({_sql_bucket_expr(g, _HP)} AS BIGINT) AS bucket FROM {en}),
