@@ -241,6 +241,39 @@ def dedup_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair records sharing ``on``
+    whose event times fall within ``within`` of each other.
+
+    Stream-stream joins buffer both sides in the state store; the time-range
+    predicate plus watermarks on BOTH inputs let Spark evict state older
+    than ``watermark + within`` -- without them state grows forever.  This
+    is the streaming counterpart of the batch q17 range join: same join
+    condition, state bounded by the watermark horizon instead of a shuffle.
+    Left columns keep their names; right columns get an ``r_`` prefix."""
+    lw = left.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+    rw = (
+        right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+        .withColumn(f"r_{ts_col}", F.col(f"r_{ts_col}").cast("timestamp"))
+        .withWatermark(f"r_{ts_col}", watermark)
+    )
+    cond = (
+        (F.col(on) == F.col(f"r_{on}"))
+        & (F.col(f"r_{ts_col}") >= F.col(ts_col) - F.expr(f"INTERVAL {within}"))
+        & (F.col(f"r_{ts_col}") <= F.col(ts_col) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond)
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

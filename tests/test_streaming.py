@@ -133,6 +133,41 @@ def test_enrich_stream_matches_batch_join(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_interval_join_stream_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join must reproduce the batch
+    time-bounded self-join's pair count."""
+    from flatterer_spark.queries import T
+    from flatterer_spark.streaming.stream_flatten import (
+        interval_join_stream,
+        run_available_now,
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_ssj_")
+    try:
+        ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        ev.coalesce(1).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        mk = lambda: spark.readStream.schema(schema).parquet(d)  # noqa: E731
+        got = run_available_now(
+            interval_join_stream(mk(), mk(), "user_id", within="1 hour"),
+            "ssj_stream",
+        )
+        e2 = ev.selectExpr(
+            "event_id AS r_event_id", "user_id AS r_user_id", "ts AS r_ts"
+        )
+        want = ev.join(
+            e2,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        assert got.count() == want.count()
+        assert got.count() > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_dedup_stream(spark, tmp_path):
     """Streaming exact dedup: first arrival of each content hash survives;
     state bounded by the watermark."""
