@@ -393,25 +393,36 @@ def compute_metadata(result: FlattenResult) -> None:
 
 
 def _compute_stats(result: FlattenResult) -> None:
-    """K11 `stats`: per-field distinct estimate + min/max into
-    datapackage.json (reference uses streaming-stats/pdatastructs sketches;
-    approx_count_distinct is the Spark-native HLL equivalent)."""
+    """K11 `stats`: per-field distinct estimate, min/max, and (for fields
+    that parse as numbers) mean/stddev into datapackage.json.  One agg pass
+    per table (reference uses streaming-stats/pdatastructs sketches;
+    approx_count_distinct is the Spark-native HLL equivalent and
+    mean/stddev_samp match streaming-stats' moments)."""
     for name, df in result.tables.items():
         aggs = []
         for c in df.columns:
-            q = f"`{c}`"
-            aggs.append(F.approx_count_distinct(F.col(q)).alias(f"d::{c}"))
-            aggs.append(F.min(F.col(q).cast("string")).alias(f"mn::{c}"))
-            aggs.append(F.max(F.col(q).cast("string")).alias(f"mx::{c}"))
+            col = F.col(f"`{c}`")
+            aggs.append(F.approx_count_distinct(col).alias(f"d::{c}"))
+            aggs.append(F.min(col.cast("string")).alias(f"mn::{c}"))
+            aggs.append(F.max(col.cast("string")).alias(f"mx::{c}"))
+            # try_cast: non-numeric text -> null (plain CAST throws under
+            # ANSI mode), agg skips nulls
+            num = F.expr(f"try_cast(`{c}` AS DOUBLE)")
+            aggs.append(F.mean(num).alias(f"avg::{c}"))
+            aggs.append(F.stddev_samp(num).alias(f"sd::{c}"))
         row = df.agg(*aggs).collect()[0].asDict()
-        result.stats[name] = {
-            c: {
+        result.stats[name] = {}
+        for c in df.columns:
+            st = {
                 "approx_distinct": row[f"d::{c}"],
                 "min": row[f"mn::{c}"],
                 "max": row[f"mx::{c}"],
             }
-            for c in df.columns
-        }
+            if row[f"avg::{c}"] is not None:
+                st["mean"] = row[f"avg::{c}"]
+                if row[f"sd::{c}"] is not None:
+                    st["stddev"] = row[f"sd::{c}"]
+            result.stats[name][c] = st
 
 
 def _apply_field_table_csv(result: FlattenResult) -> None:

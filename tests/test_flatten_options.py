@@ -143,6 +143,9 @@ def test_stats_in_datapackage(spark, tmp_path):
     main = next(r for r in dp["resources"] if r["name"] == "main")
     assert main["stats"]["title"]["approx_distinct"] == 2
     assert main["stats"]["title"]["min"] == "A Game"
+    assert "mean" not in main["stats"]["title"]  # text field: no moments
+    assert main["stats"]["id"]["mean"] == 1.5  # ids 1,2
+    assert "stddev" in main["stats"]["id"]
 
 
 def test_arrays_new_table(spark, tmp_path):
