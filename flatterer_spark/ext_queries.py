@@ -198,6 +198,65 @@ def sql_text_gopher_filter(g: Gen) -> str:
     """
 
 
+# PII patterns restricted to constructs RE2 (DuckDB) and Java regex (Spark)
+# evaluate identically: no backrefs, no lookaround, explicit classes.  The
+# escaped dot must survive each engine's string-literal parsing: Spark SQL
+# literals consume one level of backslash ('\\.' in SQL text -> '\.' to the
+# regex), DuckDB passes literals through verbatim.
+def _pii_patterns(g: Gen) -> tuple[str, str]:
+    esc_dot = "\\\\." if g.spark else "\\."
+    email = f"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+{esc_dot}[A-Za-z][A-Za-z]+"
+    ipv4 = esc_dot.join(["[0-9]+"] * 4)
+    return email, ipv4
+
+
+def sql_text_pii_scrub(g: Gen) -> str:
+    """PII detection + masking (emails, IPv4) as pure JVM-side regex ops.
+
+    The corpus carries no natural PII, so the query first plants one
+    deterministic email and IP per document (derived from doc_id -- both
+    engines construct identical text), then counts and scrubs them.  The
+    invariant the oracle checks end-to-end: every planted item is found,
+    masked output contains none, and the scrubbed text hash matches across
+    engines.  At 100 TB this is one codegen'd projection -- no shuffle, no
+    UDF."""
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS STRING) || '@example.com'"
+        " || ' from 10.0.' || CAST(doc_id % 256 AS STRING) || '.1'"
+        if g.spark else
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+    )
+    email_pat, ipv4_pat = _pii_patterns(g)
+    n_email = g.size(f"regexp_extract_all(t2, '({email_pat})', 1)")
+    n_ip = g.size(f"regexp_extract_all(t2, '({ipv4_pat})', 1)")
+    # Spark replaces all matches; DuckDB needs the explicit 'g' flag
+    if g.spark:
+        scrub = (
+            f"regexp_replace(regexp_replace(t2, '{email_pat}', '<EMAIL>'), "
+            f"'{ipv4_pat}', '<IP>')"
+        )
+    else:
+        scrub = (
+            f"regexp_replace(regexp_replace(t2, '{email_pat}', '<EMAIL>', 'g'), "
+            f"'{ipv4_pat}', '<IP>', 'g')"
+        )
+    return f"""
+    WITH a AS (SELECT doc_id, {aug} AS t2 FROM documents),
+    s AS (SELECT doc_id,
+                 CAST({n_email} AS BIGINT) AS n_emails,
+                 CAST({n_ip} AS BIGINT) AS n_ips,
+                 {scrub} AS scrubbed
+          FROM a)
+    SELECT doc_id, n_emails, n_ips,
+           md5(scrubbed) AS scrubbed_hash,
+           CAST(CASE WHEN scrubbed LIKE '%<EMAIL>%'
+                      AND scrubbed NOT LIKE '%@example.com%'
+                THEN 1 ELSE 0 END AS BIGINT) AS masked_ok
+    FROM s ORDER BY doc_id
+    """
+
+
 def sql_text_lang_id(g: Gen) -> str:
     toks = g.tokens("text")
     scores = {
@@ -837,6 +896,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "text_lang_id": (sql_text_lang_id, ("documents",)),
     "text_gopher_filter": (sql_text_gopher_filter, ("documents",)),
     "text_token_count_bpe": (sql_text_token_count_bpe, ("documents",)),
+    "text_pii_scrub": (sql_text_pii_scrub, ("documents",)),
     "text_fingerprint": (sql_text_fingerprint, ("documents",)),
     "dedup_exact": (sql_dedup_exact, ("documents",)),
     "dedup_ngram_jaccard": (sql_dedup_ngram_jaccard, ("documents",)),
