@@ -107,10 +107,17 @@ def read_json_source(
             paths = [_respool_stream(p) for p in paths]
         ndjson = True
 
+    # FAILFAST: malformed JSON must error the run (the reference engine
+    # fails and error-hygiene removes the partial output dir); PERMISSIVE
+    # would leak a _corrupt_record column and an all-null row instead.
     if ndjson:
-        df = spark.read.json(paths)
+        df = spark.read.option("mode", "FAILFAST").json(paths)
     else:
-        df = spark.read.option("multiLine", True).json(paths)
+        df = (
+            spark.read.option("mode", "FAILFAST")
+            .option("multiLine", True)
+            .json(paths)
+        )
         for key in path:  # S2: descend to the array under a key path
             df = df.select(F.explode(F.col(key)).alias("_el")).select("_el.*")
 

@@ -433,6 +433,22 @@ def test_failure_removes_partial_output(spark, tmp_path, monkeypatch):
     _ = flatten_mod
 
 
+def test_malformed_json_fails_and_cleans_output(spark, tmp_path):
+    """Reference parity: malformed input errors the run (no silent
+    _corrupt_record column / null rows) and error hygiene removes the
+    partial output dir."""
+    import pytest as _pytest
+
+    from flatterer_spark.flatten import flatten
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"id": 1}\n{"id": 2, BROKEN\n{"id": 3}\n')
+    out = str(tmp_path / "badout")
+    with _pytest.raises(Exception):
+        flatten(str(p), out, spark=spark, ndjson=True)
+    assert not os.path.exists(out)
+
+
 def test_flatterer_log_env_hook(monkeypatch):
     """C4: FLATTERER_LOG env overrides the default level (reference
     docs/development.md:46-48; 'trace' maps to DEBUG)."""
