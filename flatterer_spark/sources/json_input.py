@@ -362,11 +362,10 @@ def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
     for r in counts:
         offsets[r["_pid"]] = acc
         acc += r["count"]
-    spark = df.sparkSession
-    omap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
-    _ = spark
+    if not offsets:
+        # empty input: typed empty map, else map()[_pid] is VOID-typed
+        return df.withColumn("_ord", F.lit(None).cast("long"))
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     return (
         mid_df.withColumn("_pid", F.spark_partition_id())
         .withColumn(

@@ -433,6 +433,24 @@ def test_failure_removes_partial_output(spark, tmp_path, monkeypatch):
     _ = flatten_mod
 
 
+def test_empty_input_yields_empty_main(spark, tmp_path):
+    """Empty NDJSON / empty array: empty main table with a _link header,
+    not an internal error from the ordinal offset map."""
+    from flatterer_spark.flatten import flatten
+
+    for name, content, kw in [
+        ("e.jsonl", "", {"ndjson": True}),
+        ("e.json", "[]", {}),
+    ]:
+        p = tmp_path / name
+        p.write_text(content)
+        out = str(tmp_path / f"out_{name}")
+        flatten(str(p), out, spark=spark, **kw)
+        with open(f"{out}/csv/main.csv") as f:
+            lines = f.read().splitlines()
+        assert lines[0] == "_link" and len(lines) == 1
+
+
 def test_malformed_json_fails_and_cleans_output(spark, tmp_path):
     """Reference parity: malformed input errors the run (no silent
     _corrupt_record column / null rows) and error hygiene removes the
