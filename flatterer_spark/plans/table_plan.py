@@ -151,7 +151,30 @@ def derive_plan(schema: StructType, opts: PlanOptions) -> list[TablePlan]:
     root = TablePlan(name=table_name(()), path=())
     tables.append(root)
     walk_struct(schema, root, (), ())
+    for t in tables:
+        _dedupe_col_names(t, sep)
     return tables
+
+
+def _dedupe_col_names(table: TablePlan, sep: str) -> None:
+    """Separator collisions (a literal ``a_b`` key next to an ``a.b`` path
+    both flatten to ``a_b``) would make the executor's select ambiguous;
+    suffix later occurrences deterministically (``a_b``, ``a_b_2``, ...)."""
+    seen: dict[str, int] = {}
+    names = {c.name for c in table.cols}
+    for c in table.cols:
+        if c.name in seen:
+            k = seen[c.name] + 1
+            new = f"{c.name}{sep}{k}"
+            while new in names:
+                k += 1
+                new = f"{c.name}{sep}{k}"
+            seen[c.name] = k
+            seen.setdefault(new, 1)
+            names.add(new)
+            c.name = new
+        else:
+            seen[c.name] = 1
 
 
 def _is_string(dt: DataType) -> bool:

@@ -107,17 +107,12 @@ def read_json_source(
             paths = [_respool_stream(p) for p in paths]
         ndjson = True
 
-    # FAILFAST: malformed JSON must error the run (the reference engine
-    # fails and error-hygiene removes the partial output dir); PERMISSIVE
-    # would leak a _corrupt_record column and an all-null row instead.
     if ndjson:
-        df = spark.read.option("mode", "FAILFAST").json(paths)
+        df = spark.read.json(paths)
+        df = _reject_malformed(df)
     else:
-        df = (
-            spark.read.option("mode", "FAILFAST")
-            .option("multiLine", True)
-            .json(paths)
-        )
+        df = spark.read.option("multiLine", True).json(paths)
+        df = _reject_malformed(df)
         for key in path:  # S2: descend to the array under a key path
             df = df.select(F.explode(F.col(key)).alias("_el")).select("_el.*")
 
@@ -335,6 +330,42 @@ def sample_key_order(
         except (OSError, ValueError, KeyError):
             continue
     return order
+
+
+_CORRUPT = "_corrupt_record"
+
+
+def _reject_malformed(df: DataFrame) -> DataFrame:
+    """Syntactically malformed input errors the run (reference parity: the
+    engine fails and error hygiene removes the partial output); the corrupt
+    column never leaks into output tables.
+
+    Spark PERMISSIVE marks two distinct things in ``_corrupt_record``:
+    genuine syntax errors AND valid-JSON rows where one value could not be
+    coerced to the inferred column type (e.g. ``""`` under a boolean column
+    -- inference ignores empty strings when merging types).  Only the former
+    is an input error, so the raw text of flagged rows is re-parsed
+    driver-side and the run fails only on real syntax failures; coercion
+    edges keep the permissive row (the affected cell is null) as before.
+    FAILFAST cannot make this distinction -- it would reject valid JSON."""
+    if _CORRUPT not in df.columns:
+        return df
+    # Spark disallows queries referencing only the corrupt column on an
+    # uncached JSON relation; the cache is reused by the rest of the pipeline
+    df = df.cache()
+    import json as _json
+
+    flagged = (
+        df.where(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).limit(20).collect()
+    )
+    for r in flagged:
+        try:
+            _json.loads(r[0])
+        except Exception:
+            raise ValueError(
+                f"malformed JSON input (first bad record: {r[0][:200]!r})"
+            ) from None
+    return df.drop(_CORRUPT)
 
 
 def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:

@@ -433,6 +433,22 @@ def test_failure_removes_partial_output(spark, tmp_path, monkeypatch):
     _ = flatten_mod
 
 
+def test_separator_name_collision_deduped(spark, tmp_path):
+    """A literal 'a_b' key and an {'a': {'b': ...}} path both flatten to
+    'a_b'; later occurrences get a deterministic numeric suffix instead of
+    an ambiguous-reference error."""
+    from flatterer_spark.flatten import flatten
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(json.dumps({"a_b": 1, "a": {"b": 2}}) + "\n")
+    out = str(tmp_path / "c_out")
+    flatten(str(p), out, spark=spark, ndjson=True)
+    with open(f"{out}/csv/main.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert set(rows[0]) == {"_link", "a_b", "a_b_2"}
+    assert rows[0]["a_b"] == "1" and rows[0]["a_b_2"] == "2"
+
+
 def test_empty_input_yields_empty_main(spark, tmp_path):
     """Empty NDJSON / empty array: empty main table with a _link header,
     not an internal error from the ordinal offset map."""
