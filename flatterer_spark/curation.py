@@ -1,0 +1,392 @@
+"""Corpus-curation operators: the decisions a training-data pipeline makes
+AFTER per-document analysis -- duplicate-cluster resolution, benchmark
+decontamination, deterministic splits, weighted source mixing, token-aware
+sharding.
+
+Same contract as ``ext_queries``: each operator is declared once as a SQL
+builder over :class:`flatterer_spark.functions.textgen.Gen` and instantiated
+for both engines, so the driver's value-hash gate compares the identical
+expression tree.  Two operators additionally carry a hand-built Spark *scale
+path* (registered in ``CURATION_QUERIES``) that produces byte-identical
+results to the declarative oracle:
+
+ - ``dedup_cluster``: the oracle is a DuckDB recursive CTE (transitive
+   closure -- fine for an oracle, exponential state at scale); the Spark path
+   is distributed min-label propagation, O(diameter) joins.
+ - ``pack_shards``: the oracle is a global ``SUM() OVER (ORDER BY ...)``
+   (single-partition window in Spark -- a scale anti-pattern); the Spark path
+   is the classic two-phase distributed prefix sum.
+
+Scale posture (100 TB):
+ - dedup_cluster: per-iteration cost is one shuffle join on the edge list +
+   one groupBy min; iterations = component diameter (near-dup graphs are
+   shallow -- boilerplate stars, not long chains).  Production hardening for
+   adversarial diameters is the alternating large-star/small-star variant
+   (same join primitives, O(log n) rounds); labels strictly decrease so the
+   sum-of-labels fixpoint test needs no full-table compare.
+ - decontaminate: inverted-index equi-join on the n-gram; the benchmark side
+   is tiny (the eval suites you guard against) and broadcast, so the corpus
+   never shuffles.
+ - split_assign / mix_weighted: stateless per-row hash math, no shuffle at
+   all; split membership is a pure function of (salt, doc_id) so it is stable
+   under re-runs, backfills, and corpus growth -- the property that keeps
+   eval sets eval.
+ - pack_shards: two-phase prefix sum -- per-bucket partials (one narrow
+   agg), tiny offset table broadcast back, within-bucket running windows.
+   No single-partition window anywhere.
+
+Reference scope note: the reference engine (kindly/flatterer) is a JSON ->
+relational ETL tool and has no corpus-curation surface; these operators come
+from the north-star brief (BASELINE.json "LLM-data-pipeline operators"), so
+there is no reference file to cite for parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flatterer_spark.functions.textgen import Gen
+
+# Tokens per output shard for pack_shards: small enough that sf0.01 (500
+# docs, ~30 tokens each) produces a multi-shard assignment worth checking.
+SHARD_TOKENS = 2000
+
+# Contamination flag threshold: >= this many distinct shared n-grams.
+CONTAM_MIN_SHARED = 5
+
+# Deterministic "benchmark membership" predicate for the synthetic corpus:
+# every 97th doc stands in for the held-out eval suite.
+BENCH_MOD = 97
+
+
+# ---------------------------------------------------------------------------
+# split_assign: deterministic hash split (train/val/test)
+# ---------------------------------------------------------------------------
+
+def sql_split_assign(g: Gen, salt: str = "split-v1") -> str:
+    """Hash-based split assignment: md5('salt:' || doc_id) % 100 -> 90/5/5.
+
+    Membership is a pure function of (salt, doc_id): adding or removing other
+    documents never moves a doc across splits (unlike rand() or ntile), and
+    re-keying the whole corpus is a one-line salt bump."""
+    h = g.md5_32(f"'{salt}:' || {g.str_cast('doc_id')}")
+    return f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {h} % 100 AS bucket FROM documents) t
+    ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# mix_weighted: per-source sampling rates (data mixing)
+# ---------------------------------------------------------------------------
+
+def sql_mix_weighted(g: Gen, salt: str = "mix-v1") -> str:
+    """Weighted source mixing: keep a deterministic hash-fraction of each
+    source.  The demo weight table derives the rate from the source id
+    (src % 4 -> 1.0 / 0.75 / 0.5 / 0.25); a real pipeline joins a weights
+    dim instead -- the kept-iff-hash-below-rate mechanism is the operator.
+
+    Hash-threshold sampling (vs rand()) keeps the sample stable across
+    re-runs and monotone in the rate: raising a source's weight only ADDS
+    documents, never swaps them -- the property that makes mixture ablations
+    comparable."""
+    h = g.md5_32(f"'{salt}:' || {g.str_cast('doc_id')}")
+    srcnum = f"CAST(substring(source, 4) AS BIGINT)"
+    return f"""
+    SELECT doc_id, source, rate
+    FROM (
+        SELECT doc_id, source,
+               CAST(CASE ({srcnum}) % 4
+                    WHEN 0 THEN {g.d(1.0)}
+                    WHEN 1 THEN {g.d(0.75)}
+                    WHEN 2 THEN {g.d(0.5)}
+                    ELSE {g.d(0.25)} END AS DOUBLE) AS rate,
+               CAST({h} AS DOUBLE) / {g.d(4294967296.0)} AS frac
+        FROM documents
+    ) t
+    WHERE frac < rate
+    ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# decontaminate: n-gram overlap against a benchmark set
+# ---------------------------------------------------------------------------
+
+def sql_decontaminate(g: Gen, k: int = 3, sh_table: str | None = None) -> str:
+    """Flag training documents sharing k-gram shingles with the benchmark
+    subset (docs where doc_id % BENCH_MOD == 0 stand in for eval suites).
+
+    Inverted-index join on the shingle: the benchmark gram set is tiny and
+    broadcast; each corpus doc counts its DISTINCT shared grams, and
+    ``contaminated`` flags >= CONTAM_MIN_SHARED.  Benchmark docs themselves
+    are excluded from the output (they are the contamination source, not
+    candidates for it)."""
+    from flatterer_spark.ext_queries import sql_shingle_cte, _explode
+
+    sh = sh_table or "sh"
+    sh_cte = "" if sh_table else f"sh AS ({sql_shingle_cte(g, k)}),"
+    return f"""
+    WITH {sh_cte}
+    e AS (SELECT doc_id, {_explode(g, "s", "gram")} FROM {sh}),
+    bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % {BENCH_MOD} = 0),
+    hits AS (
+        SELECT e.doc_id, CAST(COUNT(DISTINCT e.gram) AS BIGINT) AS n_shared
+        FROM e JOIN bench ON e.gram = bench.gram
+        WHERE e.doc_id % {BENCH_MOD} <> 0
+        GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+           COALESCE(h.n_shared, CAST(0 AS BIGINT)) >= {CONTAM_MIN_SHARED}
+               AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {BENCH_MOD} <> 0
+    ORDER BY d.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# pack_shards: token-aware shard assignment
+# ---------------------------------------------------------------------------
+
+def sql_pack_shards(g: Gen, shard_tokens: int = SHARD_TOKENS) -> str:
+    """Oracle spec: global running token sum in doc_id order; a document goes
+    to the shard its START offset falls in (start = cum - n_tok, always >= 0,
+    so DIV/floor-div agree across engines).
+
+    This window form is the SPEC only -- ``SUM() OVER (ORDER BY ...)`` with
+    no PARTITION BY collapses Spark to a single-partition window.  The
+    registered Spark path (:func:`pack_shards_query`) computes the identical
+    prefix sum with the two-phase distributed pattern."""
+    n_tok = f"CAST({g.size(g.tokens('text'))} AS BIGINT)"
+    return f"""
+    WITH tok AS (SELECT doc_id, {n_tok} AS n_tok FROM documents),
+    c AS (
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tok
+        FROM tok
+    )
+    SELECT doc_id, n_tok, cum_tok,
+           {g.idiv('(cum_tok - n_tok)', shard_tokens)} AS shard
+    FROM c
+    ORDER BY doc_id
+    """
+
+
+def pack_shards_query(
+    spark: SparkSession, sf_dir: str, shard_tokens: int = SHARD_TOKENS,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Distributed two-phase prefix sum over doc_id order.
+
+    Phase 1: range-bucket on doc_id (``doc_id DIV width``), aggregate one
+    partial token sum per bucket -- a narrow shuffle of n_buckets rows.
+    Phase 2: turn the partials into exclusive prefix offsets (driver-side
+    over n_buckets values -- thousands at most, never data-sized), broadcast
+    them back, and run the running window WITHIN each bucket.  offset +
+    within-bucket cumsum == the global prefix sum, exactly, because buckets
+    partition the order key's range.
+
+    At 100 TB the only full-data operations are one narrow aggregate and one
+    windowed pass over properly-partitioned buckets; no single-partition
+    window, no data-sized driver state."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flatterer_spark.queries import T
+
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    # bucket width from the id range: one tiny min/max agg (a real pipeline
+    # knows its id range a priori and skips this scan)
+    lo, hi = tok.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    tok = tok.withColumn("_b", ((F.col("doc_id") - lo) / width).cast("long"))
+
+    partials = {
+        r["_b"]: r["s"]
+        for r in tok.groupBy("_b").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(max(partials) + 1 if partials else 0):
+        offsets.append((b, acc))
+        acc += partials.get(b, 0)
+    off = spark.createDataFrame(offsets, "_b long, _off long")
+
+    w = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        tok.join(F.broadcast(off), "_b")
+        .withColumn("cum_tok", (F.col("_off") + F.sum("n_tok").over(w)).cast("long"))
+        .withColumn(
+            "shard",
+            ((F.col("cum_tok") - F.col("n_tok")) / shard_tokens)
+            .cast("long"),
+        )
+        .select("doc_id", "n_tok", "cum_tok", "shard")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster: connected components over near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+def sql_dedup_cluster(g: Gen) -> str:
+    """Oracle spec: connected components of the minhash-LSH duplicate-pair
+    graph via transitive closure (DuckDB recursive CTE); cluster_id = min
+    doc_id reachable.  Only documents that appear in at least one duplicate
+    pair are emitted (singletons are their own trivial cluster and carry no
+    dedup decision).
+
+    The recursive closure enumerates every (node, reachable-node) pair --
+    correct and compact as an oracle, quadratic state per component at
+    scale.  The registered Spark path (:func:`dedup_cluster_query`) reaches
+    the same fixpoint with distributed min-label propagation."""
+    from flatterer_spark.ext_queries import sql_dedup_minhash_lsh
+
+    pairs = sql_dedup_minhash_lsh(g)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+    FROM lab
+    ORDER BY doc_id
+    """
+
+
+def dedup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed min-label propagation to the connected-components
+    fixpoint.
+
+    labels(v) starts at v; each round replaces it with min(label(v),
+    min over neighbours' labels) -- one equi-join on the (symmetrized) edge
+    list plus one groupBy-min per round, both ordinary shuffles on uniform
+    keys.  Labels are monotonically non-increasing, so convergence is
+    detected by the scalar sum of labels going flat (no full-table
+    compare).  ``localCheckpoint`` truncates the growing lineage each round
+    (on a production cluster use reliable ``checkpoint`` to survive executor
+    loss).  Rounds needed = component diameter; near-dup graphs are
+    star-shaped and shallow.  Identical output to the recursive-CTE oracle:
+    (doc_id, cluster_id=min reachable id, is_canonical)."""
+    import pyspark.sql.functions as F
+
+    from flatterer_spark.ext_queries import (
+        Gen as _G,
+        _shingle_view,
+        sql_dedup_minhash_lsh,
+    )
+    from flatterer_spark.queries import T
+
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    view = _shingle_view(spark, sf_dir)
+    pairs = spark.sql(sql_dedup_minhash_lsh(_G(spark=True), sh_table=view))
+
+    edges = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .union(pairs.select(F.col("id2"), F.col("id1")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("label")).first()[0]
+    while True:
+        nbr = (
+            edges.join(labels, edges.a == labels.id)
+            .groupBy("b").agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels.id == nbr.b, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            (F.col("id") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+_BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
+    "split_assign": (sql_split_assign, ("documents",)),
+    "mix_weighted": (sql_mix_weighted, ("documents",)),
+    "decontaminate": (sql_decontaminate, ("documents",)),
+    "pack_shards": (sql_pack_shards, ("documents",)),
+    "dedup_cluster": (sql_dedup_cluster, ("documents",)),
+}
+
+
+def _make_query(builder, tables):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flatterer_spark.queries import T
+
+        for t in tables:
+            T(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(builder(Gen(spark=True)))
+
+    return run
+
+
+def _decontaminate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flatterer_spark.ext_queries import _shingle_view
+    from flatterer_spark.queries import T
+
+    view = _shingle_view(spark, sf_dir)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_decontaminate(Gen(spark=True), sh_table=view))
+
+
+CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: _make_query(builder, tables)
+    for name, (builder, tables) in _BUILDERS.items()
+}
+CURATION_QUERIES["decontaminate"] = _decontaminate_spark
+CURATION_QUERIES["pack_shards"] = pack_shards_query
+CURATION_QUERIES["dedup_cluster"] = dedup_cluster_query
+
+CURATION_ORACLE: dict[str, str] = {
+    name: builder(Gen(spark=False)) for name, (builder, tables) in _BUILDERS.items()
+}

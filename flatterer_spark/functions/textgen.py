@@ -129,7 +129,16 @@ class Gen:
             n = int(env) if env and env.isdigit() else 32
         return f"/*+ REPARTITION({n}) */ "
 
+    def str_cast(self, x: str) -> str:
+        return f"CAST({x} AS {'STRING' if self.spark else 'VARCHAR'})"
+
     # ---- numeric --------------------------------------------------------
+    def idiv(self, a: str, b: str) -> str:
+        """Integer division.  Spark DIV truncates toward zero, DuckDB //
+        floors -- identical only for non-negative operands, which every
+        call site guarantees (offsets / counts)."""
+        return f"({a} DIV {b})" if self.spark else f"({a} // {b})"
+
     def round2(self, x: str, scale: int = 2) -> str:
         m = 10 ** scale
         return f"FLOOR(({x}) * {m} + {self.d(0.5)}) / {m}"

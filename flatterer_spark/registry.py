@@ -28,6 +28,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(FLATTEN_QUERIES)
     except ImportError:
         pass
+    try:
+        from flatterer_spark.curation import CURATION_QUERIES
+
+        out.update(CURATION_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -46,6 +52,12 @@ def all_oracles() -> dict[str, str]:
         from flatterer_spark.flatten_queries import FLATTEN_ORACLE
 
         out.update(FLATTEN_ORACLE)
+    except ImportError:
+        pass
+    try:
+        from flatterer_spark.curation import CURATION_ORACLE
+
+        out.update(CURATION_ORACLE)
     except ImportError:
         pass
     return out
