@@ -30,20 +30,24 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import LongType
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which the vectorized Spark
-        # reader rejects; read nanos as long and truncate to microseconds
-        # in-plan (integer division -- double division loses precision at
-        # ~1e18 ns magnitudes).  The DuckDB oracles CAST to microsecond
-        # TIMESTAMP so both engines compare at the same precision.
+        # Testdata generations have stored events.ts as either parquet
+        # TIMESTAMP(MICROS) (reads natively as timestamp) or TIMESTAMP(NANOS)
+        # (rejected by the vectorized reader; with nanosAsLong it arrives as
+        # BIGINT nanos and must be truncated to micros in-plan -- integer
+        # division, since double division loses precision at ~1e18 ns).
+        # Branch on the dtype actually read so a testdata schema change can
+        # never again break every events consumer at analysis time.  Both
+        # engines compare at microsecond TIMESTAMP precision.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
