@@ -846,15 +846,26 @@ def sql_dedup_embedding_lsh(
 
 MM_EMBED_DIM = 8
 
+# 5 hyperplanes over the 8-dim pseudo-embedding space -> 32 buckets.  With
+# multiprobe (own bucket + 5 hamming-1 neighbors) each query scores ~6/32 of
+# the corpus instead of all of it; small enough that every query still finds
+# >= k candidates on the 500-doc test corpus, and the same dial as _HP/_HP2:
+# more planes = fewer candidates per bucket at real corpus sizes.
+_HP_MM = np.round(np.random.RandomState(13).normal(0.0, 1.0, (5, MM_EMBED_DIM)), 6)
+
 
 def sql_mm_sim_topk(g: Gen, n_queries: int = 5, k: int = 3) -> str:
     """End-to-end multimodal similarity: pseudo-embed document payloads
-    (the mm_embed_stub expression, inline) then brute-force cosine top-k.
+    (the mm_embed_stub expression, inline) then LSH-bucketed cosine top-k.
 
     Demonstrates the media-bytes -> embedding -> ANN bridge as ONE plan: at
-    scale the embed stage becomes an Arrow-batched model forward and the
-    top-k swaps to the sim_topk_lsh/ivf bucketed join; the column contract
-    (fixed-dim double array) is identical."""
+    scale the embed stage becomes an Arrow-batched model forward; the top-k
+    is the same multiprobe hyperplane-bucket equi-join as sim_topk_lsh (own
+    bucket + hamming-1 probes), so the corpus is shuffled once on ``bucket``
+    and only ~6/32 of it is scored per query -- no cross join of the full
+    corpus anywhere in the plan.  Deterministic hyperplanes keep the DuckDB
+    oracle on the identical candidate set, so the approximate result is
+    still hash-comparable across engines."""
     dim_exprs = []
     for d in range(MM_EMBED_DIM):
         salted = "text || ':' || '%d'" % d
@@ -866,12 +877,24 @@ def sql_mm_sim_topk(g: Gen, n_queries: int = 5, k: int = 3) -> str:
     arr = f"array({dims})" if g.spark else f"[{dims}]"
     sq = g.fold_sum(g.transform("e", "x", "x * x"))
     cos = f"{_sql_dot(g, 'q.e', 'c.e', dim=MM_EMBED_DIM)} / (q.nrm * c.nrm)"
+    bucket = _sql_bucket_expr(g, _HP_MM)
+    probe_vals = ", ".join(
+        ["bucket"] + [_xor(g, "bucket", str(1 << p)) for p in range(_HP_MM.shape[0])]
+    )
+    probe_arr = ("array({})" if g.spark else "[{}]").format(probe_vals)
     return f"""
     WITH emb AS (SELECT doc_id, {arr} AS e FROM documents),
     en AS (SELECT doc_id, e, sqrt({sq}) AS nrm FROM emb),
+    b AS (SELECT doc_id, e, nrm, CAST({bucket} AS BIGINT) AS bucket FROM en),
+    probes AS (
+        SELECT doc_id AS query_id, {_explode(g, probe_arr, 'pb')}
+        FROM b WHERE doc_id < {n_queries}
+    ),
     scored AS (
-        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, {cos} AS cos
-        FROM en q JOIN en c ON q.doc_id < {n_queries} AND c.doc_id <> q.doc_id
+        SELECT p.query_id, c.doc_id AS neighbor_id, {cos} AS cos
+        FROM probes p
+        JOIN b c ON c.bucket = p.pb AND c.doc_id <> p.query_id
+        JOIN b q ON q.doc_id = p.query_id
     ),
     ranked AS (
         SELECT query_id, neighbor_id, cos,

@@ -82,6 +82,17 @@ def test_embedding_ops_have_no_local_table_scan(spark, sf_dir):
         assert "LocalTableScan" not in plan, name
 
 
+def test_mm_sim_topk_has_no_corpus_cross_join(spark, sf_dir):
+    """The multimodal top-k must score via the multiprobe bucket equi-join,
+    never a nested-loop / cartesian scoring of the full corpus (the r2 shape
+    this replaced)."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["mm_sim_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_verify_not_serialized_by_aqe(spark, sf_dir):
     """The LSH candidate sets are few MB but carry huge per-row CPU
     (interpreted higher-order-function verify math); without an explicit
