@@ -6,60 +6,90 @@ field titles from schema ``title`` properties
 (`/root/reference/docs/options.md:663-756`; jsonref dep `Cargo.lock:2372`,
 slug dep `Cargo.lock:4051`).
 
-Local-document ``#/...`` refs are resolved here; remote HTTP refs would need
-network access and raise a clear error instead.
+``$ref`` resolution covers the full jsonref surface: local ``#/...``
+pointers, absolute ``http(s)://`` refs, and relative refs (resolved against
+the referencing document's own URL/path, so a remote document's internal
+refs fetch from its host).  Fetched documents are cached per call -- a
+schema referencing one remote vocabulary N times costs one request.  The
+schema path itself may be local or remote; remote fetches ride the same
+urllib path as HTTP data inputs (json_input._stage_input).
 """
 
 from __future__ import annotations
 
 import json
 import re
+from urllib.parse import urljoin
 
 
-def _resolve_ref(doc: dict, ref: str) -> dict:
-    if not ref.startswith("#/"):
-        raise ValueError(f"remote $ref not supported offline: {ref}")
+def _fetch_doc(url_or_path: str, cache: dict[str, dict]) -> dict:
+    if url_or_path not in cache:
+        if url_or_path.startswith(("http://", "https://")):
+            import urllib.request
+
+            with urllib.request.urlopen(url_or_path) as resp:
+                cache[url_or_path] = json.loads(resp.read())
+        else:
+            with open(url_or_path) as f:
+                cache[url_or_path] = json.load(f)
+    return cache[url_or_path]
+
+
+def _json_pointer(doc: dict, frag: str) -> dict:
     node = doc
-    for part in ref[2:].split("/"):
+    for part in frag.lstrip("/").split("/") if frag.lstrip("/") else []:
         node = node[part.replace("~1", "/").replace("~0", "~")]
-    return node
-
-
-def _deref(doc: dict, node: dict, depth: int = 0) -> dict:
-    if depth > 32:
-        return node
-    while isinstance(node, dict) and "$ref" in node:
-        node = _resolve_ref(doc, node["$ref"])
-        depth += 1
     return node
 
 
 def schema_key_order_and_titles(
     schema_path: str,
 ) -> tuple[dict[tuple[str, ...], list[str]], dict[tuple[str, ...], str]]:
-    """Walk a JSONSchema -> ({path: ordered keys}, {field path: title})."""
-    with open(schema_path) as f:
-        doc = json.load(f)
+    """Walk a JSONSchema -> ({path: ordered keys}, {field path: title}).
+
+    ``schema_path`` may be a local file or an http(s) URL.
+    """
+    cache: dict[str, dict] = {}
+    root = _fetch_doc(schema_path, cache)
 
     order: dict[tuple[str, ...], list[str]] = {}
     titles: dict[tuple[str, ...], str] = {}
 
-    def walk(node: dict, at: tuple[str, ...]) -> None:
-        node = _deref(doc, node)
+    def deref(node, doc: dict, base: str, depth: int = 0):
+        """Follow $ref chains; returns (node, owning doc, owning base URL) so
+        a remote document's internal refs keep resolving against it."""
+        while isinstance(node, dict) and "$ref" in node and depth <= 32:
+            ref = node["$ref"]
+            url, _, frag = ref.partition("#")
+            if url:
+                target = urljoin(base, url)
+                doc, base = _fetch_doc(target, cache), target
+                node = _json_pointer(doc, frag)
+            else:
+                node = _json_pointer(doc, frag)
+            depth += 1
+        return node, doc, base
+
+    def walk(node, doc: dict, base: str, at: tuple[str, ...]) -> None:
+        if len(at) > 32:  # recursive-schema guard (self-referential $ref)
+            return
+        node, doc, base = deref(node, doc, base)
+        if not isinstance(node, dict):
+            return
         if node.get("type") == "array" or "items" in node:
-            walk(node.get("items", {}), at)
+            walk(node.get("items", {}), doc, base, at)
             return
         props = node.get("properties")
         if not isinstance(props, dict):
             return
         order[at] = list(props.keys())
         for k, sub in props.items():
-            sub = _deref(doc, sub if isinstance(sub, dict) else {})
-            if "title" in sub:
+            sub, sdoc, sbase = deref(sub if isinstance(sub, dict) else {}, doc, base)
+            if isinstance(sub, dict) and "title" in sub:
                 titles[at + (k,)] = sub["title"]
-            walk(sub, at + (k,))
+            walk(sub, sdoc, sbase, at + (k,))
 
-    walk(doc, ())
+    walk(root, root, schema_path, ())
     return order, titles
 
 

@@ -61,6 +61,81 @@ def test_schema_field_order_and_titles(spark, tmp_path):
     assert "game_title" in header and "game_id" in header
 
 
+def test_remote_schema_ref_dereferenced(tmp_path):
+    """Reference parity (docs/options.md:663-756, jsonref): remote http $refs
+    are fetched and dereferenced, and a remote document's own relative refs
+    resolve against its URL."""
+    import functools
+    import http.server
+    import threading
+
+    from flatterer_spark.sources.schema_guide import schema_key_order_and_titles
+
+    srv_dir = tmp_path / "srv"
+    srv_dir.mkdir()
+    (srv_dir / "titles.json").write_text(json.dumps(
+        {"gameTitle": {"type": "string", "title": "Game Title"}}
+    ))
+    (srv_dir / "defs.json").write_text(json.dumps({
+        "definitions": {
+            "game": {
+                "type": "object",
+                "properties": {
+                    # relative ref: must resolve against defs.json's URL
+                    "title": {"$ref": "titles.json#/gameTitle"},
+                    "id": {"type": "number", "title": "Game ID"},
+                },
+            }
+        }
+    }))
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(srv_dir)
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        schema = _write(tmp_path, "schema.json", {
+            "type": "object",
+            "properties": {
+                "game": {
+                    "$ref": f"http://127.0.0.1:{port}/defs.json#/definitions/game"
+                },
+                "year": {"type": "number"},
+            },
+        })
+        order, titles = schema_key_order_and_titles(schema)
+        assert order[()] == ["game", "year"]
+        assert order[("game",)] == ["title", "id"]
+        assert titles[("game", "title")] == "Game Title"
+        assert titles[("game", "id")] == "Game ID"
+
+        # the schema path itself may be remote
+        order2, _ = schema_key_order_and_titles(
+            f"http://127.0.0.1:{port}/defs.json"
+        )
+        assert order2 == {}  # no top-level properties; must not error
+    finally:
+        httpd.shutdown()
+
+
+def test_recursive_schema_ref_terminates(tmp_path):
+    """A self-referential $ref (tree-shaped schema) must terminate, not
+    recurse forever."""
+    from flatterer_spark.sources.schema_guide import schema_key_order_and_titles
+
+    schema = _write(tmp_path, "rec.json", {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string", "title": "Name"},
+            "children": {"type": "array", "items": {"$ref": "#"}},
+        },
+    })
+    order, titles = schema_key_order_and_titles(schema)
+    assert order[()] == ["name", "children"]
+    assert titles[("name",)] == "Name"
+
+
 def test_sqlite_has_pk_fk_and_indexes(spark, tmp_path):
     """Reference parity (docs/changelog.md:224): SQLite export carries _link
     primary keys, FK constraints to ancestors, and indexes on FK columns."""
