@@ -18,12 +18,11 @@ results to the declarative oracle:
    is the classic two-phase distributed prefix sum.
 
 Scale posture (100 TB):
- - dedup_cluster: per-iteration cost is one shuffle join on the edge list +
-   one groupBy min; iterations = component diameter (near-dup graphs are
-   shallow -- boilerplate stars, not long chains).  Production hardening for
-   adversarial diameters is the alternating large-star/small-star variant
-   (same join primitives, O(log n) rounds); labels strictly decrease so the
-   sum-of-labels fixpoint test needs no full-table compare.
+ - dedup_cluster: alternating large-star/small-star contraction
+   (``operators/graph.py``) -- per-round cost is groupBy-min + equi-join
+   shuffles on uniform keys, and the edge set contracts to stars in O(log n)
+   rounds even on adversarial long-chain graphs (plain label propagation
+   needs O(diameter) rounds; tested on a 50-edge path graph).
  - decontaminate: inverted-index equi-join on the n-gram; the benchmark side
    is tiny (the eval suites you guard against) and broadcast, so the corpus
    never shuffles.
@@ -279,19 +278,13 @@ def sql_dedup_cluster(g: Gen) -> str:
 
 
 def dedup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed min-label propagation to the connected-components
-    fixpoint.
-
-    labels(v) starts at v; each round replaces it with min(label(v),
-    min over neighbours' labels) -- one equi-join on the (symmetrized) edge
-    list plus one groupBy-min per round, both ordinary shuffles on uniform
-    keys.  Labels are monotonically non-increasing, so convergence is
-    detected by the scalar sum of labels going flat (no full-table
-    compare).  ``localCheckpoint`` truncates the growing lineage each round
-    (on a production cluster use reliable ``checkpoint`` to survive executor
-    loss).  Rounds needed = component diameter; near-dup graphs are
-    star-shaped and shallow.  Identical output to the recursive-CTE oracle:
-    (doc_id, cluster_id=min reachable id, is_canonical)."""
+    """Connected components of the duplicate-pair graph via alternating
+    large-star/small-star contraction (:mod:`flatterer_spark.operators.graph`,
+    Kiveris et al. SoCC 2014): O(log n) rounds of ordinary groupBy-min +
+    equi-join shuffles even on adversarial long-chain graphs, where plain
+    min-label propagation needs O(diameter) rounds.  Identical output to the
+    recursive-CTE oracle: (doc_id, cluster_id=min reachable id,
+    is_canonical)."""
     import pyspark.sql.functions as F
 
     from flatterer_spark.ext_queries import (
@@ -299,48 +292,19 @@ def dedup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingle_view,
         sql_dedup_minhash_lsh,
     )
+    from flatterer_spark.operators.graph import connected_components
     from flatterer_spark.queries import T
 
     T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     view = _shingle_view(spark, sf_dir)
     pairs = spark.sql(sql_dedup_minhash_lsh(_G(spark=True), sh_table=view))
 
-    edges = (
-        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
-        .union(pairs.select(F.col("id2"), F.col("id1")))
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("a").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    prev = labels.agg(F.sum("label")).first()[0]
-    while True:
-        nbr = (
-            edges.join(labels, edges.a == labels.id)
-            .groupBy("b").agg(F.min("label").alias("nl"))
-        )
-        labels = (
-            labels.join(nbr, labels.id == nbr.b, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        cur = labels.agg(F.sum("label")).first()[0]
-        if cur == prev:
-            break
-        prev = cur
-    edges.unpersist()
+    labels = connected_components(pairs.select("id1", "id2"))
     return (
         labels.select(
             F.col("id").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            (F.col("id") == F.col("label")).alias("is_canonical"),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
         )
         .orderBy("doc_id")
     )
