@@ -192,6 +192,48 @@ def test_sqlite_evolve_adds_columns(spark, tmp_path):
     assert rows == [(1, "a", None), (2, "b", "x")]
 
 
+def test_sqlite_evolve_type_conflict_and_new_table(spark, tmp_path):
+    """Evolve across two loads with a CHANGED schema (docs/options.md:425-458):
+    a field that flips number->text keeps the original SQLite column type
+    (SQLite evolve rule), a new array introduces a whole new child table with
+    its _link PK/FK wiring, and both loads' rows coexist."""
+    from flatterer_spark.flatten import flatten
+
+    db = str(tmp_path / "ev.db")
+    v1 = [{"id": 1, "val": 10}]
+    v2 = [{"id": 2, "val": "not-a-number", "tags": [{"t": "a"}, {"t": "b"}]}]
+    flatten(
+        _write(tmp_path, "ev1.json", v1), str(tmp_path / "eo1"),
+        spark=spark, sqlite_path=db, id_prefix="l1.",
+    )
+    flatten(
+        _write(tmp_path, "ev2.json", v2), str(tmp_path / "eo2"),
+        spark=spark, sqlite_path=db, evolve=True, id_prefix="l2.",
+    )
+    con = sqlite3.connect(db)
+    try:
+        # type conflict: the original NUMERIC-typed column survives evolve
+        info = {r[1]: r[2] for r in con.execute('PRAGMA table_info("main")')}
+        assert info["val"] in ("NUMERIC", "INTEGER", "REAL")
+        rows = con.execute(
+            'SELECT id, val FROM "main" ORDER BY id'
+        ).fetchall()
+        assert rows == [(1, 10), (2, "not-a-number")]
+        # the new child table arrived with reference wiring: _link PK, FK
+        # back to main, index on the FK column
+        tags = con.execute('SELECT t FROM "tags" ORDER BY t').fetchall()
+        assert tags == [("a",), ("b",)]
+        ddl = con.execute(
+            "SELECT sql FROM sqlite_master WHERE type='table' AND name='tags'"
+        ).fetchone()[0]
+        assert 'PRIMARY KEY ("_link")' in ddl
+        assert 'REFERENCES "main" ("_link")' in ddl
+        con.execute("PRAGMA foreign_keys=ON")
+        assert con.execute("PRAGMA foreign_key_check").fetchall() == []
+    finally:
+        con.close()
+
+
 def test_sqlite_truncate_replaces_rows(spark, tmp_path):
     from flatterer_spark.flatten import flatten
 
