@@ -277,14 +277,13 @@ def sql_dedup_cluster(g: Gen) -> str:
     """
 
 
-def dedup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the duplicate-pair graph via alternating
-    large-star/small-star contraction (:mod:`flatterer_spark.operators.graph`,
-    Kiveris et al. SoCC 2014): O(log n) rounds of ordinary groupBy-min +
-    equi-join shuffles even on adversarial long-chain graphs, where plain
-    min-label propagation needs O(diameter) rounds.  Identical output to the
-    recursive-CTE oracle: (doc_id, cluster_id=min reachable id,
-    is_canonical)."""
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a minhash-LSH duplicate pair,
+    via alternating large-star/small-star contraction
+    (:mod:`flatterer_spark.operators.graph`, Kiveris et al. SoCC 2014):
+    O(log n) rounds of ordinary groupBy-min + equi-join shuffles even on
+    adversarial long-chain graphs, where plain min-label propagation needs
+    O(diameter) rounds."""
     import pyspark.sql.functions as F
 
     from flatterer_spark.ext_queries import (
@@ -298,14 +297,85 @@ def dedup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     view = _shingle_view(spark, sf_dir)
     pairs = spark.sql(sql_dedup_minhash_lsh(_G(spark=True), sh_table=view))
+    return connected_components(pairs.select("id1", "id2")).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
 
-    labels = connected_components(pairs.select("id1", "id2"))
+
+def dedup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction connected components (see :func:`_cluster_labels`).
+    Identical output to the recursive-CTE oracle: (doc_id, cluster_id=min
+    reachable id, is_canonical)."""
+    import pyspark.sql.functions as F
+
     return (
-        labels.select(
-            F.col("id").alias("doc_id"),
-            F.col("component").alias("cluster_id"),
-            (F.col("id") == F.col("component")).alias("is_canonical"),
+        _cluster_labels(spark, sf_dir)
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         )
+        .orderBy("doc_id")
+    )
+
+
+def sql_dedup_resolve(g: Gen) -> str:
+    """Oracle spec for canonical-document selection: the end-to-end dedup
+    DECISION.  Cluster the duplicate-pair graph (recursive closure, as
+    sql_dedup_cluster), score every clustered doc by token count, and keep
+    exactly one doc per cluster -- the longest, ties broken by lowest doc_id.
+    Emits (doc_id, cluster_id, n_tok, keep); downstream anti-joins
+    ``keep = false`` rows out of the corpus."""
+    from flatterer_spark.ext_queries import sql_dedup_minhash_lsh
+
+    pairs = sql_dedup_minhash_lsh(g)
+    n_tok = f"CAST({g.size(g.tokens('text'))} AS BIGINT)"
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    q AS (SELECT doc_id, {n_tok} AS n_tok FROM documents)
+    SELECT lab.doc_id, lab.cluster_id, q.n_tok,
+           ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+                              ORDER BY q.n_tok DESC, lab.doc_id) = 1 AS keep
+    FROM lab JOIN q ON q.doc_id = lab.doc_id
+    ORDER BY lab.doc_id
+    """
+
+
+def dedup_resolve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark scale path for :func:`sql_dedup_resolve`: star-contraction
+    cluster labels joined to a JVM-side token count, then one window over the
+    cluster partition picks the canonical doc (longest, then lowest id).
+    The window partitions on cluster_id -- clusters are tiny, so no skew --
+    and the labels side is far smaller than the corpus (only docs in pairs),
+    so at scale the join broadcasts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flatterer_spark.queries import T
+
+    labels = _cluster_labels(spark, sf_dir)
+    ntok = T(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tok"), F.asc("doc_id")
+    )
+    return (
+        labels.join(ntok, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_tok", "keep")
         .orderBy("doc_id")
     )
 
@@ -320,6 +390,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "decontaminate": (sql_decontaminate, ("documents",)),
     "pack_shards": (sql_pack_shards, ("documents",)),
     "dedup_cluster": (sql_dedup_cluster, ("documents",)),
+    "dedup_resolve": (sql_dedup_resolve, ("documents",)),
 }
 
 
@@ -350,6 +421,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 CURATION_QUERIES["decontaminate"] = _decontaminate_spark
 CURATION_QUERIES["pack_shards"] = pack_shards_query
 CURATION_QUERIES["dedup_cluster"] = dedup_cluster_query
+CURATION_QUERIES["dedup_resolve"] = dedup_resolve_query
 
 CURATION_ORACLE: dict[str, str] = {
     name: builder(Gen(spark=False)) for name, (builder, tables) in _BUILDERS.items()

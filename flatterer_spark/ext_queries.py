@@ -909,6 +909,63 @@ def sql_mm_sim_topk(g: Gen, n_queries: int = 5, k: int = 3) -> str:
     """
 
 
+def sql_text_repetition(g: Gen) -> str:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    table A1 'repetition' block, adapted to single-line text): duplicate-token
+    fraction (1 - distinct/total) and top-bigram fraction (occurrences of the
+    most frequent adjacent word pair / total bigrams).  High values flag
+    boilerplate and degenerate generations.  One explode + two grouped aggs,
+    all JVM-side; the bigram count shuffle keys on (doc_id, gram) -- uniform,
+    no skew."""
+    toks = g.tokens("text")
+    n = g.size("toks")
+    nd = g.size(g.distinct("toks"))
+    bigrams = g.transform(
+        g.seq("1", f"{n} - 1"), "i",
+        f"{g.at('toks', 'i')} || ' ' || {g.at('toks', 'i + 1')}",
+    )
+    dbl = "CAST({} AS DOUBLE)".format
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    b AS (SELECT doc_id, {_explode(g, bigrams, 'gram')} FROM t),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM b GROUP BY doc_id, gram),
+    m AS (SELECT doc_id, MAX(cnt) AS mx, SUM(cnt) AS tot FROM c GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST({n} AS BIGINT) AS n_tokens,
+           {g.round2(f"{g.d(1.0)} - {dbl(nd)} / {dbl(n)}")} AS dup_token_frac,
+           COALESCE({g.round2(f"{dbl('m.mx')} / {dbl('m.tot')}")}, {g.d(0.0)})
+               AS top_bigram_frac
+    FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+# below the 25-docs-per-source testdata density so the cap actually binds
+SAMPLE_PER_SOURCE_N = 15
+
+
+def sql_sample_per_source(g: Gen, n: int = SAMPLE_PER_SOURCE_N,
+                          salt: str = "cap-v1") -> str:
+    """Per-source document cap (the 'max docs per domain' pipeline rule):
+    keep the first ``n`` documents of each source in deterministic
+    hash-of-doc_id order.  Hash order (vs rand()) makes the kept set stable
+    across re-runs and incremental loads; one window over the source
+    partition -- a single shuffle on source, and at scale a pre-aggregated
+    count-per-source broadcast can short-circuit sources under the cap."""
+    h = g.md5_32(f"'{salt}:' || {g.str_cast('doc_id')}")
+    return f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {h}, doc_id) AS rn
+        FROM documents
+    ) t
+    WHERE rn <= {n}
+    ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
@@ -921,6 +978,8 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "text_token_count_bpe": (sql_text_token_count_bpe, ("documents",)),
     "text_pii_scrub": (sql_text_pii_scrub, ("documents",)),
     "text_fingerprint": (sql_text_fingerprint, ("documents",)),
+    "text_repetition": (sql_text_repetition, ("documents",)),
+    "sample_per_source": (sql_sample_per_source, ("documents",)),
     "dedup_exact": (sql_dedup_exact, ("documents",)),
     "dedup_ngram_jaccard": (sql_dedup_ngram_jaccard, ("documents",)),
     "dedup_minhash_lsh": (sql_dedup_minhash_lsh, ("documents",)),

@@ -485,6 +485,62 @@ def q26_salted_join(spark, sf_dir):
     )
 
 
+# Q27 batch sessionization (gaps-and-islands): the batch counterpart of the
+# streaming sessionize operator.  Per user, a >30-minute gap starts a new
+# session; running sum of the break flags numbers sessions.  INTERVAL
+# arithmetic keeps the gap comparison exact and timezone-free in both
+# engines; durations compare at microsecond precision (timestampdiff vs
+# date_diff both count exact micros on micros-aligned values).  Scale shape:
+# two window passes + one groupBy, all partitioned by user_id -- one shuffle.
+
+def q27_sessionize(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("brk", brk)
+        .withColumn("session_seq", F.sum("brk").over(wrun).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .withColumn(
+            "duration_us",
+            F.expr(
+                "timestampdiff(MICROSECOND, session_start, session_end)"
+            ).cast("long"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# Q28 exact grouped percentiles: Spark percentile() and DuckDB quantile_cont
+# share the linear-interpolation definition, so grouped quartiles compare
+# bit-for-bit after the deterministic rounding.  Partial+final aggregation
+# applies (percentile partials are per-group sorted buffers); at real scale
+# swap approx_percentile for the t-digest sketch path.
+
+def q28_percentiles(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            round_half_up(F.expr("percentile(o_totalprice, 0.25D)")).alias("p25"),
+            round_half_up(F.expr("percentile(o_totalprice, 0.5D)")).alias("p50"),
+            round_half_up(F.expr("percentile(o_totalprice, 0.75D)")).alias("p75"),
+            round_half_up(F.expr("percentile(o_totalprice, 0.9D)")).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -511,6 +567,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_window_analytics": q24_window_analytics,
     "q25_unpivot": q25_unpivot,
     "q26_salted_join": q26_salted_join,
+    "q27_sessionize": q27_sessionize,
+    "q28_percentiles": q28_percentiles,
 }
 
 
@@ -716,5 +774,41 @@ CORE_ORACLE: dict[str, str] = {
         FROM events e JOIN customer c ON c.c_custkey = e.user_id
         GROUP BY c.c_mktsegment
         ORDER BY c.c_mktsegment
+    """,
+    "q27_sessionize": """
+        WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events),
+        g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, event_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_seq
+            FROM g
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+                   AS duration_us
+        FROM s GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    "q28_percentiles": f"""
+        SELECT o_orderpriority,
+               {_sql_round('quantile_cont(o_totalprice, 0.25)')} AS p25,
+               {_sql_round('quantile_cont(o_totalprice, 0.5)')} AS p50,
+               {_sql_round('quantile_cont(o_totalprice, 0.75)')} AS p75,
+               {_sql_round('quantile_cont(o_totalprice, 0.9)')} AS p90
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
 }
