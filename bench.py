@@ -32,6 +32,8 @@ HEADLINE = [
     "q11_topk",             # TakeOrderedAndProject
     "q17_range_join",       # bounded range self-join
     "q18_correlated",       # decorrelated subquery
+    "q27_sessionize",       # gaps-and-islands double window + agg
+    "q28_percentiles",      # exact grouped quantiles (sorted agg buffers)
 ]
 
 

@@ -277,29 +277,45 @@ def sql_dedup_cluster(g: Gen) -> str:
     """
 
 
+_label_cache: dict[tuple[int, str], DataFrame] = {}
+
+
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) for every doc in a minhash-LSH duplicate pair,
     via alternating large-star/small-star contraction
     (:mod:`flatterer_spark.operators.graph`, Kiveris et al. SoCC 2014):
     O(log n) rounds of ordinary groupBy-min + equi-join shuffles even on
     adversarial long-chain graphs, where plain min-label propagation needs
-    O(diameter) rounds."""
+    O(diameter) rounds.
+
+    Staged once per (session, sf_dir) -- the same compute-signatures-once
+    pattern as the shingle/embedding views: dedup_cluster and dedup_resolve
+    both consume the labels, and the expensive part (the minhash candidate
+    join feeding the contraction) should run once, not per consumer."""
     import pyspark.sql.functions as F
 
     from flatterer_spark.ext_queries import (
         Gen as _G,
         _shingle_view,
+        _view_suffix,
         sql_dedup_minhash_lsh,
     )
     from flatterer_spark.operators.graph import connected_components
     from flatterer_spark.queries import T
 
-    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    view = _shingle_view(spark, sf_dir)
-    pairs = spark.sql(sql_dedup_minhash_lsh(_G(spark=True), sh_table=view))
-    return connected_components(pairs.select("id1", "id2")).select(
-        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
+    key = (id(spark), sf_dir)
+    if key not in _label_cache:
+        T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        view = _shingle_view(spark, sf_dir)
+        pairs = spark.sql(sql_dedup_minhash_lsh(_G(spark=True), sh_table=view))
+        labels = connected_components(pairs.select("id1", "id2")).select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+        ).persist()
+        labels.createOrReplaceTempView(
+            f"cluster_labels_{_view_suffix(sf_dir)}"
+        )
+        _label_cache[key] = labels
+    return _label_cache[key]
 
 
 def dedup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
