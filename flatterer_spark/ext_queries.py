@@ -966,6 +966,95 @@ def sql_sample_per_source(g: Gen, n: int = SAMPLE_PER_SOURCE_N,
     """
 
 
+def sql_corpus_stats(g: Gen) -> str:
+    """Training-data accounting: docs / tokens / mean doc length per
+    (source, lang) with ROLLUP subtotals -- the table a mixture designer
+    reads before setting mix_weighted rates.  One partial+final grouped agg
+    over JVM-side expressions; the rollup adds grouping-set rows, not extra
+    scans.  avg_chars sums integer-valued doubles, so the float result is
+    order-independent and exact across engines."""
+    toks = g.tokens("text")
+    return f"""
+    WITH t AS (SELECT source, lang, CAST({g.size(toks)} AS BIGINT) AS n_tok,
+                      n_chars
+               FROM documents)
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           {g.round2('AVG(CAST(n_chars AS DOUBLE))')} AS avg_chars
+    FROM t
+    GROUP BY ROLLUP(source, lang)
+    ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+    """
+
+
+def sql_emb_label_centroids(g: Gen, en_table: str | None = None) -> str:
+    """Per-label embedding centroids in long form (label, dim, centroid_val,
+    n_vectors) -- the building block for IVF training, class prototypes, and
+    drift monitoring.  The corpus joins its label row once, cross-joins a
+    64-row dimension table (broadcast), and one grouped AVG per (label, dim)
+    does the rest; shuffle keys are uniform."""
+    en_cte, en = _en_parts(g, en_table)
+    return f"""
+    WITH {en_cte}
+    dims AS (SELECT {_explode(g, g.seq('1', str(EMB_DIM)), 'dim')}),
+    j AS (
+        SELECT CAST(l.label AS BIGINT) AS label, CAST(d.dim AS BIGINT) AS dim,
+               {g.at('v.e', 'd.dim')} AS val
+        FROM {en} v
+        JOIN embeddings l ON l.vec_id = v.vec_id
+        CROSS JOIN dims d
+    )
+    SELECT label, dim,
+           {g.round2('AVG(val)')} AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM j GROUP BY label, dim
+    ORDER BY label, dim
+    """
+
+
+def sql_sim_knn_classify(
+    g: Gen, n_queries: int = 10, k: int = 5, en_table: str | None = None
+) -> str:
+    """KNN label prediction: majority vote over each query vector's top-k
+    cosine neighbors' labels (ties -> smallest label).  The supervised
+    consumer of the ANN surface -- at scale the scoring join swaps to the
+    sim_topk_lsh/ivf bucketed candidate path; the vote is one grouped count
+    plus a rank-1 window over per-query label tallies."""
+    cos = f"{_sql_dot(g, 'q.e', 'c.e')} / (q.nrm * c.nrm)"
+    en_cte, en = _en_parts(g, en_table)
+    return f"""
+    WITH {en_cte}
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+        FROM {en} q JOIN {en} c
+          ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    ),
+    votes AS (
+        SELECT r.query_id, CAST(l.label AS BIGINT) AS label,
+               COUNT(*) AS votes
+        FROM ranked r JOIN embeddings l ON l.vec_id = r.neighbor_id
+        WHERE r.rnk <= {k}
+        GROUP BY r.query_id, l.label
+    ),
+    best AS (
+        SELECT query_id, label, votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, label) AS vr
+        FROM votes
+    )
+    SELECT query_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+    FROM best WHERE vr = 1
+    ORDER BY query_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
@@ -980,6 +1069,9 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "text_fingerprint": (sql_text_fingerprint, ("documents",)),
     "text_repetition": (sql_text_repetition, ("documents",)),
     "sample_per_source": (sql_sample_per_source, ("documents",)),
+    "corpus_stats": (sql_corpus_stats, ("documents",)),
+    "emb_label_centroids": (sql_emb_label_centroids, ("embeddings",)),
+    "sim_knn_classify": (sql_sim_knn_classify, ("embeddings",)),
     "dedup_exact": (sql_dedup_exact, ("documents",)),
     "dedup_ngram_jaccard": (sql_dedup_ngram_jaccard, ("documents",)),
     "dedup_minhash_lsh": (sql_dedup_minhash_lsh, ("documents",)),
@@ -1130,6 +1222,8 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": _make_en_query(sql_sim_topk_lsh),
         "sim_topk_ivf": _make_en_query(sql_sim_topk_ivf),
         "sim_lsh_buckets": _make_en_query(sql_sim_lsh_buckets),
+        "emb_label_centroids": _make_en_query(sql_emb_label_centroids),
+        "sim_knn_classify": _make_en_query(sql_sim_knn_classify),
     }
 
 

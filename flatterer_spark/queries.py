@@ -541,6 +541,27 @@ def q28_percentiles(spark, sf_dir):
     )
 
 
+# Q29 keep-latest (CDC-style dedup): newest event per (user_id, event_type).
+# The standard upsert-compaction shape -- one window over the key partition,
+# rank 1 survives.  At scale this is the merge-on-read compaction pass; the
+# shuffle keys on the dedup key, and AQE handles the residual skew.
+
+def q29_keep_latest(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id", "event_type", "ts",
+            round_half_up(F.col("value")).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -569,6 +590,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_salted_join": q26_salted_join,
     "q27_sessionize": q27_sessionize,
     "q28_percentiles": q28_percentiles,
+    "q29_keep_latest": q29_keep_latest,
 }
 
 
@@ -810,5 +832,20 @@ CORE_ORACLE: dict[str, str] = {
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """,
+    "q29_keep_latest": f"""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          CAST(ts AS TIMESTAMP) AS ts, value
+                   FROM events),
+        r AS (
+            SELECT event_id, user_id, event_type, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e
+        )
+        SELECT event_id, user_id, event_type, ts,
+               {_sql_round('value')} AS value
+        FROM r WHERE rn = 1
+        ORDER BY event_id
     """,
 }
