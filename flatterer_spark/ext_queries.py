@@ -1018,17 +1018,33 @@ def sql_sim_knn_classify(
 ) -> str:
     """KNN label prediction: majority vote over each query vector's top-k
     cosine neighbors' labels (ties -> smallest label).  The supervised
-    consumer of the ANN surface -- at scale the scoring join swaps to the
-    sim_topk_lsh/ivf bucketed candidate path; the vote is one grouped count
-    plus a rank-1 window over per-query label tallies."""
+    consumer of the ANN surface: candidates come from the same multiprobe
+    hyperplane-bucket equi-join as sim_topk_lsh (own bucket + hamming-1
+    probes, ~9/256 of the corpus scored per query, corpus shuffled once on
+    ``bucket`` -- no cross join of the full corpus), and the vote is one
+    grouped count plus a rank-1 window over per-query label tallies.
+    Deterministic hyperplanes keep the oracle on the identical candidate
+    set."""
     cos = f"{_sql_dot(g, 'q.e', 'c.e')} / (q.nrm * c.nrm)"
     en_cte, en = _en_parts(g, en_table)
+    probe_vals = ", ".join(
+        ["bucket"] + [_xor(g, "bucket", str(1 << p)) for p in range(_HP.shape[0])]
+    )
+    probe_arr = ("array({})" if g.spark else "[{}]").format(probe_vals)
     return f"""
     WITH {en_cte}
+    b AS (SELECT vec_id, e, nrm,
+                 CAST({_sql_bucket_expr(g, _HP)} AS BIGINT) AS bucket
+          FROM {en}),
+    probes AS (
+        SELECT vec_id AS query_id, {_explode(g, probe_arr, 'pb')}
+        FROM b WHERE vec_id < {n_queries}
+    ),
     scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
-        FROM {en} q JOIN {en} c
-          ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+        SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cos
+        FROM probes p
+        JOIN b c ON c.bucket = p.pb AND c.vec_id <> p.query_id
+        JOIN b q ON q.vec_id = p.query_id
     ),
     ranked AS (
         SELECT query_id, neighbor_id,

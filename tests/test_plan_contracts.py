@@ -82,15 +82,16 @@ def test_embedding_ops_have_no_local_table_scan(spark, sf_dir):
         assert "LocalTableScan" not in plan, name
 
 
-def test_mm_sim_topk_has_no_corpus_cross_join(spark, sf_dir):
-    """The multimodal top-k must score via the multiprobe bucket equi-join,
-    never a nested-loop / cartesian scoring of the full corpus (the r2 shape
-    this replaced)."""
+def test_bucketed_ann_consumers_have_no_corpus_cross_join(spark, sf_dir):
+    """mm_sim_topk and sim_knn_classify must score via the multiprobe bucket
+    equi-join, never a nested-loop / cartesian scoring of the full corpus
+    (the r2 mm_sim_topk shape these replaced)."""
     from flatterer_spark.ext_queries import EXT_QUERIES
 
-    plan = _plan(EXT_QUERIES["mm_sim_topk"](spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    for name in ("mm_sim_topk", "sim_knn_classify"):
+        plan = _plan(EXT_QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_lsh_verify_not_serialized_by_aqe(spark, sf_dir):
