@@ -562,6 +562,59 @@ def q29_keep_latest(spark, sf_dir):
     )
 
 
+# Q30 ordered funnel: users reaching view -> click-after-view ->
+# purchase-after-click, greedy earliest-completion semantics (each stage
+# anchors on the MIN qualifying timestamp after the previous stage).  Three
+# filtered aggregates chained by equi-joins on user_id -- each stage's output
+# shrinks, so at scale the later joins broadcast.
+
+def q30_funnel(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(prev, etype, tcol, prev_tcol):
+        s = e.where(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").where(F.col("ts") > F.col(prev_tcol))
+        return s.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    v = stage(None, "view", "t1", None)
+    c = stage(v, "click", "t2", "t1")
+    p = stage(c, "purchase", "t3", "t2")
+
+    def count_of(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")) \
+                 .select(F.lit(name).alias("stage"), "n_users")
+
+    return (
+        count_of(v, "1_view")
+        .unionAll(count_of(c, "2_click"))
+        .unionAll(count_of(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+# Q31 grouped standardization: per-event-type z-scores.  One tiny grouped
+# moment aggregate broadcast back onto the fact table -- the feature-scaling
+# pass of a numeric pipeline; fact rows never shuffle.
+
+def q31_zscore(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    return (
+        e.join(broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            round_half_up((F.col("value") - F.col("mu")) / F.col("sd"))
+            .alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -591,6 +644,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_sessionize": q27_sessionize,
     "q28_percentiles": q28_percentiles,
     "q29_keep_latest": q29_keep_latest,
+    "q30_funnel": q30_funnel,
+    "q31_zscore": q31_zscore,
 }
 
 
@@ -847,5 +902,32 @@ CORE_ORACLE: dict[str, str] = {
                {_sql_round('value')} AS value
         FROM r WHERE rn = 1
         ORDER BY event_id
+    """,
+    "q30_funnel": """
+        WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events),
+        v AS (SELECT user_id, MIN(ts) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2
+              FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3
+              FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        ORDER BY stage
+    """,
+    "q31_zscore": f"""
+        WITH s AS (SELECT event_type, AVG(value) AS mu,
+                          STDDEV_SAMP(value) AS sd
+                   FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type,
+               {_sql_round('(e.value - s.mu) / s.sd')} AS z
+        FROM events e JOIN s ON e.event_type = s.event_type
+        ORDER BY e.event_id
     """,
 }
