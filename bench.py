@@ -50,8 +50,12 @@ def main() -> None:
     registry = all_queries()
 
     names = [n for n in HEADLINE if n in registry]
-    # extension headliners are registered with a bench_ prefix marker
-    names += [n for n in sorted(registry) if n.startswith(("dedup_", "sim_", "text_"))]
+    # extension + curation headliners, by operator-family prefix
+    names += [
+        n for n in sorted(registry)
+        if n.startswith(("dedup_", "sim_", "text_", "emb_", "corpus_",
+                         "sample_", "pack_", "split_", "mix_", "decontaminate"))
+    ]
 
     # Warm-up: one untimed full-plan run absorbs JVM/codegen startup, and a
     # count() touch of every table absorbs per-file footer reads and FS cache

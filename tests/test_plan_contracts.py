@@ -59,6 +59,14 @@ def test_q17_range_join_is_equi_join_on_user(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q31_moments_join_broadcasts(spark, sf_dir):
+    """The per-type moment table is a handful of rows: it must broadcast back
+    onto the fact side, never shuffle the events."""
+    plan = _plan(CORE_QUERIES["q31_zscore"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_dedup_exact_single_shuffle(spark, sf_dir):
     """Exact dedup is one hash-groupBy: exactly one exchange (plus AQE
     reads), no joins."""
