@@ -1,0 +1,82 @@
+"""Driver-surface smoke tests: the two interfaces the round driver consumes
+(__spark_entry__.py loaded BY PATH, and bench.py as a subprocess) must work
+in exactly the driver's conditions.
+
+Round 2's only regression broke every events consumer AND crashed the bench
+outright -- and the package-import pytest suite alone could not have caught
+two driver-specific failure classes:
+
+ - path-load pickling: when __spark_entry__ is loaded via
+   importlib.spec_from_file_location (no package on sys.path for executor
+   workers), any mapInPandas/applyInPandas closure that references a
+   module-level flatterer_spark function serializes by reference and dies on
+   the executors.  Tests importing the package normally never see this.
+ - bench harness rot: BENCH_r02.json was rc=1/parsed-null; a parse check on
+   a real bench run would have flagged it at test time.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+# Representative set: one per executor-side-Python family (mapInPandas /
+# applyInPandas paths are where path-load pickling breaks), plus one plain
+# SQL query per table family.
+SMOKE_QUERIES = [
+    "q01_filter_project",
+    "q27_sessionize",
+    "mm_embed_stub",        # mapInPandas
+    "dedup_embedding",      # applyInPandas block-pair BLAS
+    "dedup_cluster",        # iterative driver loop + localCheckpoint
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_test__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_contract_shape(entry_mod, spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 60
+    # every oracle key must have a query; rows-only queries may lack oracles
+    assert set(oracles) <= set(qs)
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0 and len(df.schema) > 0
+
+
+@pytest.mark.parametrize("name", SMOKE_QUERIES)
+def test_path_loaded_queries_execute(entry_mod, spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    assert df.count() >= 0
+
+
+def test_bench_parses_as_one_json_line():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = SF
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
+    assert lines, f"no JSON line in bench output: {out.stdout[-500:]}"
+    parsed = json.loads(lines[-1])
+    assert parsed["unit"] == "sec" and parsed["queries"]
+    assert all(v >= 0 for v in parsed["queries"].values())
