@@ -30,10 +30,14 @@ HEADLINE = [
     "q09_window_rank",      # window ranking
     "q10_window_frame",     # window running frame
     "q11_topk",             # TakeOrderedAndProject
-    "q17_range_join",       # bounded range self-join
+    "q17_range_join",       # banded range self-join
     "q18_correlated",       # decorrelated subquery
+    "q21_asof_join",        # as-of join (window + last ignorenulls)
     "q27_sessionize",       # gaps-and-islands double window + agg
     "q28_percentiles",      # exact grouped quantiles (sorted agg buffers)
+    "q29_keep_latest",      # CDC keep-newest compaction
+    "q30_funnel",           # chained filtered aggregates
+    "q31_zscore",           # broadcast moments join
 ]
 
 
@@ -73,11 +77,25 @@ def main() -> None:
     # the 100 TB-relevant number (staged signature/shingle views are part of
     # the design: compute once, every dedup pass reads them), and min-of-N
     # suppresses one-off JIT/scheduler noise on sub-second queries.
+    #
+    # Exception: dedup_cluster's OUTPUT (the cluster labels) is itself staged
+    # for downstream consumers; a min-of-2 over the cached labels would time
+    # a cache read, not the contraction.  Evict before every dedup_cluster
+    # run so its number includes the full clustering; dedup_resolve then
+    # reads the staged labels -- the documented pipeline split (cluster once,
+    # derive decisions from the labels).
+    def _pre_run(name):
+        if name == "dedup_cluster":
+            from flatterer_spark.curation import clear_label_cache
+
+            clear_label_cache()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
         best = float("inf")
         for _ in range(2):
+            _pre_run(name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

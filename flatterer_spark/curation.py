@@ -297,7 +297,6 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flatterer_spark.ext_queries import (
         Gen as _G,
         _shingle_view,
-        _view_suffix,
         sql_dedup_minhash_lsh,
     )
     from flatterer_spark.operators.graph import connected_components
@@ -311,11 +310,16 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = connected_components(pairs.select("id1", "id2")).select(
             F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
         ).persist()
-        labels.createOrReplaceTempView(
-            f"cluster_labels_{_view_suffix(sf_dir)}"
-        )
         _label_cache[key] = labels
     return _label_cache[key]
+
+
+def clear_label_cache() -> None:
+    """Evict staged cluster labels (bench uses this so dedup_cluster timings
+    include the contraction, not a cached-result read)."""
+    for df in _label_cache.values():
+        df.unpersist()
+    _label_cache.clear()
 
 
 def dedup_cluster_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -920,8 +920,13 @@ def sql_text_repetition(g: Gen) -> str:
     toks = g.tokens("text")
     n = g.size("toks")
     nd = g.size(g.distinct("toks"))
+    # guard the index range: Spark sequence(1, 0) yields the DESCENDING list
+    # [1, 0] (DuckDB generate_series(1, 0) is empty), so a 1-token or
+    # empty-text doc would hit element_at(toks, 0) and kill the job.  The
+    # filter leaves only valid bigram start positions on both engines.
+    idx = g.filter(g.seq("1", f"{n} - 1"), "i", f"i >= 1 AND i <= {n} - 1")
     bigrams = g.transform(
-        g.seq("1", f"{n} - 1"), "i",
+        idx, "i",
         f"{g.at('toks', 'i')} || ' ' || {g.at('toks', 'i + 1')}",
     )
     dbl = "CAST({} AS DOUBLE)".format

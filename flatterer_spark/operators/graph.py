@@ -84,10 +84,15 @@ def connected_components_with_rounds(
     ).first()
     rounds = 0
     while rounds < max_rounds:
+        prev = e
         e = _small_star(_large_star(e)).localCheckpoint()
         rounds += 1
         cur = e.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).first()
-        if tuple(cur) == tuple(sig):
+        # cheap signature first; on a signature match confirm true set
+        # equality (both sides are distinct, so equal counts + empty
+        # difference <=> identical sets) -- a signature collision between
+        # two different edge sets must not end contraction early.
+        if tuple(cur) == tuple(sig) and e.exceptAll(prev).isEmpty():
             break
         sig = cur
     else:

@@ -125,3 +125,29 @@ def test_lsh_recall_on_planted_near_dups(spark, sf_dir):
     }
     found = sum(1 for r in exact if (r.id1, r.id2) in lsh)
     assert found / len(exact) >= 0.9
+
+
+def test_text_repetition_degenerate_docs(spark):
+    """1-token and empty-text docs must not kill the query: Spark
+    sequence(1, 0) is the DESCENDING [1, 0] (DuckDB's generate_series is
+    empty), so an unguarded bigram index range crashes Spark while the
+    oracle succeeds.  Both engines must agree on the degenerate rows."""
+    import duckdb
+
+    from flatterer_spark.ext_queries import sql_text_repetition
+    from flatterer_spark.functions.textgen import Gen
+
+    rows = [(1, "single"), (2, ""), (3, "two words"), (4, "a a a")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    got = sorted(tuple(r) for r in
+                 spark.sql(sql_text_repetition(Gen(spark=True))).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(con.execute(sql_text_repetition(Gen(spark=False))).fetchall())
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][3] == 0.0 and by_id[2][3] == 0.0  # no bigrams
+    assert by_id[4] == (4, 3, pytest.approx(0.67), 1.0)  # "a a" twice / 2

@@ -25,7 +25,9 @@ SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 def test_events_ts_physical_type_is_known(sf):
     t = pq.read_schema(f"{sf}/events.parquet").field("ts").type
     # The loader handles exactly these two shapes; anything else is drift.
-    assert str(t) in ("timestamp[us]", "timestamp[ns]", "int64"), (
+    # A raw int64 would be ambiguous (T() would assume nanos and silently
+    # shift every timestamp), so it must FAIL here, not pass.
+    assert str(t) in ("timestamp[us]", "timestamp[ns]"), (
         f"events.ts drifted to {t}; update flatterer_spark.queries.T()"
     )
 
