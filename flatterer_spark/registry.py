@@ -34,6 +34,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(CURATION_QUERIES)
     except ImportError:
         pass
+    try:
+        from flatterer_spark.streaming.gate_queries import STREAM_GATE_QUERIES
+
+        out.update(STREAM_GATE_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -58,6 +64,12 @@ def all_oracles() -> dict[str, str]:
         from flatterer_spark.curation import CURATION_ORACLE
 
         out.update(CURATION_ORACLE)
+    except ImportError:
+        pass
+    try:
+        from flatterer_spark.streaming.gate_queries import STREAM_GATE_ORACLE
+
+        out.update(STREAM_GATE_ORACLE)
     except ImportError:
         pass
     return out

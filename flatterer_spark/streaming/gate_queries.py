@@ -1,0 +1,80 @@
+"""Driver-gate streaming query: run a REAL Structured Streaming job
+(readStream -> watermarked windowed agg -> availableNow drain) and return its
+batch result, hash-checked against the batch DuckDB oracle.
+
+This is the strongest check the streaming surface can get: the exactly-once
+semantics of a bounded drain mean the streaming result must equal the batch
+aggregation over the same file, so the oracle gate proves the watermark /
+window wiring loses nothing on in-order bounded input.  (Late-data *dropping*
+behavior is covered separately in tests/test_streaming.py with crafted
+out-of-order batches -- an oracle can't see dropped rows.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
+
+
+def stream_windowed_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window (count, sum) per event_type, computed by an
+    actual streaming query over the events parquet.
+
+    The vanilla driver session has no fixed timezone, so pin UTC before the
+    ntz->ltz cast that watermarks require; 1-hour tumbling windows are then
+    epoch-aligned and window_start == date_trunc('hour', ts), which is what
+    the DuckDB oracle computes."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.queries import round_half_up
+    from flatterer_spark.streaming.stream_flatten import (
+        run_available_now,
+        windowed_event_stats,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file streaming source only accepts directories: stream the dataset
+    # dir and glob-filter to the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):  # nanos-era testdata
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    stats = windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+    res = run_available_now(
+        stats, f"stream_wstats_{_view_suffix(sf_dir)}", output_mode="complete"
+    )
+    return (
+        res.select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            round_half_up(F.col("total_value")).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+STREAM_GATE_QUERIES = {
+    "stream_windowed_stats": stream_windowed_stats_query,
+}
+
+STREAM_GATE_ORACLE = {
+    "stream_windowed_stats": """
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                   FROM events)
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               FLOOR(SUM(value) * 100 + 0.5) / 100 AS total_value
+        FROM e
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY window_start, event_type
+    """,
+}
