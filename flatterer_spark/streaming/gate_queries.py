@@ -62,11 +62,52 @@ def stream_windowed_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup drained to a batch result: first arrival per
+    (user_id, event_type) fingerprint via stateful dropDuplicates.
+
+    Which physical row survives per key is processing-order-dependent, so
+    the gate result projects ONLY the fingerprinted columns -- the distinct
+    key set, which is order-independent and equals the batch DISTINCT the
+    oracle computes.  The bounded drain arrives as one batch (single file),
+    so the watermark evicts no in-flight state."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import (
+        dedup_stream,
+        run_available_now,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    ded = dedup_stream(stream, ["user_id", "event_type"], watermark="1 hour")
+    res = run_available_now(
+        ded, f"stream_dedup_{_view_suffix(sf_dir)}", output_mode="append"
+    )
+    return res.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
 STREAM_GATE_QUERIES = {
     "stream_windowed_stats": stream_windowed_stats_query,
+    "stream_dedup_exact": stream_dedup_exact_query,
 }
 
 STREAM_GATE_ORACLE = {
+    "stream_dedup_exact": """
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+    """,
     "stream_windowed_stats": """
         WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
                    FROM events)
