@@ -58,7 +58,8 @@ def main() -> None:
     names += [
         n for n in sorted(registry)
         if n.startswith(("dedup_", "sim_", "text_", "emb_", "corpus_",
-                         "sample_", "pack_", "split_", "mix_", "decontaminate"))
+                         "sample_", "pack_", "split_", "mix_", "decontaminate",
+                         "stream_"))
     ]
 
     # Warm-up: one untimed full-plan run absorbs JVM/codegen startup, and a
