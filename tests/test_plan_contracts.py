@@ -59,6 +59,16 @@ def test_q17_range_join_is_equi_join_on_user(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q27_sessionize_single_data_shuffle(spark, sf_dir):
+    """Both window passes AND the session groupBy must ride one hash
+    partitioning on user_id (grouping on (user_id, session_seq) is satisfied
+    by user_id clustering); only the final ORDER BY adds a range exchange."""
+    import re
+
+    plan = _plan(CORE_QUERIES["q27_sessionize"](spark, sf_dir))
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) <= 2
+
+
 def test_q31_moments_join_broadcasts(spark, sf_dir):
     """The per-type moment table is a handful of rows: it must broadcast back
     onto the fact side, never shuffle the events."""
