@@ -971,6 +971,40 @@ def sql_sample_per_source(g: Gen, n: int = SAMPLE_PER_SOURCE_N,
     """
 
 
+def sql_text_normalize(g: Gen) -> str:
+    """Canonical text normalization -- the pass that runs BEFORE exact dedup
+    so formatting variants (case, punctuation, whitespace) hash identically.
+
+    The corpus is already clean, so the query plants deterministic noise per
+    document (uppercased prefix, doubled spaces, trailing punctuation -- the
+    pii_scrub planting pattern) and normalizes BOTH variants: lowercase,
+    non-alphanumerics to spaces, whitespace collapsed, trimmed.  The
+    ``collapsed`` invariant (noisy and clean normalize to the same
+    fingerprint, checked per row by the oracle hash) proves the operator
+    actually erases the formatting differences dedup must not see.  One
+    codegen'd projection; no shuffle, no UDF."""
+    noisy = (
+        "'  ' || upper(substring(text, 1, 5)) || substring(text, 6)"
+        " || '  ...!!  '"
+    )
+
+    def norm(s: str) -> str:
+        lowered = f"lower({s})"
+        alnum = g.re_replace_all(lowered, "[^a-z0-9 ]", " ")
+        collapsed = g.re_replace_all(alnum, " +", " ")
+        return f"trim({collapsed})"
+
+    return f"""
+    WITH a AS (SELECT doc_id, text, {noisy} AS noisy FROM documents)
+    SELECT doc_id,
+           {norm('noisy')} AS norm_text,
+           md5({norm('noisy')}) AS fingerprint,
+           md5({norm('noisy')}) = md5({norm('text')}) AS collapsed
+    FROM a
+    ORDER BY doc_id
+    """
+
+
 def sql_corpus_stats(g: Gen) -> str:
     """Training-data accounting: docs / tokens / mean doc length per
     (source, lang) with ROLLUP subtotals -- the table a mixture designer
@@ -1090,6 +1124,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "text_fingerprint": (sql_text_fingerprint, ("documents",)),
     "text_repetition": (sql_text_repetition, ("documents",)),
     "sample_per_source": (sql_sample_per_source, ("documents",)),
+    "text_normalize": (sql_text_normalize, ("documents",)),
     "corpus_stats": (sql_corpus_stats, ("documents",)),
     "emb_label_centroids": (sql_emb_label_centroids, ("embeddings",)),
     "sim_knn_classify": (sql_sim_knn_classify, ("embeddings",)),

@@ -132,6 +132,12 @@ class Gen:
     def str_cast(self, x: str) -> str:
         return f"CAST({x} AS {'STRING' if self.spark else 'VARCHAR'})"
 
+    def re_replace_all(self, s: str, pat: str, rep: str) -> str:
+        """Replace ALL regex matches (Spark's default; DuckDB needs 'g')."""
+        if self.spark:
+            return f"regexp_replace({s}, '{pat}', '{rep}')"
+        return f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+
     # ---- numeric --------------------------------------------------------
     def idiv(self, a: str, b: str) -> str:
         """Integer division.  Spark DIV truncates toward zero, DuckDB //

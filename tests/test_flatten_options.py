@@ -136,6 +136,23 @@ def test_recursive_schema_ref_terminates(tmp_path):
     assert titles[("name",)] == "Name"
 
 
+def test_keyboard_interrupt_cleans_output_dir(spark, tmp_path):
+    """C3 Ctrl-C parity (src/lib.rs:18-26): a KeyboardInterrupt mid-flatten
+    must abort cleanly -- no partial output dir left behind (the C2
+    error-hygiene path catches BaseException, which includes SIGINT's
+    KeyboardInterrupt in both the library and CLI surfaces)."""
+    from flatterer_spark.flatten import flatten
+
+    def interrupted_source():
+        yield {"id": 1}
+        raise KeyboardInterrupt
+
+    out = str(tmp_path / "intr")
+    with pytest.raises(KeyboardInterrupt):
+        flatten(interrupted_source(), out, spark=spark)
+    assert not os.path.exists(out)
+
+
 def test_sqlite_has_pk_fk_and_indexes(spark, tmp_path):
     """Reference parity (docs/changelog.md:224): SQLite export carries _link
     primary keys, FK constraints to ancestors, and indexes on FK columns."""
