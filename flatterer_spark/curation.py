@@ -401,6 +401,81 @@ def dedup_resolve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curate_pipeline: the end-to-end curation decision in ONE plan
+# ---------------------------------------------------------------------------
+
+def sql_curate_pipeline(g: Gen, sh_table: str | None = None) -> str:
+    """The full corpus-curation funnel as a single composed query: exact-dup
+    canonical selection (window-min over the content fingerprint) AND
+    benchmark decontamination (broadcast inverted-index shingle join) AND
+    quality rules (JVM-side token stats) AND the deterministic hash split --
+    per document, every gate decision plus the final keep/split.
+
+    This is the operator a user actually runs nightly; the per-signal
+    operators (dedup_exact, decontaminate, split_assign, text_quality) are
+    its debuggable projections.  Composing them in one plan means one
+    documents scan feeds every signal, the shingle stage is shared, and
+    Catalyst dedups the common subtrees -- against running four separate
+    jobs and joining their outputs."""
+    from flatterer_spark.ext_queries import _explode, sql_shingle_cte
+
+    sh = sh_table or "sh"
+    sh_cte = "" if sh_table else f"sh AS ({sql_shingle_cte(g)}),"
+    toks = g.tokens("text")
+    n = "CAST({} AS DOUBLE)".format(g.size("toks"))
+    nd = "CAST({} AS DOUBLE)".format(g.size(g.distinct("toks")))
+    h = g.md5_32(f"'split-v1:' || {g.str_cast('s.doc_id')}")
+    return f"""
+    WITH {sh_cte}
+    e AS (SELECT doc_id, {_explode(g, "s", "gram")} FROM {sh}),
+    bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % {BENCH_MOD} = 0),
+    hits AS (
+        SELECT e.doc_id, CAST(COUNT(DISTINCT e.gram) AS BIGINT) AS n_shared
+        FROM e JOIN bench ON e.gram = bench.gram
+        WHERE e.doc_id % {BENCH_MOD} <> 0
+        GROUP BY e.doc_id
+    ),
+    t AS (SELECT doc_id, md5(text) AS fp, {toks} AS toks FROM documents),
+    sig AS (
+        SELECT doc_id, {n} AS n_tok, {nd} AS n_distinct,
+               doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+        FROM t
+    )
+    SELECT s.doc_id,
+           s.is_canonical,
+           COALESCE(h.n_shared, CAST(0 AS BIGINT)) >= {CONTAM_MIN_SHARED}
+               AS contaminated,
+           (s.n_tok >= {g.d(10.0)} AND s.n_distinct / s.n_tok >= {g.d(0.3)})
+               AS quality_ok,
+           (s.is_canonical
+            AND COALESCE(h.n_shared, CAST(0 AS BIGINT)) < {CONTAM_MIN_SHARED}
+            AND s.n_tok >= {g.d(10.0)}
+            AND s.n_distinct / s.n_tok >= {g.d(0.3)}) AS keep,
+           CASE WHEN (s.is_canonical
+                      AND COALESCE(h.n_shared, CAST(0 AS BIGINT))
+                          < {CONTAM_MIN_SHARED}
+                      AND s.n_tok >= {g.d(10.0)}
+                      AND s.n_distinct / s.n_tok >= {g.d(0.3)})
+                THEN CASE WHEN {h} % 100 < 90 THEN 'train'
+                          WHEN {h} % 100 < 95 THEN 'val'
+                          ELSE 'test' END
+                ELSE NULL END AS split
+    FROM sig s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.doc_id % {BENCH_MOD} <> 0
+    ORDER BY s.doc_id
+    """
+
+
+def _curate_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flatterer_spark.ext_queries import _shingle_view
+    from flatterer_spark.queries import T
+
+    view = _shingle_view(spark, sf_dir)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_curate_pipeline(Gen(spark=True), sh_table=view))
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -411,6 +486,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "pack_shards": (sql_pack_shards, ("documents",)),
     "dedup_cluster": (sql_dedup_cluster, ("documents",)),
     "dedup_resolve": (sql_dedup_resolve, ("documents",)),
+    "curate_pipeline": (sql_curate_pipeline, ("documents",)),
 }
 
 
@@ -442,6 +518,7 @@ CURATION_QUERIES["decontaminate"] = _decontaminate_spark
 CURATION_QUERIES["pack_shards"] = pack_shards_query
 CURATION_QUERIES["dedup_cluster"] = dedup_cluster_query
 CURATION_QUERIES["dedup_resolve"] = dedup_resolve_query
+CURATION_QUERIES["curate_pipeline"] = _curate_pipeline_spark
 
 CURATION_ORACLE: dict[str, str] = {
     name: builder(Gen(spark=False)) for name, (builder, tables) in _BUILDERS.items()
