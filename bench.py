@@ -59,7 +59,7 @@ def main() -> None:
         n for n in sorted(registry)
         if n.startswith(("dedup_", "sim_", "text_", "emb_", "corpus_",
                          "sample_", "pack_", "split_", "mix_", "decontaminate",
-                         "stream_"))
+                         "stream_", "curate_"))
     ]
 
     # Warm-up: one untimed full-plan run absorbs JVM/codegen startup, and a
