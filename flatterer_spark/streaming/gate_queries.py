@@ -98,12 +98,61 @@ def stream_dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("user_id", "event_type").orderBy("user_id", "event_type")
 
 
+def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment drained to a batch result: the event stream
+    left-joins the broadcast customer dimension (stream-static joins are
+    stateless -- each micro-batch joins the static side, no watermark), then
+    a per-segment count aggregates the drain.  Deterministic on bounded
+    input, so the batch-join oracle hash-checks the wiring."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import (
+        enrich_stream,
+        run_available_now,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS user_id", "c_mktsegment"
+    )
+    enriched = enrich_stream(stream, dim, "user_id", how="left").select(
+        "event_id", "c_mktsegment"
+    )
+    res = run_available_now(
+        enriched, f"stream_enrich_{_view_suffix(sf_dir)}", output_mode="append"
+    )
+    return (
+        res.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy(F.asc_nulls_first("c_mktsegment"))
+    )
+
+
 STREAM_GATE_QUERIES = {
     "stream_windowed_stats": stream_windowed_stats_query,
     "stream_dedup_exact": stream_dedup_exact_query,
+    "stream_enrich": stream_enrich_query,
 }
 
 STREAM_GATE_ORACLE = {
+    "stream_enrich": """
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment NULLS FIRST
+    """,
     "stream_dedup_exact": """
         SELECT DISTINCT user_id, event_type FROM events
         ORDER BY user_id, event_type
