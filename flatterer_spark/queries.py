@@ -627,6 +627,50 @@ def q31_zscore(spark, sf_dir):
     )
 
 
+# Q32 daily new + cumulative users: first-seen date per user (one groupBy),
+# daily counts, then a running sum over the tiny per-day table -- the
+# cumulative window touches ~days rows, never the fact table, so the
+# single-partition window is over a broadcast-sized frame.
+
+def q32_daily_actives(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).cast("timestamp_ntz").alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    return (
+        per_day.withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
+        .orderBy("d")
+    )
+
+
+# Q33 retention cohorts: users bucketed by first-seen week, activity counted
+# per weeks-since-cohort offset.  Two grouped aggregates joined on user_id;
+# the cohort dim is derived, not shuffled separately.
+
+def q33_retention(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("c0"))
+    return (
+        e.join(cohort, "user_id")
+        .withColumn("week_offset",
+                    (F.datediff(F.col("d"), F.col("c0")) / 7).cast("long"))
+        .groupBy(
+            F.date_trunc("week", F.col("c0")).cast("timestamp_ntz")
+            .alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -658,6 +702,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_keep_latest": q29_keep_latest,
     "q30_funnel": q30_funnel,
     "q31_zscore": q31_zscore,
+    "q32_daily_actives": q32_daily_actives,
+    "q33_retention": q33_retention,
 }
 
 
@@ -941,5 +987,27 @@ CORE_ORACLE: dict[str, str] = {
                {_sql_round('(e.value - s.mu) / s.sd')} AS z
         FROM events e JOIN s ON e.event_type = s.event_type
         ORDER BY e.event_id
+    """,
+    "q32_daily_actives": """
+        WITH f AS (SELECT user_id, CAST(MIN(CAST(ts AS DATE)) AS TIMESTAMP)
+                       AS d
+                   FROM events GROUP BY user_id),
+        p AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY d)
+        SELECT d, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users
+        FROM p ORDER BY d
+    """,
+    "q33_retention": """
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        c AS (SELECT user_id, MIN(d) AS c0 FROM e GROUP BY user_id)
+        SELECT CAST(date_trunc('week', c.c0) AS TIMESTAMP) AS cohort_week,
+               CAST(date_diff('day', c.c0, e.d) // 7 AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM e JOIN c ON e.user_id = c.user_id
+        GROUP BY date_trunc('week', c.c0),
+                 date_diff('day', c.c0, e.d) // 7
+        ORDER BY cohort_week, week_offset
     """,
 }
