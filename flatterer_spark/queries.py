@@ -1,4 +1,4 @@
-"""Core relational query surface (SURVEY.md §2.5 / §2.6 Q01-Q18).
+"""Core relational query surface (SURVEY.md §2.5 / §2.6): Q01-Q33.
 
 Each query is a (spark, sf_dir) -> DataFrame callable built with the
 DataFrame API (declarative -> Catalyst optimizes: filter/column pushdown to
@@ -19,8 +19,8 @@ Scale notes (100 TB posture):
  - semi/anti joins pre-``distinct`` the probe side to shrink the build;
  - all aggregations are expressed as single groupBy/agg passes => Spark plans
    partial (map-side) + final aggregation automatically;
- - the events self-join (q17) is an equi-join on user_id with a bounded range
-   predicate pushed into the join condition, not a cross join.
+ - the events self-join (q17) equi-joins on (user_id, hour bucket) with
+   adjacent-bucket probes -- interval banding, not a per-user cross join.
 """
 
 from __future__ import annotations
