@@ -38,6 +38,8 @@ HEADLINE = [
     "q29_keep_latest",      # CDC keep-newest compaction
     "q30_funnel",           # chained filtered aggregates
     "q31_zscore",           # broadcast moments join
+    "q32_daily_actives",    # distinct-user daily rollup
+    "q33_retention",        # cohort self-join retention
 ]
 
 

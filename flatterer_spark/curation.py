@@ -277,7 +277,28 @@ def sql_dedup_cluster(g: Gen) -> str:
     """
 
 
-_label_cache: dict[tuple[int, str], DataFrame] = {}
+_label_cache: dict[tuple, DataFrame] = {}
+
+
+def _data_fingerprint(sf_dir: str) -> tuple:
+    """Cheap fingerprint of the documents table backing the cluster labels:
+    (mtime_ns, size) over the parquet file(s).  Keying the label cache on it
+    means regenerating testdata at the same path within a session invalidates
+    the staged labels instead of serving stale clusters (ADVICE r3)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    paths = [path]
+    if os.path.isdir(path):
+        paths = [os.path.join(path, p) for p in sorted(os.listdir(path))]
+    fp = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            fp.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            fp.append((p, 0, 0))
+    return tuple(fp)
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,8 +323,12 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flatterer_spark.operators.graph import connected_components
     from flatterer_spark.queries import T
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, _data_fingerprint(sf_dir))
     if key not in _label_cache:
+        # evict any staged labels for the same (session, dir) built from an
+        # older fingerprint -- superseded, never served again
+        for old in [k for k in _label_cache if k[:2] == key[:2]]:
+            _label_cache.pop(old).unpersist()
         T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
         view = _shingle_view(spark, sf_dir)
         pairs = spark.sql(sql_dedup_minhash_lsh(_G(spark=True), sh_table=view))

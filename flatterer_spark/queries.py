@@ -620,7 +620,12 @@ def q31_zscore(spark, sf_dir):
         .select(
             "event_id",
             "event_type",
-            round_half_up((F.col("value") - F.col("mu")) / F.col("sd"))
+            # NULLIF(sd, 0): a degenerate all-identical group gives sd=0,
+            # where Spark/DuckDB divide-by-zero semantics differ (NULL vs
+            # inf); both engines yield NULL here so the oracle hash holds
+            # under data drift.
+            round_half_up((F.col("value") - F.col("mu"))
+                          / F.nullif(F.col("sd"), F.lit(0.0)))
             .alias("z"),
         )
         .orderBy("event_id")
@@ -984,7 +989,7 @@ CORE_ORACLE: dict[str, str] = {
                           STDDEV_SAMP(value) AS sd
                    FROM events GROUP BY event_type)
         SELECT e.event_id, e.event_type,
-               {_sql_round('(e.value - s.mu) / s.sd')} AS z
+               {_sql_round('(e.value - s.mu) / NULLIF(s.sd, 0)')} AS z
         FROM events e JOIN s ON e.event_type = s.event_type
         ORDER BY e.event_id
     """,

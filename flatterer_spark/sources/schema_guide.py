@@ -70,14 +70,19 @@ def schema_key_order_and_titles(
             depth += 1
         return node, doc, base
 
-    def walk(node, doc: dict, base: str, at: tuple[str, ...]) -> None:
-        if len(at) > 32:  # recursive-schema guard (self-referential $ref)
+    def walk(node, doc: dict, base: str, at: tuple[str, ...], depth: int = 0) -> None:
+        # Recursive-schema guard: an explicit depth counter bounds EVERY
+        # recursion path.  len(at) alone is insufficient -- the array/items
+        # branch recurses with the same `at`, so a schema self-referential
+        # purely through items ({"type":"array","items":{"$ref":"#"}}) would
+        # otherwise recurse unboundedly.
+        if depth > 64 or len(at) > 32:
             return
         node, doc, base = deref(node, doc, base)
         if not isinstance(node, dict):
             return
         if node.get("type") == "array" or "items" in node:
-            walk(node.get("items", {}), doc, base, at)
+            walk(node.get("items", {}), doc, base, at, depth + 1)
             return
         props = node.get("properties")
         if not isinstance(props, dict):
@@ -87,7 +92,7 @@ def schema_key_order_and_titles(
             sub, sdoc, sbase = deref(sub if isinstance(sub, dict) else {}, doc, base)
             if isinstance(sub, dict) and "title" in sub:
                 titles[at + (k,)] = sub["title"]
-            walk(sub, sdoc, sbase, at + (k,))
+            walk(sub, sdoc, sbase, at + (k,), depth + 1)
 
     walk(root, root, schema_path, ())
     return order, titles

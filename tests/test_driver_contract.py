@@ -50,6 +50,42 @@ def entry_mod():
     return mod
 
 
+def test_gate_window_covers_unverified_queries(entry_mod):
+    """The driver's CORRECTNESS gate checks only the first GATE_WINDOW (=50)
+    registry entries in insertion order.  Round 3 proved this can rot
+    silently: 23 of 73 registered queries fell past the window and got no
+    driver row.  Pin the registry's LRU ordering: every query lacking a green
+    row in the latest CORRECTNESS_r*.json must sit inside the window, and the
+    never-verified backlog must never exceed the window itself."""
+    import glob
+    import re
+
+    from flatterer_spark.registry import GATE_WINDOW, last_green_round
+
+    keys = list(entry_mod.queries())
+    front = set(keys[:GATE_WINDOW])
+
+    files = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    assert files, "driver correctness files missing"
+    latest = set(json.load(open(files[-1])))
+    lacking_latest_row = [k for k in keys if k not in latest]
+    stranded = [k for k in lacking_latest_row if k not in front]
+    assert not stranded, (
+        f"queries with no row in {os.path.basename(files[-1])} sit past the "
+        f"driver's {GATE_WINDOW}-row gate window: {stranded}"
+    )
+
+    never_green = [k for k in keys if k not in last_green_round()]
+    assert len(never_green) <= GATE_WINDOW, (
+        f"{len(never_green)} never-verified queries exceed the "
+        f"{GATE_WINDOW}-row window; some cannot be gated this round"
+    )
+    assert set(never_green) <= front
+
+
 def test_entry_contract_shape(entry_mod, spark):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

@@ -136,6 +136,20 @@ def test_recursive_schema_ref_terminates(tmp_path):
     assert titles[("name",)] == "Name"
 
 
+def test_items_only_recursive_schema_terminates(tmp_path):
+    """A schema self-referential purely through the array/items branch keeps
+    `at` constant while recursing, so the len(at) guard alone never fires --
+    the explicit depth counter must terminate it (ADVICE r3)."""
+    from flatterer_spark.sources.schema_guide import schema_key_order_and_titles
+
+    schema = _write(tmp_path, "rec_items.json", {
+        "type": "array",
+        "items": {"$ref": "#"},
+    })
+    order, titles = schema_key_order_and_titles(schema)
+    assert order == {} and titles == {}
+
+
 def test_keyboard_interrupt_cleans_output_dir(spark, tmp_path):
     """C3 Ctrl-C parity (src/lib.rs:18-26): a KeyboardInterrupt mid-flatten
     must abort cleanly -- no partial output dir left behind (the C2
