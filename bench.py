@@ -40,6 +40,8 @@ HEADLINE = [
     "q31_zscore",           # broadcast moments join
     "q32_daily_actives",    # distinct-user daily rollup
     "q33_retention",        # cohort self-join retention
+    "q34_histogram",        # fixed-width bucket agg
+    "q35_shipping_priority",  # TPC-H Q3: two shuffle joins + grouped topk
 ]
 
 
@@ -61,7 +63,7 @@ def main() -> None:
         n for n in sorted(registry)
         if n.startswith(("dedup_", "sim_", "text_", "emb_", "corpus_",
                          "sample_", "pack_", "split_", "mix_", "decontaminate",
-                         "stream_", "curate_"))
+                         "stream_", "curate_", "ngram_"))
     ]
 
     # Warm-up: one untimed full-plan run absorbs JVM/codegen startup, and a

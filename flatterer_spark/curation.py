@@ -115,6 +115,66 @@ def sql_mix_weighted(g: Gen, salt: str = "mix-v1") -> str:
 
 
 # ---------------------------------------------------------------------------
+# split_stratified: per-source stratified split report
+# ---------------------------------------------------------------------------
+
+def sql_split_stratified(g: Gen, salt: str = "strat-v1") -> str:
+    """Stratified 90/5/5 split keyed on (source, doc_id): hashing the source
+    into the key stratifies independently per source, so each stratum gets
+    its own 90/5/5 cut instead of inheriting the global one by luck.  Output
+    is the stratification report (source x split counts) -- the audit a
+    pipeline runs to confirm no stratum starved a split."""
+    h = g.md5_32(f"'{salt}:' || source || ':' || {g.str_cast('doc_id')}")
+    return f"""
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT source,
+               CASE WHEN {h} % 100 < 90 THEN 'train'
+                    WHEN {h} % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ) t
+    GROUP BY source, split
+    ORDER BY source, split
+    """
+
+
+# ---------------------------------------------------------------------------
+# mix_temperature: temperature-flattened source mixing
+# ---------------------------------------------------------------------------
+
+def sql_mix_temperature(g: Gen, salt: str = "temp-v1") -> str:
+    """Temperature sampling over languages (the multilingual-LM mixing rule:
+    p(l) proportional to (n_l/N)^alpha, alpha=0.5): per-language keep-rate
+    sqrt(n_min/n_l), which makes kept counts proportional to sqrt(n_l) --
+    the dominant language is flattened, the rarest kept whole (rate=1 at
+    n_l=n_min).  Keyed on ``lang`` (skewed in the corpus), not ``source``
+    (uniform -- every rate would be 1).
+
+    Determinism across engines: integer counts, one integer MIN window, a
+    correctly-rounded sqrt of an exact double ratio, and the stable
+    hash-threshold -- no float SUM whose order could differ.  Scale: one
+    tiny per-language agg broadcast back; fact rows never shuffle."""
+    h = g.md5_32(f"'{salt}:' || {g.str_cast('doc_id')}")
+    return f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+        FROM documents GROUP BY lang
+    ),
+    r AS (
+        SELECT lang,
+               sqrt(CAST(MIN(n_l) OVER () AS DOUBLE) / CAST(n_l AS DOUBLE))
+                   AS rate
+        FROM c
+    )
+    SELECT d.doc_id, d.lang, {g.round2('r.rate')} AS rate2
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST({h} AS DOUBLE) / {g.d(4294967296.0)} < r.rate
+    ORDER BY d.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # decontaminate: n-gram overlap against a benchmark set
 # ---------------------------------------------------------------------------
 
@@ -506,7 +566,9 @@ def _curate_pipeline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "split_assign": (sql_split_assign, ("documents",)),
+    "split_stratified": (sql_split_stratified, ("documents",)),
     "mix_weighted": (sql_mix_weighted, ("documents",)),
+    "mix_temperature": (sql_mix_temperature, ("documents",)),
     "decontaminate": (sql_decontaminate, ("documents",)),
     "pack_shards": (sql_pack_shards, ("documents",)),
     "dedup_cluster": (sql_dedup_cluster, ("documents",)),

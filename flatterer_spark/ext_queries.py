@@ -1111,6 +1111,145 @@ def sql_sim_knn_classify(
 
 
 # ---------------------------------------------------------------------------
+# dedup_substring: duplicated fixed-length token spans across documents
+# (exact-substring dedup a la Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" -- the suffix-array pass re-expressed as a
+# rolling-window fingerprint join: every W-token window is fingerprinted and
+# windows occurring in >= 2 distinct documents are the duplicated spans).
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 10  # span width in tokens
+
+
+def sql_dedup_substring(g: Gen, w: int = SUBSTR_W, sh_table: str | None = None) -> str:
+    """Duplicated W-token spans: explode all sliding windows (stride 1),
+    fingerprint each, keep fingerprints spanning >= 2 distinct docs.
+
+    Scale: ~n_tokens windows per doc, grouped on a uniform md5 key --
+    partial+final agg, one shuffle; no pairwise comparison anywhere (the
+    suffix array of the reference approach is replaced by the group-by).
+    ``sh_table`` is accepted for signature uniformity but unused: spans are
+    stride-1 windows, not the distinct 3-gram shingle set."""
+    toks = g.tokens("text")
+    n = g.size("toks")
+    windows = g.transform(
+        g.seq("1", f"{n} - {w - 1}"),
+        "i",
+        g.join(g.slice("toks", "i", w), " "),
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    wins AS (
+        SELECT doc_id, {_explode(g, windows, "win")}
+        FROM t WHERE {n} >= {w}
+    ),
+    d AS (SELECT DISTINCT doc_id, md5(win) AS span_fp FROM wins)
+    SELECT span_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM d
+    GROUP BY span_fp
+    HAVING COUNT(*) >= 2
+    ORDER BY span_fp
+    """
+
+
+# ---------------------------------------------------------------------------
+# ngram_topk: corpus-wide heavy-hitter n-grams (document frequency top-k)
+# ---------------------------------------------------------------------------
+
+
+def sql_ngram_topk(g: Gen, k: int = 50, sh_table: str | None = None) -> str:
+    """Top-k 3-gram shingles by document frequency.  The shingle set is
+    distinct per doc, so COUNT(*) per gram IS document frequency; top-k over
+    the grouped counts is TakeOrderedAndProject (no global sort).  Ties
+    break on the gram text so the cut is deterministic."""
+    sh = sh_table or "sh"
+    sh_cte = f"WITH sh AS ({sql_shingle_cte(g)})" if not sh_table else ""
+    return f"""
+    {sh_cte}
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, {_explode(g, "s", "gram")} FROM {sh}) e
+    GROUP BY gram
+    ORDER BY doc_freq DESC, gram
+    LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# sample_quality_weighted: deterministic importance sampling by quality score
+# ---------------------------------------------------------------------------
+
+
+def sql_sample_quality_weighted(g: Gen, salt: str = "qw-v1") -> str:
+    """Keep each document with probability equal to its quality score (the
+    same 0..1 composite as text_quality), via the stable hash-threshold
+    trick: kept iff md5(salt:doc_id)%10000 < floor(quality*10000).
+
+    Stable across re-runs and monotone in the score -- improving a doc's
+    quality can only add it to the sample; no rand(), no global state."""
+    toks = g.tokens("text")
+    stop_hits = g.size(g.filter("toks", "t", f"t IN {g.strlist(STOPWORDS)}"))
+    n = g.size("toks")
+    nd = g.size(g.distinct("toks"))
+    dbl = "CAST({} AS DOUBLE)".format
+    quality = (
+        f"{g.d(0.4)} * least({g.d(1.0)}, {dbl(n)} / {g.d(100.0)})"
+        f" + {g.d(0.4)} * ({dbl(nd)} / {dbl(n)})"
+        f" + {g.d(0.2)} * ({g.d(1.0)} - {dbl(stop_hits)} / {dbl(n)})"
+    )
+    h = g.md5_32(f"'{salt}:' || {g.str_cast('doc_id')}")
+    return f"""
+    WITH t AS (SELECT doc_id, {g.tokens('text')} AS toks FROM documents),
+    q AS (SELECT doc_id, {quality} AS quality, {h} % 10000 AS bucket FROM t)
+    SELECT doc_id, {g.round2('quality')} AS quality2
+    FROM q
+    WHERE bucket < CAST(FLOOR(quality * 10000) AS BIGINT)
+    ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# emb_quantize: symmetric int8 quantization of embedding vectors
+# ---------------------------------------------------------------------------
+
+
+def sql_emb_quantize(g: Gen) -> str:
+    """Per-vector symmetric int8 quantization: scale = 127 / max|x|,
+    q_i = round_half_up(x_i * scale).  Output is the per-vector summary
+    (scale, exact integer checksum, min/max quantized value) -- integer
+    folds are order-independent, so cross-engine parity is exact without
+    emitting 64 columns or an array (which the value-hash cannot compare).
+
+    Scale: pure per-row expression work, zero shuffles beyond the scan."""
+    elems = g.transform(
+        g.seq("1", str(EMB_DIM)), "i",
+        f"CAST({g.at('embedding', 'i')} AS DOUBLE)",
+    )
+    absmax = g.amax(g.transform("e", "x", "abs(x)"))
+    qvec = g.transform(
+        "e", "x", f"CAST(FLOOR(x * scale + {g.d(0.5)}) AS BIGINT)"
+    )
+    return f"""
+    WITH ev AS (SELECT vec_id, {elems} AS e FROM embeddings),
+    s AS (
+        SELECT vec_id, e,
+               {g.d(127.0)} / greatest({absmax}, {g.d(1e-12)}) AS scale
+        FROM ev
+    ),
+    q AS (SELECT vec_id, scale, {qvec} AS qv FROM s)
+    SELECT vec_id,
+           {g.round2('scale')} AS scale2,
+           {g.fold_sum_long('qv')} AS q_sum,
+           CAST({g.amin('qv')} AS BIGINT) AS q_min,
+           CAST({g.amax('qv')} AS BIGINT) AS q_max
+    FROM q
+    ORDER BY vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
 
@@ -1140,6 +1279,10 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "sim_topk_ivf": (sql_sim_topk_ivf, ("embeddings",)),
     "mm_sim_topk": (sql_mm_sim_topk, ("documents",)),
     "sim_lsh_buckets": (sql_sim_lsh_buckets, ("embeddings",)),
+    "dedup_substring": (sql_dedup_substring, ("documents",)),
+    "ngram_topk": (sql_ngram_topk, ("documents",)),
+    "sample_quality_weighted": (sql_sample_quality_weighted, ("documents",)),
+    "emb_quantize": (sql_emb_quantize, ("embeddings",)),
 }
 
 
@@ -1273,6 +1416,7 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": D.embedding_near_dup_pairs,
         "dedup_ngram_jaccard": _make_sh_query(sql_dedup_ngram_jaccard),
         "dedup_minhash_lsh": _make_sh_query(sql_dedup_minhash_lsh),
+        "ngram_topk": _make_sh_query(sql_ngram_topk),
         "dedup_embedding_lsh": _make_emb_lsh_query(sql_dedup_embedding_lsh),
         "sim_topk_bruteforce": _make_en_query(sql_sim_topk),
         "sim_topk_lsh": _make_en_query(sql_sim_topk_lsh),

@@ -27,6 +27,13 @@ from pyspark.sql import SparkSession
 from flatterer_spark.flatten_api import compute_metadata, flatten_dataframes
 from flatterer_spark.sinks import writers
 
+# exact_csv="auto" safety valve: above this many rows a table's CSV is
+# written distributed (one file per partition) instead of collect()ed to the
+# driver for exact-bytes emission.  Exact bytes matter for golden parity at
+# test scale; at data scale a default-options flatten() must never
+# materialize a full table on the driver.
+EXACT_CSV_MAX_ROWS = 2_000_000
+
 
 def flatten(
     source,
@@ -44,7 +51,7 @@ def flatten(
     sql_scripts: bool = False,
     force: bool = False,
     preview: int = 0,
-    exact_csv: bool = True,
+    exact_csv: bool | str = "auto",
     # pipeline options (see flatten_api.FlattenOptions)
     main_table_name: str = "main",
     path_separator: str = "_",
@@ -161,11 +168,26 @@ def flatten(
         if csv or dataframe or sqlite or sqlite_path:
             for name, df in result.tables.items():
                 p = os.path.join(csv_dir, f"{name}.csv")
-                if exact_csv:
+                use_exact = exact_csv is True or (
+                    exact_csv == "auto"
+                    and (
+                        dataframe  # pandas return implies driver-side anyway
+                        or result.row_counts.get(name, 0) <= EXACT_CSV_MAX_ROWS
+                    )
+                )
+                if use_exact:
                     writers.write_csv_exact(
                         df, p, preview=preview, titles=result.titles_for(name)
                     )
                 else:
+                    if exact_csv == "auto":
+                        log.warning(
+                            "table %s has %d rows (> EXACT_CSV_MAX_ROWS=%d); "
+                            "writing distributed CSV directory instead of an "
+                            "exact single file (pass exact_csv=True to force)",
+                            name, result.row_counts.get(name, 0),
+                            EXACT_CSV_MAX_ROWS,
+                        )
                     writers.write_csv_distributed(df, p, preview=preview)
                 data[name] = p
         if parquet:

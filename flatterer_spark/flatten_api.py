@@ -43,6 +43,7 @@ class FlattenResult:
     fields: list[dict]                        # fields.csv rows, in order
     table_rows: list[dict]                    # tables.csv rows, in order
     options: "FlattenOptions" = None
+    row_counts: dict = dc_field(default_factory=dict)  # table -> row count
     titles: dict = dc_field(default_factory=dict)   # col name -> display title
     stats: dict = dc_field(default_factory=dict)    # table -> field -> stats
     table_titles: dict = dc_field(default_factory=dict)  # table -> display title
@@ -346,6 +347,7 @@ def compute_metadata(result: FlattenResult) -> None:
                 )
         row = df.agg(*aggs).collect()[0].asDict()
         nrows = row["__rows"]
+        result.row_counts[name] = nrows
         table_rows.append(
             {
                 "table_name": name,

@@ -60,6 +60,18 @@ class Gen:
     def amin(self, l: str) -> str:
         return f"array_min({l})" if self.spark else f"list_min({l})"
 
+    def amax(self, l: str) -> str:
+        return f"array_max({l})" if self.spark else f"list_max({l})"
+
+    def fold_sum_long(self, l: str) -> str:
+        """Left-fold BIGINT sum in list order (exact, order-independent)."""
+        if self.spark:
+            return f"aggregate({l}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), {l}), "
+            f"(acc, x) -> acc + x)"
+        )
+
     def seq(self, a: str, b: str) -> str:
         """Inclusive integer range [a, b] as a list."""
         fn = "sequence" if self.spark else "generate_series"

@@ -18,8 +18,9 @@ graphs, where per-round propagation needs O(diameter) rounds.  At the
 fixpoint every edge is (node, component-min), so labels fall out without a
 further pass.
 
-Lineage is truncated with ``localCheckpoint`` each round (use reliable
-``checkpoint`` on a production cluster to survive executor loss).
+Lineage is truncated each round: ``localCheckpoint`` by default, or reliable
+``checkpoint`` into ``checkpoint_dir`` (pass an HDFS/S3 path on a production
+cluster to survive executor loss).
 """
 
 from __future__ import annotations
@@ -59,24 +60,37 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components_with_rounds(
-    edges: DataFrame, max_rounds: int = 64
+    edges: DataFrame, max_rounds: int = 64, checkpoint_dir: str | None = None
 ) -> tuple[DataFrame, int]:
     """(labels, rounds): labels has (id, component) for every node appearing
     in ``edges`` (columns: two numeric ids per row, any names); component is
     the minimum id reachable.  ``rounds`` is the number of large+small star
-    rounds run -- O(log n), exposed so tests can pin the convergence rate."""
+    rounds run -- O(log n), exposed so tests can pin the convergence rate.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses RELIABLE
+    ``checkpoint()`` into that directory (HDFS/S3 path on a cluster) so the
+    iteration survives executor loss; default is ``localCheckpoint`` (fast,
+    executor-local, the right trade on local mode / short jobs)."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     a, b = edges.columns[:2]
-    e = (
+    e = _ckpt(
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-    nodes = (
+    nodes = _ckpt(
         e.select("u").union(e.select("v"))
         .distinct()
         .select(F.col("u").alias("id"))
-        .localCheckpoint()
     )
 
     sig = e.agg(
@@ -85,7 +99,7 @@ def connected_components_with_rounds(
     rounds = 0
     while rounds < max_rounds:
         prev = e
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _ckpt(_small_star(_large_star(e)))
         rounds += 1
         cur = e.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).first()
         # cheap signature first; on a signature match confirm true set
@@ -110,6 +124,8 @@ def connected_components_with_rounds(
     return labels, rounds
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_rounds: int = 64, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Star-contraction connected components; see module docstring."""
-    return connected_components_with_rounds(edges, max_rounds)[0]
+    return connected_components_with_rounds(edges, max_rounds, checkpoint_dir)[0]

@@ -676,6 +676,55 @@ def q33_retention(spark, sf_dir):
     )
 
 
+# Q34 fixed-width histogram over events.value: the bucket index is plain
+# arithmetic (DuckDB has no width_bucket), computed identically on both
+# engines; one partial+final agg over at most n_buckets+2 groups.
+
+def q34_histogram(spark, sf_dir, lo=0.0, hi=400.0, nb=16):
+    step = (hi - lo) / nb
+    e = T(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(nb + 1),
+        F.greatest(F.lit(0), (F.floor((F.col("value") - lo) / step) + 1)),
+    ).cast("long")
+    return (
+        e.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            round_half_up(F.min("value")).alias("min_val"),
+            round_half_up(F.max("value")).alias("max_val"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# Q35 TPC-H Q3-style shipping priority: two shuffle joins feeding a grouped
+# revenue agg, top-10 by rounded revenue (TakeOrderedAndProject; ties broken
+# on the unique order key so the cut is deterministic).
+
+def q35_shipping_priority(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    l = T(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -709,6 +758,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_zscore": q31_zscore,
     "q32_daily_actives": q32_daily_actives,
     "q33_retention": q33_retention,
+    "q34_histogram": q34_histogram,
+    "q35_shipping_priority": q35_shipping_priority,
 }
 
 
@@ -1014,5 +1065,32 @@ CORE_ORACLE: dict[str, str] = {
         GROUP BY date_trunc('week', c.c0),
                  date_diff('day', c.c0, e.d) // 7
         ORDER BY cohort_week, week_offset
+    """,
+    "q34_histogram": f"""
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_sql_round('MIN(value)')} AS min_val,
+               {_sql_round('MAX(value)')} AS max_val
+        FROM (
+            SELECT CAST(LEAST(17, GREATEST(0,
+                       FLOOR((value - 0.0) / 25.0) + 1)) AS BIGINT) AS bucket,
+                   value
+            FROM events
+        ) t
+        GROUP BY bucket ORDER BY bucket
+    """,
+    "q35_shipping_priority": f"""
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               {_sql_round('SUM(l.l_extendedprice * (1 - l.l_discount))')}
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND l.l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
     """,
 }

@@ -135,6 +135,10 @@ def read_json_source(
             )
 
     key_order = sample_key_order(paths, ndjson=ndjson, path=path)
+    # Input-order hint for strict ordinals: Spark bin-packs file splits by
+    # size DESC, so partition order need not follow the caller's file order.
+    # with_ordinal() reads this attribute off the same DataFrame object.
+    df._flatterer_input_order = list(paths)
     return df, key_order
 
 
@@ -368,6 +372,17 @@ def _reject_malformed(df: DataFrame) -> DataFrame:
     return df.drop(_CORRUPT)
 
 
+def _norm_path(p: str) -> str:
+    """Comparable form for local paths and URIs (file:/, s3a://, hdfs://):
+    scheme and leading slashes stripped, relative local paths absolutized."""
+    import re
+
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", p)
+    if m:
+        return p[m.end():].lstrip("/")
+    return os.path.abspath(p).lstrip("/")
+
+
 def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
     """Add a ``_ord`` column: the main-table link key source."""
     if mode == "partition":
@@ -382,28 +397,85 @@ def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
         )
     if mode != "strict":
         raise ValueError(f"unknown ordinal mode: {mode}")
+    file_order = getattr(df, "_flatterer_input_order", None)
     mid_df = df.withColumn("_mid", F.monotonically_increasing_id())
-    counts = (
-        mid_df.groupBy(F.spark_partition_id().alias("_pid"))
-        .count()
-        .orderBy("_pid")
-        .collect()
-    )
-    offsets, acc = {}, 0
-    for r in counts:
-        offsets[r["_pid"]] = acc
-        acc += r["count"]
-    if not offsets:
-        # empty input: typed empty map, else map()[_pid] is VOID-typed
-        return df.withColumn("_ord", F.lit(None).cast("long"))
-    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    return (
-        mid_df.withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_ord",
-            (omap[F.col("_pid")] + F.col("_mid").bitwiseAND(F.lit(_MONO_MASK))).cast(
-                "long"
-            ),
+
+    # Strict = ordinal equals the row's 0-based position in INPUT order:
+    # the caller's file order, then byte offset within each file.  Spark
+    # bin-packs splits by size DESC (and may pack several small files into
+    # one partition), so partition-id order is NOT input order on multi-file
+    # reads.  Group rows by (partition, source file, split start): rows of a
+    # group are contiguous in _mid order, so per-group offsets assigned in
+    # (file rank, split start) order give the exact input-order ordinal.
+    # One agg job either way; the collected offset table is #splits-sized.
+    try:
+        # quiet probe: non-file relations (createDataFrame, views over
+        # in-memory data) have no _metadata column and no input files
+        if not df.inputFiles():
+            raise ValueError("no file inputs")
+        groups = (
+            mid_df.groupBy(
+                F.spark_partition_id().alias("_pid"),
+                F.col("_metadata.file_path").alias("_f"),
+                F.col("_metadata.file_block_start").alias("_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.min("_mid").alias("mn"))
+            .collect()
         )
-        .drop("_mid", "_pid")
-    )
+        rank = {}
+        if file_order:
+            rank = {_norm_path(p): i for i, p in enumerate(file_order)}
+        groups.sort(
+            key=lambda r: (
+                rank.get(_norm_path(r["_f"]), len(rank)),
+                _norm_path(r["_f"]),
+                r["_b"],
+                r["mn"],
+            )
+        )
+        if not groups:
+            return df.withColumn("_ord", F.lit(None).cast("long"))
+        adjust, acc = {}, 0
+        for r in groups:
+            # _ord = acc + (_mid - mn)  ->  map value = acc - mn
+            adjust[f"{r['_pid']}|{r['_f']}|{r['_b']}"] = acc - r["mn"]
+            acc += r["n"]
+        amap = F.create_map(*[F.lit(x) for kv in adjust.items() for x in kv])
+        gkey = F.concat_ws(
+            "|",
+            F.spark_partition_id().cast("string"),
+            F.col("_metadata.file_path"),
+            F.col("_metadata.file_block_start").cast("string"),
+        )
+        return (
+            mid_df.withColumn("_ord", (amap[gkey] + F.col("_mid")).cast("long"))
+            .drop("_mid")
+        )
+    except Exception:
+        # non-file DataFrames (createDataFrame in tests, views): no
+        # _metadata column -- fall back to partition-id order, which is the
+        # planner's order for in-memory relations
+        counts = (
+            mid_df.groupBy(F.spark_partition_id().alias("_pid"))
+            .count()
+            .orderBy("_pid")
+            .collect()
+        )
+        offsets, acc = {}, 0
+        for r in counts:
+            offsets[r["_pid"]] = acc
+            acc += r["count"]
+        if not offsets:
+            return df.withColumn("_ord", F.lit(None).cast("long"))
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        return (
+            mid_df.withColumn("_pid", F.spark_partition_id())
+            .withColumn(
+                "_ord",
+                (
+                    omap[F.col("_pid")]
+                    + F.col("_mid").bitwiseAND(F.lit(_MONO_MASK))
+                ).cast("long"),
+            )
+            .drop("_mid", "_pid")
+        )

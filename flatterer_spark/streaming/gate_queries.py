@@ -139,10 +139,66 @@ def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization by a REAL streaming job: the built-in
+    ``session_window`` (30-minute gap) over the watermarked event stream,
+    drained availableNow in complete mode.
+
+    Session-window semantics: an event merges into the current session iff
+    its time is strictly BEFORE current_end (= last_ts + gap); an event at
+    exactly last_ts + gap starts a NEW session.  The batch oracle's
+    gaps-and-islands break condition is therefore ``ts >= prev + gap``
+    (note: q27's batch sessionize uses the strict ``>`` convention -- both
+    are valid sessionizations, the oracle must match the streaming one).
+    On bounded in-order input the drain equals the batch islands result."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import run_available_now
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    sess = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    res = run_available_now(
+        sess, f"stream_sess_{_view_suffix(sf_dir)}", output_mode="complete"
+    )
+    return (
+        res.select(
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 STREAM_GATE_QUERIES = {
     "stream_windowed_stats": stream_windowed_stats_query,
     "stream_dedup_exact": stream_dedup_exact_query,
     "stream_enrich": stream_enrich_query,
+    "stream_sessionize": stream_sessionize_query,
 }
 
 STREAM_GATE_ORACLE = {
@@ -166,5 +222,27 @@ STREAM_GATE_ORACLE = {
         FROM e
         GROUP BY date_trunc('hour', ts), event_type
         ORDER BY window_start, event_type
+    """,
+    "stream_sessionize": """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        x AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS seq
+            FROM x
+        )
+        SELECT MIN(ts) AS session_start, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s
+        GROUP BY user_id, seq
+        ORDER BY user_id, session_start
     """,
 }

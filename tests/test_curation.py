@@ -173,3 +173,47 @@ def test_decontaminate_flags_planted_overlap(spark, sf_dir, con):
     cap = {r.doc_id: r.n_grams for r in grams}
     for r in rows:
         assert r.n_shared <= cap[r.doc_id]
+
+
+def test_curate_pipeline_composes_individual_operators(spark, sf_dir):
+    """Row-level composability (VERDICT r3 #8): the one-scan pipeline's gate
+    flags and keep-set must equal the decisions of the standalone operators
+    it composes -- dedup_exact canonicals, decontaminate flags, the token
+    quality rule, and split_assign labels for kept docs."""
+    import pyspark.sql.functions as F
+
+    from flatterer_spark.curation import CURATION_QUERIES
+    from flatterer_spark.ext_queries import EXT_QUERIES
+    from flatterer_spark.queries import T
+
+    pipe = {r.doc_id: r for r in
+            CURATION_QUERIES["curate_pipeline"](spark, sf_dir).collect()}
+
+    canonical = {r.canonical_doc for r in
+                 EXT_QUERIES["dedup_exact"](spark, sf_dir).collect()}
+    contaminated = {r.doc_id: r.contaminated for r in
+                    CURATION_QUERIES["decontaminate"](spark, sf_dir).collect()}
+    tok = {r.doc_id: r for r in
+           EXT_QUERIES["text_token_stats"](spark, sf_dir).collect()}
+    splits = {r.doc_id: r.split for r in
+              CURATION_QUERIES["split_assign"](spark, sf_dir).collect()}
+
+    n_docs = T(spark, sf_dir, "documents").count()
+    n_bench = (
+        T(spark, sf_dir, "documents").where(F.expr("doc_id % 97 = 0")).count()
+    )
+    assert len(pipe) == n_docs - n_bench  # bench docs excluded
+    assert set(pipe) == set(contaminated)
+
+    for doc_id, row in pipe.items():
+        assert row.is_canonical == (doc_id in canonical), doc_id
+        assert row.contaminated == contaminated[doc_id], doc_id
+        t = tok[doc_id]
+        quality_ok = t.n_tokens >= 10 and t.n_distinct / t.n_tokens >= 0.3
+        assert row.quality_ok == quality_ok, doc_id
+        keep = row.is_canonical and not row.contaminated and quality_ok
+        assert row.keep == keep, doc_id
+        assert row.split == (splits[doc_id] if keep else None), doc_id
+
+    assert any(r.keep for r in pipe.values())
+    assert any(not r.keep for r in pipe.values())

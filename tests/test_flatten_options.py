@@ -136,6 +136,41 @@ def test_recursive_schema_ref_terminates(tmp_path):
     assert titles[("name",)] == "Name"
 
 
+def test_exact_csv_auto_never_collects_large_tables(spark, tmp_path, monkeypatch):
+    """exact_csv='auto' (the default) must fall back to the distributed CSV
+    writer above EXACT_CSV_MAX_ROWS: a default-options flatten() on real data
+    must never materialize a full table on the driver (VERDICT r3 #4)."""
+    import flatterer_spark.flatten as fl
+    from flatterer_spark.sinks import writers
+
+    monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", 10)
+    monkeypatch.setattr(
+        writers, "write_csv_exact",
+        lambda *a, **k: pytest.fail("driver-side exact CSV writer invoked "
+                                    "above the auto threshold"),
+    )
+    src = _write(tmp_path, "big.json",
+                 [{"id": i, "name": f"n{i}"} for i in range(50)])
+    out_dir = str(tmp_path / "out")
+    res = fl.flatten(src, out_dir, spark=spark)
+    # distributed writer emits a directory of part files, not one file
+    main_csv = os.path.join(out_dir, "csv", "main.csv")
+    assert os.path.isdir(main_csv)
+    assert any(p.startswith("part-") for p in os.listdir(main_csv))
+    assert res["data"]["main"] == main_csv
+
+
+def test_exact_csv_auto_stays_exact_below_threshold(spark, tmp_path):
+    """Below the threshold the default remains exact single-file CSV (golden
+    parity behavior unchanged)."""
+    from flatterer_spark.flatten import flatten
+
+    src = _write(tmp_path, "small.json", [{"id": 1}, {"id": 2}])
+    out_dir = str(tmp_path / "out_small")
+    flatten(src, out_dir, spark=spark)
+    assert os.path.isfile(os.path.join(out_dir, "csv", "main.csv"))
+
+
 def test_items_only_recursive_schema_terminates(tmp_path):
     """A schema self-referential purely through the array/items branch keeps
     `at` constant while recursing, so the len(at) guard alone never fires --

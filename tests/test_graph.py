@@ -68,3 +68,22 @@ def test_two_components_and_self_loops(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "a long, b long")
     assert connected_components(df).count() == 0
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir= switches per-round lineage truncation to reliable
+    checkpoint() -- same labels, and RDD checkpoint files actually land in
+    the directory (cluster fault-tolerance path, VERDICT r3 #6)."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = [(i, i + 1) for i in range(20)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    labels = connected_components(df, checkpoint_dir=ckpt)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    expected = {i: 0 for i in range(21)}
+    expected.update({100: 100, 101: 100})
+    assert got == expected
+    # reliable checkpoints materialized on disk
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "no reliable checkpoint files written"

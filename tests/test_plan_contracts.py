@@ -143,3 +143,46 @@ def test_flatten_tables_prune_nested_schema(spark, tmp_path):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "tags" in read_schema
     assert "big_scalar" not in read_schema
+
+
+def test_q35_topk_and_no_cartesian(spark, sf_dir):
+    """TPC-H Q3 shape: the top-10 must be TakeOrderedAndProject (no global
+    sort of the grouped output) and the 3-way join must never degenerate to
+    a cartesian product."""
+    plan = _plan(CORE_QUERIES["q35_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
+
+
+def test_ngram_topk_single_shuffle_topk(spark, sf_dir):
+    """Heavy-hitter n-grams: one partial+final agg shuffle feeding
+    TakeOrderedAndProject -- never a global sort of all gram counts."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["ngram_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_dedup_substring_no_pairwise_join(spark, sf_dir):
+    """Exact-substring dedup must be pure group-by on the span fingerprint:
+    no join of any kind (the suffix-array pairwise pass is replaced by the
+    uniform-key aggregation)."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["dedup_substring"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_emb_quantize_scan_only(spark, sf_dir):
+    """Quantization is per-row expression work: no joins, no aggregation
+    shuffle -- the only exchange is the output ORDER BY."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["emb_quantize"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    # formatted plans print each node twice (tree + detail section)
+    assert plan.count("+- Exchange") <= 1

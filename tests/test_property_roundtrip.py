@@ -114,3 +114,73 @@ def test_flatten_invariants(spark, tmp_path_factory, docs):
         assert f["count"] <= nrows[f["table_name"]]
         if f["field_name"] == "_link":
             assert f["count"] == nrows[f["table_name"]]
+
+
+# -- strict ordinals under adversarial partitioning (VERDICT r3 #7) ----------
+# Spark bin-packs file splits by size DESC and may pack several small files
+# into one partition; strict _link ordinals must still equal the 0-based
+# input position (caller's file order, then line order within a file) for
+# ANY split geometry.
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    file_sizes=st.lists(st.integers(min_value=1, max_value=120),
+                        min_size=1, max_size=4),
+    max_partition_bytes=st.sampled_from([256, 1024, 8192, 128 * 1024 * 1024]),
+    pad_mod=st.integers(min_value=1, max_value=40),
+)
+def test_strict_ordinals_any_partitioning(
+    spark, tmp_path_factory, file_sizes, max_partition_bytes, pad_mod
+):
+    from flatterer_spark.sources.json_input import read_json_source, with_ordinal
+
+    d = tmp_path_factory.mktemp("ords")
+    paths, i = [], 0
+    for fi, n in enumerate(file_sizes):
+        p = d / f"f{fi}.jsonl"
+        with open(p, "w") as f:
+            for _ in range(n):
+                f.write(json.dumps({"id": i, "pad": "x" * (i % pad_mod)}) + "\n")
+                i += 1
+        paths.append(str(p))
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        df, _ = read_json_source(spark, paths, ndjson=True)
+        rows = with_ordinal(df, "strict").select("id", "_ord").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+    assert len(rows) == i
+    assert all(r["_ord"] == r["id"] for r in rows), sorted(
+        (r["id"], r["_ord"]) for r in rows if r["id"] != r["_ord"]
+    )[:10]
+
+
+def test_strict_ordinals_multifile_size_desc_packing(spark, tmp_path):
+    """Deterministic regression: file sizes chosen so Spark's size-descending
+    packing order differs from input order (small, LARGE, medium) -- the
+    exact case that produced wrong _link ordinals before the
+    (file rank, split start) offset fix."""
+    from flatterer_spark.sources.json_input import read_json_source, with_ordinal
+
+    paths, i = [], 0
+    for fi, n in enumerate([5, 300, 40]):
+        p = tmp_path / f"f{fi}.jsonl"
+        with open(p, "w") as f:
+            for _ in range(n):
+                f.write(json.dumps({"id": i, "pad": "x" * (i % 23)}) + "\n")
+                i += 1
+        paths.append(str(p))
+    df, _ = read_json_source(spark, paths, ndjson=True)
+    rows = with_ordinal(df, "strict").select("id", "_ord").collect()
+    assert len(rows) == 345
+    assert all(r["_ord"] == r["id"] for r in rows)

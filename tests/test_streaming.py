@@ -237,3 +237,25 @@ def test_sessionize_stateful(spark, tmp_path):
     s2 = closed[2]
     assert s2.n_events == 1
     assert str(s2.session_start).startswith("2024-01-01 01:00:00")
+
+
+# -- driver-gate streaming queries vs DuckDB batch oracles -------------------
+# The exactly-once bounded drain must equal the batch aggregation over the
+# same file; this is the same compare the driver's correctness gate runs.
+
+def test_stream_gate_queries_match_oracle(spark, sf_dir):
+    from flatterer_spark.streaming.gate_queries import (
+        STREAM_GATE_ORACLE,
+        STREAM_GATE_QUERIES,
+    )
+    from tests.oracle_util import compare, duck_con
+
+    con = duck_con(sf_dir)
+    try:
+        assert set(STREAM_GATE_QUERIES) == set(STREAM_GATE_ORACLE)
+        for name, fn in STREAM_GATE_QUERIES.items():
+            df = fn(spark, sf_dir)
+            problems = compare(df, con, STREAM_GATE_ORACLE[name])
+            assert not problems, f"{name}: {problems}"
+    finally:
+        con.close()
