@@ -217,3 +217,29 @@ def test_curate_pipeline_composes_individual_operators(spark, sf_dir):
 
     assert any(r.keep for r in pipe.values())
     assert any(not r.keep for r in pipe.values())
+
+
+def test_mix_temperature_keeps_rarest_lang_whole(spark, sf_dir):
+    """Temperature mixing invariants: the rarest language has rate 1 (kept
+    whole), every language keeps a non-empty subset, and the dominant
+    language is flattened below its raw share."""
+    import pyspark.sql.functions as F
+
+    from flatterer_spark.curation import CURATION_QUERIES
+    from flatterer_spark.queries import T
+
+    full = {
+        r["lang"]: r["n"]
+        for r in T(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept: dict[str, int] = {}
+    for r in CURATION_QUERIES["mix_temperature"](spark, sf_dir).collect():
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+
+    rarest = min(full, key=full.get)
+    dominant = max(full, key=full.get)
+    assert kept[rarest] == full[rarest]  # rate = 1 at n_l = n_min
+    assert all(kept.get(l, 0) > 0 for l in full)
+    # dominant flattened: kept share strictly below raw share
+    assert kept[dominant] / sum(kept.values()) < full[dominant] / sum(full.values())

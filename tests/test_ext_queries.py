@@ -151,3 +151,30 @@ def test_text_repetition_degenerate_docs(spark):
     by_id = {r[0]: r for r in got}
     assert by_id[1][3] == 0.0 and by_id[2][3] == 0.0  # no bigrams
     assert by_id[4] == (4, 3, pytest.approx(0.67), 1.0)  # "a a" twice / 2
+
+
+def test_dedup_substring_finds_planted_span(spark):
+    """A 10-token span planted in two otherwise-different documents must be
+    reported (and single-doc repeats must not be: the count is DISTINCT
+    docs, not occurrences)."""
+    from flatterer_spark.ext_queries import sql_dedup_substring
+    from flatterer_spark.functions.textgen import Gen
+
+    span = "the quick brown fox jumps over a lazy sleeping dog"
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"{span} epsilon zeta eta theta iota kappa"),
+        # doc 3 repeats ITS OWN window twice but shares with nobody
+        (3, "one two three four five six seven eight nine ten "
+            "one two three four five six seven eight nine ten"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    try:
+        out = spark.sql(sql_dedup_substring(Gen(spark=True))).collect()
+        pairs = {(r.first_doc, r.last_doc) for r in out}
+        assert (1, 2) in pairs            # planted cross-doc span found
+        assert all(r.first_doc != r.last_doc or r.n_docs >= 2 for r in out)
+        assert not any(r.first_doc == 3 and r.last_doc == 3 for r in out)
+    finally:
+        spark.catalog.dropTempView("documents")
