@@ -194,11 +194,63 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_flatten_child_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming flatten as a driver-gate query: the reference fixture's
+    documents are staged as one-NDJSON-file-per-doc, flattened by the REAL
+    streaming flatten (readStream -> table plans -> availableNow drain), and
+    the child table is joined back to main through the content-hash `_link`
+    chain.  The output exposes only content columns (parent id, child name):
+    streaming links are hash+position (no global ordinals on an unbounded
+    stream), so link VALUES can't be oracle'd -- but the join proves every
+    child row landed on the right parent, which is what links are for.
+    Oracle: DuckDB read_json + UNNEST of the same fixture."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.flatten_queries import BASIC
+    from flatterer_spark.streaming.stream_flatten import (
+        flatten_stream,
+        run_available_now,
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_flatten_gate_")
+    try:
+        with open(BASIC) as f:
+            docs = _json.load(f)
+        for i, doc in enumerate(docs):
+            with open(f"{d}/doc-{i}.jsonl", "w") as f:
+                f.write(_json.dumps(doc) + "\n")
+        schema = spark.read.json(d).schema
+        tables = flatten_stream(spark, d, schema)
+        sfx = _view_suffix(sf_dir)
+        main = run_available_now(tables["main"], f"sf_main_{sfx}")
+        plat = run_available_now(tables["platforms"], f"sf_plat_{sfx}")
+    finally:
+        # both drains are complete; the memory-sink tables no longer read
+        # the staged files
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        plat.join(
+            main.select(F.col("_link"), F.col("id")),
+            plat["_link_main"] == main["_link"],
+            "inner",
+        )
+        .select(
+            F.col("id").cast("long").alias("main_id"),
+            F.col("name"),
+        )
+        .orderBy("main_id", "name")
+    )
+
+
 STREAM_GATE_QUERIES = {
     "stream_windowed_stats": stream_windowed_stats_query,
     "stream_dedup_exact": stream_dedup_exact_query,
     "stream_enrich": stream_enrich_query,
     "stream_sessionize": stream_sessionize_query,
+    "stream_flatten_child": stream_flatten_child_query,
 }
 
 STREAM_GATE_ORACLE = {
@@ -244,5 +296,11 @@ STREAM_GATE_ORACLE = {
         FROM s
         GROUP BY user_id, seq
         ORDER BY user_id, session_start
+    """,
+    "stream_flatten_child": """
+        SELECT CAST(m.id AS BIGINT) AS main_id, p.name AS name
+        FROM read_json_auto('/root/reference/fixtures/basic.json') m,
+             UNNEST(m.platforms) AS t(p)
+        ORDER BY main_id, name
     """,
 }

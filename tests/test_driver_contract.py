@@ -37,6 +37,7 @@ SMOKE_QUERIES = [
     "mm_embed_stub",        # mapInPandas
     "dedup_embedding",      # applyInPandas block-pair BLAS
     "dedup_cluster",        # iterative driver loop + localCheckpoint
+    "stream_flatten_child",  # streaming flatten (mapInPandas position tagger)
 ]
 
 
