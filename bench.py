@@ -42,6 +42,11 @@ HEADLINE = [
     "q33_retention",        # cohort self-join retention
     "q34_histogram",        # fixed-width bucket agg
     "q35_shipping_priority",  # TPC-H Q3: two shuffle joins + grouped topk
+    "q36_order_priority",   # TPC-H Q4: EXISTS semi-join w/ interval residual
+    "q37_cust_distribution",  # TPC-H Q13: left join + double agg
+    "q38_promo_revenue",    # TPC-H Q14: broadcast join + conditional agg
+    "q39_top_supplier",     # TPC-H Q15: scalar-subquery max filter
+    "q40_returned_items",   # TPC-H Q10: 3 joins + grouped topk
 ]
 
 

@@ -725,6 +725,123 @@ def q35_shipping_priority(spark, sf_dir):
     )
 
 
+# Q36 TPC-H Q4-style order priority check: orders in a 1-year window with at
+# least one lineitem shipped >30 days after the order date.  Left-semi join
+# with a non-equi residual -- Spark plans the equi part (orderkey) as the
+# shuffle key and evaluates the interval predicate as a join residual, so the
+# fact tables shuffle exactly once each.
+
+def q36_order_priority(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# Q37 TPC-H Q13-style customer order distribution: LEFT join so zero-order
+# customers land in the n_orders=0 bucket, then a histogram of the counts.
+# Two aggs: the first shuffles on the uniform c_custkey, the second is tiny.
+
+def q37_cust_distribution(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("n_orders"))
+    )
+
+
+# Q38 TPC-H Q14-style promo revenue share: conditional aggregate ratio over
+# one broadcast join (part is a dimension); a single partial+final agg pass,
+# one output row.
+
+def q38_promo_revenue(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.join(broadcast(p), l.l_partkey == p.p_partkey).agg(
+        round_half_up(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            3,
+        ).alias("promo_pct")
+    )
+
+
+# Q39 TPC-H Q15-style top supplier: per-supplier quarterly revenue, keep the
+# supplier(s) hitting the global max (scalar-subquery pattern; the max is a
+# 1-row broadcast, never a second shuffle of the fact).  Revenue is rounded
+# BEFORE the max comparison so tie semantics are identical cross-engine.
+
+def q39_top_supplier(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(broadcast(mx), rev.total_rev == mx.mx)
+        .join(broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# Q40 TPC-H Q10-style returned items: three joins (two shuffle facts + one
+# broadcast dim) into a grouped revenue agg, top-20 via TakeOrderedAndProject
+# with the unique c_custkey as tiebreaker.
+
+def q40_returned_items(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -760,6 +877,11 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_retention": q33_retention,
     "q34_histogram": q34_histogram,
     "q35_shipping_priority": q35_shipping_priority,
+    "q36_order_priority": q36_order_priority,
+    "q37_cust_distribution": q37_cust_distribution,
+    "q38_promo_revenue": q38_promo_revenue,
+    "q39_top_supplier": q39_top_supplier,
+    "q40_returned_items": q40_returned_items,
 }
 
 
@@ -1092,5 +1214,70 @@ CORE_ORACLE: dict[str, str] = {
         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
         ORDER BY revenue DESC, l.l_orderkey
         LIMIT 10
+    """,
+    "q36_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q37_cust_distribution": """
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_custs
+        FROM per_cust
+        GROUP BY n_orders
+        ORDER BY n_custs DESC, n_orders DESC
+    """,
+    "q38_promo_revenue": f"""
+        SELECT {_sql_round(
+            "100.0 * SUM(CASE WHEN p.p_type = 'PROMO' "
+            "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) "
+            "/ SUM(l.l_extendedprice * (1 - l.l_discount))", 3)} AS promo_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    "q39_top_supplier": f"""
+        WITH r AS (
+            SELECT l_suppkey,
+                   {_sql_round('SUM(l_extendedprice * (1 - l_discount))')}
+                       AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM r)
+        ORDER BY s.s_suppkey
+    """,
+    "q40_returned_items": f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {_sql_round('SUM(l.l_extendedprice * (1 - l.l_discount))')}
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
     """,
 }
