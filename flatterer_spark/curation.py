@@ -175,6 +175,48 @@ def sql_mix_temperature(g: Gen, salt: str = "temp-v1") -> str:
 
 
 # ---------------------------------------------------------------------------
+# mix_upsample: epoch replication of under-represented sources
+# ---------------------------------------------------------------------------
+
+def sql_mix_upsample(g: Gen, max_epochs: int = 4) -> str:
+    """Epoch-based upsampling: sources with fewer tokens than the largest
+    source are replicated ceil(max_tok / src_tok) times (capped at
+    ``max_epochs``), emitting one row per (doc, epoch).  This is the standard
+    "repeat small high-quality sources for N epochs" mixing move (cf. the
+    public Pile / LLaMA data recipes) expressed without any sampling noise:
+    the epoch count is pure integer math over exact BIGINT token sums.
+
+    Scale: two tiny per-source aggs (the epochs dim is |sources| rows,
+    broadcast back), and replication happens map-side in the explode -- the
+    corpus never shuffles.  Output size is bounded by max_epochs x corpus."""
+    n_tok = f"CAST({g.size(g.tokens('text'))} AS BIGINT)"
+    epochs = (
+        f"LEAST(CAST({max_epochs} AS BIGINT), "
+        f"{g.idiv('(mx.max_tok + s.src_tok - 1)', 's.src_tok')})"
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, source, {n_tok} AS n_tok FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok
+        FROM tok GROUP BY source
+    ),
+    mx AS (SELECT MAX(src_tok) AS max_tok FROM s),
+    ep AS (
+        SELECT s.source, CAST({epochs} AS BIGINT) AS epochs
+        FROM s, mx
+    )
+    SELECT doc_id, source, epochs, epoch FROM (
+        SELECT t.doc_id, t.source, e.epochs,
+               {g.explode_seq('CAST(1 AS BIGINT)', 'e.epochs', 'epoch')}
+        FROM tok t JOIN ep e ON t.source = e.source
+    ) u
+    ORDER BY doc_id, epoch
+    """
+
+
+# ---------------------------------------------------------------------------
 # decontaminate: n-gram overlap against a benchmark set
 # ---------------------------------------------------------------------------
 
@@ -569,6 +611,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "split_stratified": (sql_split_stratified, ("documents",)),
     "mix_weighted": (sql_mix_weighted, ("documents",)),
     "mix_temperature": (sql_mix_temperature, ("documents",)),
+    "mix_upsample": (sql_mix_upsample, ("documents",)),
     "decontaminate": (sql_decontaminate, ("documents",)),
     "pack_shards": (sql_pack_shards, ("documents",)),
     "dedup_cluster": (sql_dedup_cluster, ("documents",)),

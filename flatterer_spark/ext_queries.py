@@ -292,6 +292,36 @@ def sql_text_fingerprint(g: Gen) -> str:
     """
 
 
+def sql_text_entropy(g: Gen) -> str:
+    """Character-level Shannon entropy per document (bits/char) -- the
+    classic cheap gibberish / boilerplate / encoding-junk signal: natural
+    text sits ~4 bits, base64 blobs higher, repeated padding near 0.
+
+    Whole computation is per-row higher-order-function work (JVM-side in
+    Spark, vectorized in DuckDB): distinct chars are SORTED before the
+    entropy fold so the float accumulation order is identical on both
+    engines; counts come from filter+size, exact integers.  No shuffle at
+    all -- the plan is scan -> project -> sort."""
+    cs = g.chars("text")
+    n = g.size("cs")
+    dc = g.sort(g.distinct("cs"))
+    cnt = g.size(g.filter("cs", "x", "x = c"))
+    p = f"(CAST({cnt} AS DOUBLE) / CAST(n_chars2 AS DOUBLE))"
+    terms = g.transform(dc, "c", f"{p} * log2({p})")
+    ent = f"({g.d(0.0)} - {g.fold_sum(terms)})"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {cs} AS cs FROM documents
+    ),
+    t2 AS (
+        SELECT doc_id, cs, CAST({n} AS BIGINT) AS n_chars2 FROM t
+    )
+    SELECT doc_id, n_chars2 AS n_chars,
+           {g.round2(ent, 4)} AS entropy_bits
+    FROM t2 ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -1264,6 +1294,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "text_repetition": (sql_text_repetition, ("documents",)),
     "sample_per_source": (sql_sample_per_source, ("documents",)),
     "text_normalize": (sql_text_normalize, ("documents",)),
+    "text_entropy": (sql_text_entropy, ("documents",)),
     "corpus_stats": (sql_corpus_stats, ("documents",)),
     "emb_label_centroids": (sql_emb_label_centroids, ("embeddings",)),
     "sim_knn_classify": (sql_sim_knn_classify, ("embeddings",)),

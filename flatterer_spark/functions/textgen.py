@@ -81,6 +81,20 @@ class Gen:
         """1-based element access."""
         return f"element_at({l}, {i})" if self.spark else f"{l}[{i}]"
 
+    def explode_seq(self, a: str, b: str, alias: str) -> str:
+        """Select-list row generator over the inclusive range [a, b].
+
+        Spark allows one generator expression in a SELECT list (explode);
+        DuckDB's equivalent is unnest.  Both replicate the row map-side --
+        no shuffle, no join."""
+        if self.spark:
+            return f"explode(sequence({a}, {b})) AS {alias}"
+        return f"unnest(generate_series({a}, {b})) AS {alias}"
+
+    def chars(self, c: str) -> str:
+        """Per-character list of a string (empty-separator split)."""
+        return f"split({c}, '')" if self.spark else f"string_split({c}, '')"
+
     def slice(self, l: str, start: str, length: int) -> str:
         """1-based slice of fixed length."""
         if self.spark:

@@ -245,12 +245,75 @@ def stream_flatten_child_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval join as a driver-gate query: the purchase
+    stream inner-joins the view stream on user_id with a 30-minute lookback
+    (``v_ts in [p_ts - 30min, p_ts]``) -- the attribution join every event
+    pipeline runs.  Both sides are watermarked so Spark bounds the join state
+    (without watermarks a stream-stream join buffers both streams forever --
+    the time bound is what makes it viable on an unbounded 100 TB stream).
+
+    On bounded input the single-file drain arrives as one micro-batch, so no
+    state is evicted mid-run and the emitted pair set equals the batch
+    interval join the DuckDB oracle computes.  Output is the (purchase_id,
+    view_id) pair set -- order-independent, exactly-once."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import run_available_now
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def side(etype: str, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(schema["ts"].dataType, LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return (
+            s.withColumn("ts", F.col("ts").cast("timestamp"))
+            .where(F.col("event_type") == etype)
+            .selectExpr(
+                f"user_id AS {prefix}_user",
+                f"event_id AS {prefix}_id",
+                f"ts AS {prefix}_ts",
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    purchases = side("purchase", "p")
+    views = side("view", "v")
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user"
+            " AND v_ts >= p_ts - INTERVAL 30 MINUTES"
+            " AND v_ts <= p_ts"
+        ),
+        "inner",
+    ).select("p_id", "v_id")
+    res = run_available_now(
+        joined, f"stream_ijoin_{_view_suffix(sf_dir)}", output_mode="append"
+    )
+    return (
+        res.select(
+            F.col("p_id").cast("long").alias("purchase_id"),
+            F.col("v_id").cast("long").alias("view_id"),
+        )
+        .orderBy("purchase_id", "view_id")
+    )
+
+
 STREAM_GATE_QUERIES = {
     "stream_windowed_stats": stream_windowed_stats_query,
     "stream_dedup_exact": stream_dedup_exact_query,
     "stream_enrich": stream_enrich_query,
     "stream_sessionize": stream_sessionize_query,
     "stream_flatten_child": stream_flatten_child_query,
+    "stream_interval_join": stream_interval_join_query,
 }
 
 STREAM_GATE_ORACLE = {
@@ -302,5 +365,16 @@ STREAM_GATE_ORACLE = {
         FROM read_json_auto('/root/reference/fixtures/basic.json') m,
              UNNEST(m.platforms) AS t(p)
         ORDER BY main_id, name
+    """,
+    "stream_interval_join": """
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          CAST(ts AS TIMESTAMP) AS ts
+                   FROM events)
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        FROM e p JOIN e v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+        ORDER BY purchase_id, view_id
     """,
 }

@@ -176,6 +176,53 @@ def test_dedup_substring_no_pairwise_join(spark, sf_dir):
     assert "Cartesian" not in plan
 
 
+def test_q36_semi_join_with_interval_residual(spark, sf_dir):
+    """TPC-H Q4 shape: the EXISTS compiles to a LeftSemi hash join on the
+    order key with the interval predicate as a residual -- never a
+    nested-loop over the (order x lineitem) space."""
+    plan = _plan(CORE_QUERIES["q36_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q38_q39_q40_dimension_broadcasts(spark, sf_dir):
+    """Q14/Q15/Q10 shapes: part, the 1-row max, supplier, and nation are all
+    dimension-sized -- they must broadcast, never shuffle the fact side."""
+    plan38 = _plan(CORE_QUERIES["q38_promo_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan38
+    assert "SortMergeJoin" not in plan38
+    plan39 = _plan(CORE_QUERIES["q39_top_supplier"](spark, sf_dir))
+    assert plan39.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan39
+    plan40 = _plan(CORE_QUERIES["q40_returned_items"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan40
+    assert "TakeOrderedAndProject" in plan40
+    assert "Cartesian" not in plan40
+
+
+def test_text_entropy_scan_only(spark, sf_dir):
+    """Entropy is per-row HOF expression work: no joins, no aggregation
+    shuffle -- the only exchange is the output ORDER BY."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["text_entropy"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("+- Exchange") <= 1
+
+
+def test_mix_upsample_explodes_map_side(spark, sf_dir):
+    """Epoch replication must happen in a Generate (explode) node -- row
+    multiplication map-side, never via a join against a generated epochs
+    table -- and the epochs dim join must not degenerate to a cartesian."""
+    from flatterer_spark.curation import CURATION_QUERIES
+
+    plan = _plan(CURATION_QUERIES["mix_upsample"](spark, sf_dir))
+    assert "Generate" in plan
+    assert "Cartesian" not in plan
+
+
 def test_emb_quantize_scan_only(spark, sf_dir):
     """Quantization is per-row expression work: no joins, no aggregation
     shuffle -- the only exchange is the output ORDER BY."""
