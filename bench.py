@@ -47,6 +47,8 @@ HEADLINE = [
     "q38_promo_revenue",    # TPC-H Q14: broadcast join + conditional agg
     "q39_top_supplier",     # TPC-H Q15: scalar-subquery max filter
     "q40_returned_items",   # TPC-H Q10: 3 joins + grouped topk
+    "q41_grouping_sets",    # Expand + partial/final agg
+    "q42_range_frame",      # value-based RANGE window frame
 ]
 
 

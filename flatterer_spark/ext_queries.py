@@ -297,28 +297,39 @@ def sql_text_entropy(g: Gen) -> str:
     classic cheap gibberish / boilerplate / encoding-junk signal: natural
     text sits ~4 bits, base64 blobs higher, repeated padding near 0.
 
-    Whole computation is per-row higher-order-function work (JVM-side in
-    Spark, vectorized in DuckDB): distinct chars are SORTED before the
-    entropy fold so the float accumulation order is identical on both
-    engines; counts come from filter+size, exact integers.  No shuffle at
-    all -- the plan is scan -> project -> sort."""
-    cs = g.chars("text")
-    n = g.size("cs")
-    dc = g.sort(g.distinct("cs"))
-    cnt = g.size(g.filter("cs", "x", "x = c"))
-    p = f"(CAST({cnt} AS DOUBLE) / CAST(n_chars2 AS DOUBLE))"
-    terms = g.transform(dc, "c", f"{p} * log2({p})")
+    Shape: explode chars -> count per (doc, char) -> entropy over the count
+    list.  Both aggregations are codegen'd hash aggs with map-side combine,
+    so the shuffle carries ~|alphabet| rows per doc (not the raw chars) --
+    at 100 TB the exploded stream collapses before it ever hits the wire.
+    (A per-row HOF filter-count version benched 13 s at sf0.1 vs ~1 s for
+    this plan: O(|alphabet| x len) interpreted lambdas lose to two
+    whole-stage-codegen aggs.)
+
+    Float determinism: entropy only needs the count MULTISET, so the counts
+    are aggregated into a SORTED list and the -p*log2(p) fold runs in that
+    pinned order on both engines; n = exact integer fold of the same list."""
+    c = g.explode(g.chars("text"), "c")
+    cnts = g.sorted_list_agg("cnt")
+    n = g.fold_sum_long("cnts")
+    p = "(CAST(x AS DOUBLE) / CAST(n_chars AS DOUBLE))"
+    terms = g.transform("cnts", "x", f"{p} * log2({p})")
     ent = f"({g.d(0.0)} - {g.fold_sum(terms)})"
     return f"""
-    WITH t AS (
-        SELECT doc_id, {cs} AS cs FROM documents
+    WITH ex AS (
+        SELECT doc_id, {c} FROM documents
     ),
-    t2 AS (
-        SELECT doc_id, cs, CAST({n} AS BIGINT) AS n_chars2 FROM t
+    cc AS (
+        SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ex GROUP BY doc_id, c
+    ),
+    a AS (
+        SELECT doc_id, {cnts} AS cnts FROM cc GROUP BY doc_id
+    ),
+    b AS (
+        SELECT doc_id, cnts, CAST({n} AS BIGINT) AS n_chars FROM a
     )
-    SELECT doc_id, n_chars2 AS n_chars,
-           {g.round2(ent, 4)} AS entropy_bits
-    FROM t2 ORDER BY doc_id
+    SELECT doc_id, n_chars, {g.round2(ent, 4)} AS entropy_bits
+    FROM b ORDER BY doc_id
     """
 
 
@@ -1458,6 +1469,15 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _pca() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # no oracle entry: an eigensolve is not SQL-expressible, so the driver
+    # gate records the rows-only check; tests/test_pca.py verifies the
+    # component and projections against numpy's full-data eigendecomposition
+    from flatterer_spark.operators import pca as P
+
+    return {"emb_pca_project": P.emb_pca_project}
+
+
 def _multimodal() -> tuple[dict, dict]:
     from flatterer_spark.operators import multimodal as M
 
@@ -1481,6 +1501,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     for name, (builder, tables) in _BUILDERS.items()
 }
 EXT_QUERIES.update(_custom_spark())
+EXT_QUERIES.update(_pca())
 
 EXT_ORACLE: dict[str, str] = {
     name: builder(Gen(spark=False)) for name, (builder, tables) in _BUILDERS.items()

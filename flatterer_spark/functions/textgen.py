@@ -95,6 +95,20 @@ class Gen:
         """Per-character list of a string (empty-separator split)."""
         return f"split({c}, '')" if self.spark else f"string_split({c}, '')"
 
+    def explode(self, l: str, alias: str) -> str:
+        """Select-list row generator over an array column."""
+        if self.spark:
+            return f"explode({l}) AS {alias}"
+        return f"unnest({l}) AS {alias}"
+
+    def sorted_list_agg(self, col: str) -> str:
+        """Aggregate ``col`` into a SORTED list -- the deterministic basis
+        for any later float fold (collect order is engine/partition dependent;
+        sorting pins it)."""
+        if self.spark:
+            return f"sort_array(collect_list({col}))"
+        return f"list({col} ORDER BY {col})"
+
     def slice(self, l: str, start: str, length: int) -> str:
         """1-based slice of fixed length."""
         if self.spark:

@@ -842,6 +842,60 @@ def q40_returned_items(spark, sf_dir):
     )
 
 
+# Q41 explicit GROUPING SETS (distinct from rollup/cube: an arbitrary set
+# list) with grouping_id disambiguating the all-NULL group from a NULL key.
+# Spark expands the sets once (Expand node) and aggregates partial+final --
+# one shuffle regardless of how many sets are requested.
+
+def q41_grouping_sets(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            round_half_up(F.sum("o_totalprice")).alias("sum_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+# Q42 RANGE window frame (value-based, vs q10's ROWS frame): trailing 1-hour
+# per-user running stats.  The frame key is integer epoch seconds so both
+# engines bound the frame identically; one hash partition on user_id, frames
+# evaluated within the partition sort -- a single shuffle.
+
+def q42_range_frame(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    # ntz -> ltz -> epoch seconds; any session-tz offset is a CONSTANT shift,
+    # and RANGE frame membership depends only on differences, so the frame is
+    # tz-invariant.
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            round_half_up(F.sum("value").over(w)).alias("trail_1h_sum"),
+            F.count(F.lit(1)).over(w).cast("long").alias("trail_1h_n"),
+        )
+        .orderBy("event_id")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -882,6 +936,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_promo_revenue": q38_promo_revenue,
     "q39_top_supplier": q39_top_supplier,
     "q40_returned_items": q40_returned_items,
+    "q41_grouping_sets": q41_grouping_sets,
+    "q42_range_frame": q42_range_frame,
 }
 
 
@@ -1279,5 +1335,29 @@ CORE_ORACLE: dict[str, str] = {
         GROUP BY c.c_custkey, c.c_name, n.n_name
         ORDER BY revenue DESC, c.c_custkey
         LIMIT 20
+    """,
+    "q41_grouping_sets": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {_sql_round('SUM(o_totalprice)')} AS sum_price,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "q42_range_frame": f"""
+        WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                          value,
+                          CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                              AS sec
+                   FROM events)
+        SELECT event_id, user_id, ts,
+               {_sql_round('SUM(value) OVER w')} AS trail_1h_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trail_1h_n
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
     """,
 }

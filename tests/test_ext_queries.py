@@ -17,7 +17,9 @@ def con(sf_dir):
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(EXT_QUERIES))
+# keys without an oracle (non-SQL-expressible, e.g. emb_pca_project's
+# eigensolve) are rows-only at the gate and verified in their own test files
+@pytest.mark.parametrize("name", sorted(n for n in EXT_QUERIES if n in EXT_ORACLE))
 def test_ext_query_matches_oracle(name, spark, sf_dir, con):
     df = EXT_QUERIES[name](spark, sf_dir)
     problems = compare(df, con, EXT_ORACLE[name])

@@ -201,15 +201,16 @@ def test_q38_q39_q40_dimension_broadcasts(spark, sf_dir):
     assert "Cartesian" not in plan40
 
 
-def test_text_entropy_scan_only(spark, sf_dir):
-    """Entropy is per-row HOF expression work: no joins, no aggregation
-    shuffle -- the only exchange is the output ORDER BY."""
+def test_text_entropy_partial_agg_no_join(spark, sf_dir):
+    """Entropy = explode -> two hash aggs.  Both must plan partial+final
+    (map-side combine collapses the exploded char stream to ~|alphabet| rows
+    per doc before the shuffle) and there must be no join anywhere."""
     from flatterer_spark.ext_queries import EXT_QUERIES
 
     plan = _plan(EXT_QUERIES["text_entropy"](spark, sf_dir))
     assert "Join" not in plan
-    assert "HashAggregate" not in plan
-    assert plan.count("+- Exchange") <= 1
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial + final)
+    assert "Generate" in plan  # map-side explode
 
 
 def test_mix_upsample_explodes_map_side(spark, sf_dir):
