@@ -49,6 +49,9 @@ HEADLINE = [
     "q40_returned_items",   # TPC-H Q10: 3 joins + grouped topk
     "q41_grouping_sets",    # Expand + partial/final agg
     "q42_range_frame",      # value-based RANGE window frame
+    "q43_min_cost_supplier",  # TPC-H Q2: decorrelated per-group max
+    "q44_mad_outliers",     # robust MAD outliers: 2 quantile aggs + broadcast
+    "q45_dormant_customers",  # scalar avg subquery + anti join + agg
 ]
 
 

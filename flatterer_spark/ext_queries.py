@@ -333,6 +333,49 @@ def sql_text_entropy(g: Gen) -> str:
     """
 
 
+def sql_corpus_tfidf_topk(g: Gen, k: int = 3) -> str:
+    """Per-document top-k TF-IDF terms -- the classic keyword-extraction /
+    feature-weighting pass.  Shape: explode tokens -> per-(doc, term) counts
+    (partial+final agg collapses the token stream map-side) -> per-term
+    document frequency from the tf table (one more tiny agg) -> join on the
+    term key -> per-doc ROW_NUMBER top-k.
+
+    Cross-engine determinism: the ranking key is the ROUNDED tfidf.
+    Mathematically equal scores from different (tf, df) pairs exist (e.g.
+    1*ln(4) == 2*ln(2)) and libm ln may differ in the last ulp between
+    engines, so ranking on the raw double could flip such ties differently;
+    rounding to 6 decimals collapses them, and the term breaks the tie."""
+    t = g.explode(g.tokens("text"), "t")
+    tfidf = "CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {t} FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, t
+    ),
+    df AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    s AS (
+        SELECT tf.doc_id, tf.t, tf.tf, df.df,
+               {g.round2(tfidf, 6)} AS tfidf
+        FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+    ),
+    r AS (
+        SELECT doc_id, t, tf, df, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, t) AS rn
+        FROM s
+    )
+    SELECT doc_id, t AS term, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {k}
+    ORDER BY doc_id, rn
+    """
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -1306,6 +1349,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "sample_per_source": (sql_sample_per_source, ("documents",)),
     "text_normalize": (sql_text_normalize, ("documents",)),
     "text_entropy": (sql_text_entropy, ("documents",)),
+    "corpus_tfidf_topk": (sql_corpus_tfidf_topk, ("documents",)),
     "corpus_stats": (sql_corpus_stats, ("documents",)),
     "emb_label_centroids": (sql_emb_label_centroids, ("embeddings",)),
     "sim_knn_classify": (sql_sim_knn_classify, ("embeddings",)),

@@ -896,6 +896,96 @@ def q42_range_frame(spark, sf_dir):
     )
 
 
+# Q43 TPC-H Q2-style correlated min: for each part, the supplier(s) whose
+# account balance hits that part's per-part maximum among its suppliers
+# (synthetic part-supplier affinity: s_suppkey % 50 == p_partkey % 50 keeps
+# the join selective without a partsupp table).  Catalyst decorrelates the
+# "= (SELECT MAX ...)" into a grouped max joined back on the correlation key
+# -- one extra agg shuffle, not a per-row subquery loop.
+
+def q43_min_cost_supplier(spark, sf_dir):
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    s = T(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    pairs = p.join(
+        s, (F.col("p_partkey") % 50) == (F.col("s_suppkey") % 50)
+    )
+    best = pairs.groupBy("p_partkey").agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    return (
+        pairs.join(broadcast(best), "p_partkey")
+        .where(F.col("s_acctbal") == F.col("best_bal"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            round_half_up(F.col("s_acctbal")).alias("s_acctbal"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+# Q44 robust outliers via MAD (median absolute deviation): per-event-type
+# exact median, then the exact median of |value - median|, then every event
+# further than 3 MADs flagged.  Two grouped exact-quantile aggs (sorted agg
+# buffers) + broadcast moments back onto the fact -- the robust-statistics
+# cousin of q31's z-score, immune to the outliers it hunts.
+
+def q44_mad_outliers(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        e.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        e.join(broadcast(dev), "event_type")
+        .where(F.col("value") > F.col("med") + 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            round_half_up(F.col("value")).alias("value"),
+            round_half_up(F.col("med")).alias("med"),
+            round_half_up(F.col("mad")).alias("mad"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# Q45 TPC-H Q22-style: high-balance customers (above the positive-balance
+# average -- a scalar subquery, broadcast as a 1-row literal join) who have
+# no orders (NOT EXISTS -> left-anti join), counted per market segment.
+# The anti join probe side pre-distincts o_custkey so the build shrinks to
+# unique keys before shuffling.
+
+def q45_dormant_customers(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select("o_custkey").distinct()
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.join(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            round_half_up(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -938,6 +1028,9 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_returned_items": q40_returned_items,
     "q41_grouping_sets": q41_grouping_sets,
     "q42_range_frame": q42_range_frame,
+    "q43_min_cost_supplier": q43_min_cost_supplier,
+    "q44_mad_outliers": q44_mad_outliers,
+    "q45_dormant_customers": q45_dormant_customers,
 }
 
 
@@ -1359,5 +1452,49 @@ CORE_ORACLE: dict[str, str] = {
         WINDOW w AS (PARTITION BY user_id ORDER BY sec
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "q43_min_cost_supplier": f"""
+        WITH pairs AS (
+            SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal
+            FROM part p JOIN supplier s
+              ON p.p_partkey % 50 = s.s_suppkey % 50
+        )
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+               {_sql_round('s_acctbal')} AS s_acctbal
+        FROM pairs x
+        WHERE s_acctbal = (SELECT MAX(y.s_acctbal) FROM pairs y
+                           WHERE y.p_partkey = x.p_partkey)
+        ORDER BY p_partkey, s_suppkey
+    """,
+    "q44_mad_outliers": f"""
+        WITH m AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        d AS (
+            SELECT e.event_type, MIN(m.med) AS med,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN m ON e.event_type = m.event_type
+            GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type,
+               {_sql_round('e.value')} AS value,
+               {_sql_round('d.med')} AS med,
+               {_sql_round('d.mad')} AS mad
+        FROM events e JOIN d ON e.event_type = d.event_type
+        WHERE e.value > d.med + 3 * d.mad
+        ORDER BY e.event_id
+    """,
+    "q45_dormant_customers": f"""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               {_sql_round('SUM(c.c_acctbal)')} AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
     """,
 }

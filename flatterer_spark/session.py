@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # ~90 registered queries x whole-stage-codegen classes overflow the
+        # JVM's default 240m code cache mid-bench; once it fills, the JIT
+        # disables and every later query runs interpreted (measured 2-3x on
+        # the HOF-heavy dedup verifies).  512m keeps the JIT alive for the
+        # whole suite.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
