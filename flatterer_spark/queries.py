@@ -986,6 +986,30 @@ def q45_dormant_customers(spark, sf_dir):
     )
 
 
+# Q46 rank-statistics windows: decile bucket (ntile), percent_rank and
+# cume_dist per order-priority partition.  The window order includes the
+# unique o_orderkey tiebreaker so every rank function is total-order
+# deterministic on both engines; one hash partition + sort, no extra
+# shuffle.
+
+def q46_rank_stats(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            round_half_up(F.col("o_totalprice")).alias("o_totalprice"),
+            F.ntile(10).over(w).cast("long").alias("decile"),
+            round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+            round_half_up(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -1031,6 +1055,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_min_cost_supplier": q43_min_cost_supplier,
     "q44_mad_outliers": q44_mad_outliers,
     "q45_dormant_customers": q45_dormant_customers,
+    "q46_rank_stats": q46_rank_stats,
 }
 
 
@@ -1496,5 +1521,16 @@ CORE_ORACLE: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey)
         GROUP BY c.c_mktsegment
         ORDER BY c.c_mktsegment
+    """,
+    "q46_rank_stats": f"""
+        SELECT o_orderkey, o_orderpriority,
+               {_sql_round('o_totalprice')} AS o_totalprice,
+               CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+               {_sql_round('PERCENT_RANK() OVER w', 6)} AS pct_rank,
+               {_sql_round('CUME_DIST() OVER w', 6)} AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey
     """,
 }

@@ -224,6 +224,32 @@ def test_mix_upsample_explodes_map_side(spark, sf_dir):
     assert "Cartesian" not in plan
 
 
+def test_q43_q44_q45_decorrelated_shapes(spark, sf_dir):
+    """Q2/MAD/Q22 shapes: the decorrelated per-group max, the tiny moment
+    tables and the 1-row scalar all broadcast; the NOT EXISTS plans as a
+    LeftAnti; nothing degenerates to a cartesian over fact-sized inputs."""
+    plan43 = _plan(CORE_QUERIES["q43_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan43
+    assert "CartesianProduct" not in plan43
+    plan44 = _plan(CORE_QUERIES["q44_mad_outliers"](spark, sf_dir))
+    assert plan44.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan44
+    plan45 = _plan(CORE_QUERIES["q45_dormant_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan45
+    assert "CartesianProduct" not in plan45
+
+
+def test_q46_single_window_shuffle(spark, sf_dir):
+    """All three rank statistics share one window spec: one hash exchange
+    for the partition plus the output range sort -- never one shuffle per
+    function."""
+    import re
+
+    plan = _plan(CORE_QUERIES["q46_rank_stats"](spark, sf_dir))
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) <= 2
+    assert plan.count("Window") <= 2  # one Window node (tree + detail)
+
+
 def test_emb_quantize_scan_only(spark, sf_dir):
     """Quantization is per-row expression work: no joins, no aggregation
     shuffle -- the only exchange is the output ORDER BY."""
