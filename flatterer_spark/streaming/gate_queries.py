@@ -307,6 +307,55 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_custom_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (applyInPandasWithState gap
+    sessionization, `streaming/stream_flatten.py::sessionize`) as a
+    driver-gate query -- the strongest check an arbitrary-state streaming op
+    can get.
+
+    Emission semantics under a bounded availableNow drain: a session is
+    emitted either when a later same-user event closes it by gap, or when
+    the event-time timeout fires because the final watermark (= max ts with
+    a 0s delay) passed session_end + gap.  Both cases reduce to one batch
+    predicate -- ``session_end + gap < max(ts)`` -- so the DuckDB oracle is
+    the gaps-and-islands sessionization filtered by exactly that, and the
+    whole custom-state path (batch accumulation, state round-trip, timeout
+    scheduling) must reproduce it value-for-value."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import (
+        run_available_now,
+        sessionize,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = stream.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sess = sessionize(stream, gap_minutes=30, watermark="0 seconds")
+    res = run_available_now(
+        sess, f"stream_csess_{_view_suffix(sf_dir)}", output_mode="append"
+    )
+    return (
+        res.select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 STREAM_GATE_QUERIES = {
     "stream_windowed_stats": stream_windowed_stats_query,
     "stream_dedup_exact": stream_dedup_exact_query,
@@ -314,6 +363,7 @@ STREAM_GATE_QUERIES = {
     "stream_sessionize": stream_sessionize_query,
     "stream_flatten_child": stream_flatten_child_query,
     "stream_interval_join": stream_interval_join_query,
+    "stream_custom_session": stream_custom_session_query,
 }
 
 STREAM_GATE_ORACLE = {
@@ -376,5 +426,32 @@ STREAM_GATE_ORACLE = {
          AND p.event_type = 'purchase' AND v.event_type = 'view'
          AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
         ORDER BY purchase_id, view_id
+    """,
+    "stream_custom_session": """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        mx AS (SELECT MAX(ts) AS wm FROM e),
+        x AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS seq
+            FROM x
+        ),
+        g AS (
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, seq
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM g, mx
+        WHERE session_end + INTERVAL 30 MINUTE < mx.wm
+        ORDER BY user_id, session_start
     """,
 }
