@@ -53,6 +53,19 @@ HEADLINE = [
     "q44_mad_outliers",     # robust MAD outliers: 2 quantile aggs + broadcast
     "q45_dormant_customers",  # scalar avg subquery + anti join + agg
     "q46_rank_stats",       # ntile / percent_rank / cume_dist window
+    "q47_pricing_summary",  # TPC-H Q1: full-scan partial+final agg
+    "q48_local_supplier_volume",  # TPC-H Q5: 6-way join, shared-nation cond
+    "q49_forecast_revenue",  # TPC-H Q6: pure scan-pushdown agg
+    "q50_volume_shipping",  # TPC-H Q7: two-nation pair residual
+    "q51_market_share",     # TPC-H Q8: grouped conditional-agg ratio
+    "q52_product_profit",   # TPC-H Q9: 4-way join, LIKE filter
+    "q53_important_stock",  # TPC-H Q11: scalar-threshold HAVING
+    "q54_shipping_modes",   # TPC-H Q12: fact-fact join + priority buckets
+    "q55_parts_supplier",   # TPC-H Q16: distinct pairs + anti join
+    "q56_small_qty_revenue",  # TPC-H Q17: decorrelated per-part avg
+    "q57_large_volume_customer",  # TPC-H Q18: agg-HAVING join-back
+    "q58_discount_revenue",  # TPC-H Q19: OR-of-ANDs join residual
+    "q59_waiting_suppliers",  # TPC-H Q21: decorrelated double-EXISTS
 ]
 
 

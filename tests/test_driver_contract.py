@@ -61,10 +61,17 @@ def test_gate_window_covers_unverified_queries(entry_mod):
     import glob
     import re
 
-    from flatterer_spark.registry import GATE_WINDOW, last_green_round
+    from flatterer_spark.registry import (
+        DEFER_WHILE_LATEST_LE,
+        GATE_WINDOW,
+        actively_deferred,
+        last_green_round,
+        latest_recorded_round,
+    )
 
     keys = list(entry_mod.queries())
     front = set(keys[:GATE_WINDOW])
+    deferred = actively_deferred()
 
     files = sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
@@ -73,18 +80,27 @@ def test_gate_window_covers_unverified_queries(entry_mod):
     assert files, "driver correctness files missing"
     latest = set(json.load(open(files[-1])))
     lacking_latest_row = [k for k in keys if k not in latest]
-    stranded = [k for k in lacking_latest_row if k not in front]
+    stranded = [k for k in lacking_latest_row if k not in front and k not in deferred]
     assert not stranded, (
         f"queries with no row in {os.path.basename(files[-1])} sit past the "
         f"driver's {GATE_WINDOW}-row gate window: {stranded}"
     )
 
     never_green = [k for k in keys if k not in last_green_round()]
-    assert len(never_green) <= GATE_WINDOW, (
-        f"{len(never_green)} never-verified queries exceed the "
+    undeferred_never_green = [k for k in never_green if k not in deferred]
+    assert len(undeferred_never_green) <= GATE_WINDOW, (
+        f"{len(undeferred_never_green)} never-verified queries exceed the "
         f"{GATE_WINDOW}-row window; some cannot be gated this round"
     )
-    assert set(never_green) <= front
+    assert set(undeferred_never_green) <= front
+
+    # Deferrals must self-expire: every deferral round must already be
+    # recorded (<= the latest correctness file), so one more driver run
+    # flips each entry into the never-verified front of the window.  A
+    # deferral round in the future would strand its query indefinitely.
+    assert all(
+        rnd <= latest_recorded_round() for rnd in DEFER_WHILE_LATEST_LE.values()
+    ), "deferral round is ahead of the latest recorded correctness round"
 
 
 def test_entry_contract_shape(entry_mod, spark):

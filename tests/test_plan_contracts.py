@@ -260,3 +260,68 @@ def test_emb_quantize_scan_only(spark, sf_dir):
     assert "HashAggregate" not in plan
     # formatted plans print each node twice (tree + detail section)
     assert plan.count("+- Exchange") <= 1
+
+
+def test_tpch_completion_dimension_broadcasts(spark, sf_dir):
+    """q48/q50/q52: every region/nation/supplier/part lookup must be a
+    broadcast join; the only SortMergeJoins allowed are the fact-fact joins
+    (lineitem-orders, orders-customer)."""
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    for name, max_smj in (
+        ("q48_local_supplier_volume", 2),
+        ("q50_volume_shipping", 2),
+        ("q52_product_profit", 1),
+    ):
+        plan = _plan(TPCH_QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("SortMergeJoin") <= max_smj, (
+            f"{name}: dimension join fell back to shuffle\n{plan}"
+        )
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q49_all_predicates_pushed_to_scan(spark, sf_dir):
+    """The pure-scan query must push every predicate into the parquet reader
+    and prune to exactly the four referenced columns."""
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    plan = _plan(TPCH_QUERIES["q49_forecast_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema  # column pruning
+
+
+def test_q58_or_of_ands_stays_equi_join(spark, sf_dir):
+    """The OR-of-ANDs predicate must ride as a residual on the broadcast
+    p_partkey equi join -- never degrade to a nested-loop join."""
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    plan = _plan(TPCH_QUERIES["q58_discount_revenue"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q59_decorrelated_single_fact_shuffle_pass(spark, sf_dir):
+    """Q21's two correlated EXISTS must be pre-decorrelated: exactly one
+    lineitem scan, one fact-fact join, one aggregate over o_orderkey -- no
+    second scan of lineitem and no per-row subquery shape."""
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    plan = _plan(TPCH_QUERIES["q59_waiting_suppliers"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned twice"
+    assert "CartesianProduct" not in plan
+
+
+def test_q57_having_filter_before_join_back(spark, sf_dir):
+    """The total_qty > 300 cut must apply inside the aggregate stage (before
+    the join back to orders), so only surviving orderkeys are broadcast."""
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    plan = _plan(TPCH_QUERIES["q57_large_volume_customer"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
