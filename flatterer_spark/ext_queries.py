@@ -1333,6 +1333,39 @@ def sql_emb_quantize(g: Gen) -> str:
     """
 
 
+
+def sql_text_unigram_nll(g: Gen) -> str:
+    """Unigram-LM negative log-likelihood per document -- the CCNet-style
+    perplexity quality signal: documents whose words are corpus-atypical
+    score high (gibberish / boilerplate candidates for filtering).
+
+    Plan: corpus word frequencies are ONE partial+final agg over the
+    exploded token stream; the scalar token total is a 1-row cross join;
+    per-doc scoring joins tokens back to the frequency table.  At 100 TB
+    the frequency join key is Zipf-skewed -- AQE skew-join splitting (on in
+    session.py) handles the hot words, and the frequency table itself is
+    broadcastable once pruned to the model vocabulary.
+
+    Cross-engine determinism: ln/exp may differ in the last ulp between
+    libm implementations and the per-doc AVG is accumulation-order
+    dependent (~1e-15 relative); rounding avg_nll to 6 decimals and ppl to
+    2 leaves 9+ orders of magnitude of margin."""
+    w = g.explode(g.tokens("text"), "word")
+    nll = "-ln(CAST(f.c AS DOUBLE) / CAST(t.n AS DOUBLE))"
+    return f"""
+    WITH w AS (SELECT doc_id, {w} FROM documents),
+    f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY word),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {g.round2(f'AVG({nll})', 6)} AS avg_nll,
+           {g.round2(f'exp(AVG({nll}))', 2)} AS ppl
+    FROM w JOIN f ON w.word = f.word CROSS JOIN t
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
@@ -1369,6 +1402,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "ngram_topk": (sql_ngram_topk, ("documents",)),
     "sample_quality_weighted": (sql_sample_quality_weighted, ("documents",)),
     "emb_quantize": (sql_emb_quantize, ("embeddings",)),
+    "text_unigram_nll": (sql_text_unigram_nll, ("documents",)),
 }
 
 
@@ -1522,6 +1556,16 @@ def _pca() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {"emb_pca_project": P.emb_pca_project}
 
 
+def _kmeans() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # no oracle entries: iterative Lloyd fixpoints are not SQL-expressible,
+    # so the driver gate records rows-only checks; tests/test_kmeans.py
+    # verifies assignments, centroids, and PQ codes EXACTLY (the quantized
+    # model is bit-deterministic) against a sequential numpy reference
+    from flatterer_spark.operators import kmeans as KM
+
+    return {"emb_kmeans": KM.emb_kmeans, "emb_pq_codes": KM.pq_codes}
+
+
 def _multimodal() -> tuple[dict, dict]:
     from flatterer_spark.operators import multimodal as M
 
@@ -1546,6 +1590,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 EXT_QUERIES.update(_custom_spark())
 EXT_QUERIES.update(_pca())
+EXT_QUERIES.update(_kmeans())
 
 EXT_ORACLE: dict[str, str] = {
     name: builder(Gen(spark=False)) for name, (builder, tables) in _BUILDERS.items()

@@ -106,6 +106,10 @@ DEFER_WHILE_LATEST_LE: dict[str, int] = {
     "q57_large_volume_customer": 3,
     "q58_discount_revenue": 3,
     "q59_waiting_suppliers": 3,
+    # k-means / PQ / unigram-LM scoring, same late-round-4 situation
+    "emb_kmeans": 3,
+    "emb_pq_codes": 3,
+    "text_unigram_nll": 3,
 }
 
 

@@ -1,0 +1,114 @@
+"""Distributed k-means / PQ vs a sequential numpy reference.
+
+The Spark implementation quantizes every updated centroid coordinate to 6
+decimals (operators/kmeans.py module docstring), which makes the model --
+and therefore every assignment -- bit-deterministic under any partitioning.
+The reference below applies the identical quantization, so the comparison
+is EXACT equality, not tolerance-based.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from flatterer_spark.operators import kmeans as K
+
+
+def _quant(a: np.ndarray) -> np.ndarray:
+    return np.floor(a * 1e6 + 0.5) / 1e6
+
+
+def _ref_kmeans(X: np.ndarray, k: int, iters: int):
+    """Sequential Lloyd with first-k init and 6-decimal quantization."""
+    cents = _quant(X[:k].astype(np.float64))
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin: first index wins ties, like Spark
+        new = cents.copy()
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                new[j] = _quant(X[mask].mean(axis=0))
+        cents = new
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return cents, d2.argmin(axis=1), d2.min(axis=1)
+
+
+@pytest.fixture(scope="module")
+def X(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+    return np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir, X):
+    k, iters = 10, 5
+    cents, ref_assign, ref_d2 = _ref_kmeans(X, k, iters)
+
+    out = K.emb_kmeans(spark, sf_dir, k=k, iters=iters).collect()
+    got_assign = np.array([r["cluster"] for r in out])
+    got_dist = np.array([r["dist"] for r in out])
+
+    assert (got_assign == ref_assign).all(), (
+        f"{(got_assign != ref_assign).sum()} of {len(X)} assignments differ"
+    )
+    ref_dist = np.floor(np.sqrt(ref_d2) * 1e4 + 0.5) / 1e4
+    assert np.array_equal(got_dist, ref_dist)
+
+
+def test_kmeans_fit_partitioning_invariant(spark, sf_dir):
+    """The quantized model must be identical however the data is split."""
+    from flatterer_spark.queries import T
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = K.kmeans_fit(emb.repartition(1), "embedding", "vec_id", k=5, iters=3)
+    b = K.kmeans_fit(emb.repartition(13), "embedding", "vec_id", k=5, iters=3)
+    assert a == b
+
+
+def test_kmeans_clusters_nondegenerate(spark, sf_dir, X):
+    """The fitted model must actually separate the data: more than one
+    cluster in use, and mean distance below the global-centroid baseline."""
+    out = K.emb_kmeans(spark, sf_dir, k=10, iters=5).collect()
+    clusters = {r["cluster"] for r in out}
+    assert len(clusters) >= 5
+    mean_d = sum(r["dist"] for r in out) / len(out)
+    global_c = X.mean(axis=0)
+    baseline = float(np.sqrt(((X - global_c) ** 2).sum(axis=1)).mean())
+    assert mean_d < baseline
+
+
+def test_pq_codes_match_numpy_reference(spark, sf_dir, X):
+    m, k, iters = 8, 16, 3
+    sub = X.shape[1] // m
+    out = K.pq_codes(spark, sf_dir, m=m, k=k, iters=iters).collect()
+    got_codes = np.array([r["codes"] for r in out])
+    got_err = np.array([r["quant_err2"] for r in out])
+
+    ref_codes = np.empty((len(X), m), dtype=int)
+    ref_err = np.zeros(len(X))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        cents, assign, d2 = _ref_kmeans(Xj, k, iters)
+        ref_codes[:, j] = assign
+        ref_err += d2
+    assert (got_codes == ref_codes).all()
+    ref_err_r = np.floor(ref_err * 1e4 + 0.5) / 1e4
+    # quant_err2 sums m already-exact doubles in fixed expression order on
+    # both sides; compare after the shared rounding
+    assert np.allclose(got_err, ref_err_r, atol=1e-9)
+
+
+def test_pq_codes_compress_losslessly_enough(spark, sf_dir, X):
+    """PQ reconstruction error must be far below vector energy (the codes
+    carry signal, not noise)."""
+    out = K.pq_codes(spark, sf_dir).collect()
+    mean_err = sum(r["quant_err2"] for r in out) / len(out)
+    energy = float((X ** 2).sum(axis=1).mean())
+    # unit-norm synthetic embeddings quantize to ~0.56x energy with 16 codes
+    # per 8-dim subspace; random codebooks would sit well above 1.0x
+    assert mean_err < 0.8 * energy
