@@ -1563,7 +1563,11 @@ def _kmeans() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # model is bit-deterministic) against a sequential numpy reference
     from flatterer_spark.operators import kmeans as KM
 
-    return {"emb_kmeans": KM.emb_kmeans, "emb_pq_codes": KM.pq_codes}
+    return {
+        "emb_kmeans": KM.emb_kmeans,
+        "emb_pq_codes": KM.pq_codes,
+        "sim_topk_ivfpq": KM.sim_topk_ivfpq,
+    }
 
 
 def _multimodal() -> tuple[dict, dict]:

@@ -110,6 +110,7 @@ DEFER_WHILE_LATEST_LE: dict[str, int] = {
     "emb_kmeans": 3,
     "emb_pq_codes": 3,
     "text_unigram_nll": 3,
+    "sim_topk_ivfpq": 3,
 }
 
 

@@ -112,3 +112,27 @@ def test_pq_codes_compress_losslessly_enough(spark, sf_dir, X):
     # unit-norm synthetic embeddings quantize to ~0.56x energy with 16 codes
     # per 8-dim subspace; random codebooks would sit well above 1.0x
     assert mean_err < 0.8 * energy
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, sf_dir, X):
+    """IVF-PQ approximate top-k must substantially agree with exact
+    brute-force top-k (recall pinned well above chance; chance at nprobe=4
+    of 16 cells is ~0.25)."""
+    k = 5
+    out = K.sim_topk_ivfpq(spark, sf_dir, n_queries=10, k=k).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    hits = total = 0
+    for q in range(10):
+        cos = Xn @ Xn[q]
+        cos[q] = -2.0
+        # exact top-k with the same (cos desc, id asc) tie order
+        order = np.lexsort((np.arange(len(cos)), -cos))
+        exact = set(order[:k].tolist())
+        hits += len(exact & got.get(q, set()))
+        total += k
+    recall = hits / total
+    assert recall >= 0.5, f"recall@{k} = {recall}"
