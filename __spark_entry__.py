@@ -21,11 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: TPC-H Q1-style pricing
-    summary (scan -> partial/final hash aggregate -> sort)."""
-    from flatterer_spark.queries import q06_groupby_agg
+    """Flagship query on /root/testdata/sf0.001: TPC-H Q1 (pricing summary
+    report -- scan-pushed filter -> partial/final hash aggregate -> sort)."""
+    from flatterer_spark.tpch_queries import q47_pricing_summary
 
-    return q06_groupby_agg(spark, "/root/testdata/sf0.001")
+    return q47_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

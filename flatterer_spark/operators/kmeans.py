@@ -9,11 +9,11 @@ Per iteration the cluster model is k x d doubles -- driver-side model state,
 exactly the MLlib split: the DATA never leaves the executors, only the tiny
 centroid matrix rides the closure.
 
-* assign: argmin-L2 computed as k whole-stage-codegen expressions
-  (``zip_with`` + left-fold ``aggregate``) against centroid array literals.
-  No shuffle, no Python -- a map-only stage.  For k*d beyond codegen
-  comfort (k*d >~ 10^4), switch to the Arrow block-BLAS path in
-  ``operators/dedup.py``; at the gate's k=10, d=64 codegen wins.
+* assign: argmin-L2 as ONE ``transform`` lambda over the constant-folded
+  codebook literal (see ``_dists``).  No shuffle, no Python -- a map-only
+  stage, repartitioned to full session parallelism.  For k*d far beyond
+  the gate's sizes (k*d >~ 10^5), switch to the Arrow block-BLAS path in
+  ``operators/dedup.py``; at k=10, d=64 the JVM expression wins.
 * update: ``posexplode`` the vector to (cluster, dim, value) rows and take
   one partial+final average per (cluster, dim) -- a single shuffle of
   k*d pre-aggregated cells per executor, NOT of the data.
@@ -91,25 +91,39 @@ def kmeans_fit(
     k: int = 10,
     iters: int = 5,
 ) -> list[list[float]]:
-    """Fit k quantized centroids; init = the k lowest-``id_col`` vectors."""
-    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
-    cents = [[_quant(float(x)) for x in r[0]] for r in seed_rows]
-    d = len(cents[0])
-    for _ in range(iters):
-        assigned = assign_clusters(df, vec_col, cents)
-        vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        cells = (
-            assigned.select("cluster", F.posexplode(vecd).alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("mean"))
-            .collect()
-        )
-        new = [list(c) for c in cents]  # empty cluster keeps its centroid
-        for row in cells:
-            new[row["cluster"]][row["dim"]] = _quant(row["mean"])
-        cents = new
-        assert all(len(c) == d for c in cents)
-    return cents
+    """Fit k quantized centroids; init = the k lowest-``id_col`` vectors.
+
+    The input is persisted for the duration of the fit (the MLlib pattern
+    for iterative algorithms): every Lloyd iteration re-reads the vectors,
+    and without a cache each iteration pays the full source scan again.
+    It is also repartitioned to the session parallelism first: a small
+    parquet source arrives as 1-2 splits, which would serialize the
+    HOF-heavy assignment map onto 1-2 cores (same pathology as the LSH
+    verify REPARTITION hint); the quantized model is partitioning-invariant
+    (module docstring), so this cannot change the result.
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+    try:
+        seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+        cents = [[_quant(float(x)) for x in r[0]] for r in seed_rows]
+        d = len(cents[0])
+        for _ in range(iters):
+            assigned = assign_clusters(df, vec_col, cents)
+            vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            cells = (
+                assigned.select("cluster", F.posexplode(vecd).alias("dim", "v"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("v").alias("mean"))
+                .collect()
+            )
+            new = [list(c) for c in cents]  # empty cluster keeps its centroid
+            for row in cells:
+                new[row["cluster"]][row["dim"]] = _quant(row["mean"])
+            cents = new
+            assert all(len(c) == d for c in cents)
+        return cents
+    finally:
+        df.unpersist()
 
 
 def emb_kmeans(spark, sf_dir: str, k: int = 10, iters: int = 5) -> DataFrame:
@@ -124,7 +138,8 @@ def emb_kmeans(spark, sf_dir: str, k: int = 10, iters: int = 5) -> DataFrame:
 
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = kmeans_fit(emb, "embedding", "vec_id", k=k, iters=iters)
-    out = assign_clusters(emb, "embedding", cents)
+    wide = emb.repartition(spark.sparkContext.defaultParallelism)
+    out = assign_clusters(wide, "embedding", cents)
     return (
         out.select(
             "vec_id",
@@ -160,7 +175,16 @@ def pq_fit(
     """Train all m product-quantizer codebooks JOINTLY: subspaces never
     interact, so one stacked (subspace, code, dim) cell aggregation per
     iteration trains every codebook in a single job -- m-independent job
-    count, unlike m sequential ``kmeans_fit`` runs."""
+    count, unlike m sequential ``kmeans_fit`` runs.  Input repartitioned +
+    persisted for the fit (see ``kmeans_fit``)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
+    try:
+        return _pq_fit_cached(df, vec_col, id_col, m, k, iters)
+    finally:
+        df.unpersist()
+
+
+def _pq_fit_cached(df, vec_col, id_col, m, k, iters):
     seed = df.orderBy(id_col).limit(k).select(vec_col).collect()
     dim = len(seed[0][0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
@@ -332,7 +356,7 @@ def sim_topk_ivfpq(
     vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     cell_dists = _dists(vecd, cents)
     code_cols, _, _ = _pq_assign_cols(vecd, books, sub)
-    corpus = emb.select(
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         (F.array_position(cell_dists, F.array_min(cell_dists)) - 1)
         .cast("int")
