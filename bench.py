@@ -66,6 +66,7 @@ HEADLINE = [
     "q57_large_volume_customer",  # TPC-H Q18: agg-HAVING join-back
     "q58_discount_revenue",  # TPC-H Q19: OR-of-ANDs join residual
     "q59_waiting_suppliers",  # TPC-H Q21: decorrelated double-EXISTS
+    "q60_part_promotion",   # TPC-H Q20: nested semi-joins + grouped threshold
 ]
 
 

@@ -111,6 +111,8 @@ DEFER_WHILE_LATEST_LE: dict[str, int] = {
     "emb_pq_codes": 3,
     "text_unigram_nll": 3,
     "sim_topk_ivfpq": 3,
+    "q60_part_promotion": 3,
+    "stream_topk_per_window": 3,
 }
 
 

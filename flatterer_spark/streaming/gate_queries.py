@@ -13,7 +13,7 @@ out-of-order batches -- an oracle can't see dropped rows.)
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import LongType
 
 
@@ -356,6 +356,56 @@ def stream_custom_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_topk_per_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: top-3 event types per daily tumbling window.
+
+    The streaming job computes the watermarked windowed counts (bounded
+    state, same operator as stream_windowed_stats at day granularity); the
+    rank cut is applied to the drained result -- on an unbounded stream the
+    counts sink continuously and the top-k is a cheap query over the sink,
+    the standard split for streaming top-k (exact rank inside the stream
+    would need unbounded-state total ordering).  Counts are exact integers
+    and ties break on event_type, so the cut is cross-engine deterministic.
+    Day windows are epoch-aligned => window_start == date_trunc('day', ts),
+    which is what the DuckDB oracle computes."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import (
+        run_available_now,
+        windowed_event_stats,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    stats = windowed_event_stats(stream, window="1 day", watermark="2 hours")
+    res = run_available_now(
+        stats, f"stream_topk_{_view_suffix(sf_dir)}", output_mode="complete"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        res.select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    )
+
+
 STREAM_GATE_QUERIES = {
     "stream_windowed_stats": stream_windowed_stats_query,
     "stream_dedup_exact": stream_dedup_exact_query,
@@ -364,9 +414,24 @@ STREAM_GATE_QUERIES = {
     "stream_flatten_child": stream_flatten_child_query,
     "stream_interval_join": stream_interval_join_query,
     "stream_custom_session": stream_custom_session_query,
+    "stream_topk_per_window": stream_topk_per_window_query,
 }
 
 STREAM_GATE_ORACLE = {
+    "stream_topk_per_window": """
+        WITH c AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       AS window_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events,
+               CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                    ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+        FROM c
+        QUALIFY rnk <= 3
+        ORDER BY window_start, rnk
+    """,
     "stream_enrich": """
         SELECT c.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_events

@@ -1,13 +1,11 @@
 """TPC-H completion set: q47-q59 (the 13 TPC-H queries not yet covered).
 
 Together with queries.py (Q2=q43, Q3=q35, Q4=q36, Q10=q40, Q13=q37,
-Q14=q38, Q15=q39, Q22=q45) this makes 21 of the 22 TPC-H queries
-expressible on the driver testdata.  TPC-H Q20 (potential part promotion)
-is the one omission: its semantics are defined on ``partsupp.ps_availqty``,
-which has no counterpart in the testdata schema (tables per TESTDATA.md);
-its physical shape (nested semi-join reduction) is already exercised by
-q36/q45/q59.  Columns missing from the testdata are adapted, never faked
-silently -- every adaptation is named in the query docstring.
+Q14=q38, Q15=q39, Q22=q45) this makes all 22 TPC-H queries expressible on
+the driver testdata.  Columns missing from the testdata (notably the whole
+``partsupp`` table) are adapted, never faked silently -- every adaptation
+is named in the query docstring; Q20's availability predicate (q60) is the
+deepest such surrogate and says so.
 
 Reference parity: kindly/flatterer's query surface is the flatten +
 relational pipeline (SURVEY.md §2.5/§2.6); these queries extend the same
@@ -463,6 +461,51 @@ def q59_waiting_suppliers(spark, sf_dir):
     )
 
 
+# q60 TPC-H Q20: potential part promotion.  Q20's semantics are defined on
+# ``partsupp.ps_availqty`` (absent from the testdata); the surrogate keeps
+# Q20's exact SHAPE -- part-name filter, per-(part, supplier) grouped sums,
+# a correlated 0.5x threshold, and two nested semi-joins back to supplier --
+# with "excess availability" re-read as recency concentration: suppliers
+# who shipped more than half of a small-part's lifetime volume in 1997.
+# Quantity sums are exact integers-in-doubles, so the threshold cut is
+# bit-identical across engines.  One fact shuffle on (partkey, suppkey);
+# the part filter and the final supplier lookup are broadcasts.
+
+def q60_part_promotion(spark, sf_dir):
+    p = T(spark, sf_dir, "part").where(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_97 = (F.col("l_shipdate") >= _ts("1997-01-01")) & (
+        F.col("l_shipdate") < _ts("1998-01-01")
+    )
+    ps = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_total"),
+            F.sum(F.when(in_97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty_1997"
+            ),
+        )
+        .where(F.col("qty_1997") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = T(spark, sf_dir, "supplier")
+    return (
+        s.join(ps, s.s_suppkey == ps.l_suppkey, "left_semi")
+        .select(
+            "s_suppkey",
+            "s_name",
+            round_half_up(F.col("s_acctbal")).alias("s_acctbal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_pricing_summary": q47_pricing_summary,
     "q48_local_supplier_volume": q48_local_supplier_volume,
@@ -477,6 +520,7 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_large_volume_customer": q57_large_volume_customer,
     "q58_discount_revenue": q58_discount_revenue,
     "q59_waiting_suppliers": q59_waiting_suppliers,
+    "q60_part_promotion": q60_part_promotion,
 }
 
 
@@ -695,5 +739,26 @@ TPCH_ORACLE: dict[str, str] = {
         GROUP BY s.s_suppkey, s.s_name
         ORDER BY numwait DESC, s.s_name
         LIMIT 20
+    """,
+    "q60_part_promotion": f"""
+        SELECT s.s_suppkey, s.s_name,
+               {_sql_round('s.s_acctbal')} AS s_acctbal
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT ps.l_suppkey FROM (
+                SELECT l.l_partkey, l.l_suppkey,
+                       SUM(l.l_quantity) AS qty_total,
+                       SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                                 AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                            THEN l.l_quantity ELSE 0.0 END) AS qty_1997
+                FROM lineitem l
+                WHERE l.l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+                )
+                GROUP BY l.l_partkey, l.l_suppkey
+            ) ps
+            WHERE ps.qty_1997 > 0.5 * ps.qty_total
+        )
+        ORDER BY s.s_suppkey
     """,
 }

@@ -325,3 +325,44 @@ def test_q57_having_filter_before_join_back(spark, sf_dir):
     plan = _plan(TPCH_QUERIES["q57_large_volume_customer"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q47_scan_pushdown_and_partial_agg(spark, sf_dir):
+    """TPC-H Q1: the shipdate filter must reach the parquet reader and the
+    aggregation must run partial+final (one shuffle of 6 group rows)."""
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    plan = _plan(TPCH_QUERIES["q47_pricing_summary"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # column pruning
+
+
+def test_q51_q53_q56_dimension_broadcasts_no_cartesian(spark, sf_dir):
+    """Market share / important stock / small-qty revenue: dims broadcast,
+    scalar thresholds ride as 1-row broadcasts, never a nested loop over
+    the fact."""
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    for name in ("q51_market_share", "q53_important_stock",
+                 "q56_small_qty_revenue"):
+        plan = _plan(TPCH_QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    # q53's scalar threshold: the only nested-loop allowed is the 1-row
+    # threshold cross join (build side is a single aggregated row)
+    plan53 = _plan(TPCH_QUERIES["q53_important_stock"](spark, sf_dir))
+    assert plan53.count("lineitem.parquet") <= 2
+
+
+def test_q55_distinct_pairs_then_anti_join(spark, sf_dir):
+    """Parts/supplier: the (partkey, suppkey) distinct must aggregate before
+    the supplier exclusion anti-joins (broadcast), keeping one fact shuffle."""
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    plan = _plan(TPCH_QUERIES["q55_parts_supplier"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
