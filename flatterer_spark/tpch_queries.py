@@ -252,10 +252,13 @@ def q52_product_profit(spark, sf_dir):
 
 # q53 TPC-H Q11: important stock identification.  Adaptation (no partsupp):
 # a part's "stock value" from NATION_18's suppliers is its lineitem revenue
-# through those suppliers; parts above 0.1% of the total are reported.  The
-# scalar threshold is a 1-row broadcast.  Both engines compare ROUNDED value
-# to ROUNDED threshold so float accumulation order cannot flip a boundary
-# part (module docstring).
+# through those suppliers; parts above 3x the average part value are
+# reported.  (TPC-H's own Q11 fraction scales as 0.0001/SF -- a fixed
+# fraction empties as the part count grows; a multiple of the average is
+# the scale-free equivalent, nonempty and selective at every testdata SF.)
+# The scalar threshold is a 1-row broadcast.  Both engines compare ROUNDED
+# value to ROUNDED threshold so float accumulation order cannot flip a
+# boundary part (module docstring).
 
 def q53_important_stock(spark, sf_dir):
     n = T(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_18")
@@ -272,7 +275,7 @@ def q53_important_stock(spark, sf_dir):
         ).alias("value")
     )
     thr = per_part.agg(
-        round_half_up(F.sum("value") * F.lit(0.001)).alias("thr")
+        round_half_up(F.avg("value") * F.lit(3.0)).alias("thr")
     )
     return (
         per_part.join(broadcast(thr))
@@ -643,7 +646,7 @@ TPCH_ORACLE: dict[str, str] = {
         )
         SELECT l_partkey, value
         FROM per_part
-        WHERE value > (SELECT {_sql_round('SUM(value) * 0.001')} FROM per_part)
+        WHERE value > (SELECT {_sql_round('AVG(value) * 3.0')} FROM per_part)
         ORDER BY value DESC, l_partkey
     """,
     "q54_shipping_modes": """

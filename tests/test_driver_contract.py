@@ -38,6 +38,7 @@ SMOKE_QUERIES = [
     "dedup_embedding",      # applyInPandas block-pair BLAS
     "dedup_cluster",        # iterative driver loop + localCheckpoint
     "stream_flatten_child",  # streaming flatten (mapInPandas position tagger)
+    "emb_kmeans",           # iterative driver-model loop (collect per iter)
 ]
 
 
@@ -101,6 +102,12 @@ def test_gate_window_covers_unverified_queries(entry_mod):
     assert all(
         rnd <= latest_recorded_round() for rnd in DEFER_WHILE_LATEST_LE.values()
     ), "deferral round is ahead of the latest recorded correctness round"
+
+    # Every deferral name must be a registered query: a typo here would
+    # silently no-op while the real (undeferred) query evicts a demanded
+    # re-verification from the window.
+    unknown = set(DEFER_WHILE_LATEST_LE) - set(keys)
+    assert not unknown, f"deferral names not in the registry: {unknown}"
 
 
 def test_entry_contract_shape(entry_mod, spark):
