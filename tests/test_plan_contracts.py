@@ -366,3 +366,30 @@ def test_q55_distinct_pairs_then_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q54_q60_single_fact_shuffle_shapes(spark, sf_dir):
+    """Shipping modes: one fact-fact equi join, no nested loop.  Part
+    promotion: one lineitem scan, broadcast part filter, semi joins."""
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    plan54 = _plan(TPCH_QUERIES["q54_shipping_modes"](spark, sf_dir))
+    assert "CartesianProduct" not in plan54
+    assert "BroadcastNestedLoopJoin" not in plan54
+
+    plan60 = _plan(TPCH_QUERIES["q60_part_promotion"](spark, sf_dir))
+    assert plan60.count("lineitem.parquet") == 1, "lineitem scanned twice"
+    assert "LeftSemi" in plan60
+    assert "CartesianProduct" not in plan60
+
+
+def test_ivfpq_search_is_broadcast_cell_join(spark, sf_dir):
+    """The IVF-PQ search must equi-join corpus cells against the broadcast
+    probe list -- never a corpus cross join -- and scan the embeddings for
+    the search exactly once (the fit is cached)."""
+    from flatterer_spark.operators.kmeans import sim_topk_ivfpq
+
+    plan = _plan(sim_topk_ivfpq(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
