@@ -570,6 +570,68 @@ def sql_dedup_minhash_lsh(
     """
 
 
+def sql_dedup_incremental(
+    g: Gen, k: int = 3, threshold: float = 0.5, batch_mod: int = 5,
+    sh_table: str | None = None,
+) -> str:
+    """Incremental (new-batch-vs-corpus) near-dup detection -- the nightly
+    production shape: an arriving batch is checked against the existing
+    corpus, NOT all-pairs over the union.  The testdata has no batch
+    column, so membership is the deterministic surrogate
+    ``doc_id % batch_mod == batch_mod - 1`` (~20% "new"); a real pipeline
+    substitutes its ingest-date predicate.  Built on the banded MinHash
+    candidate join (the corpus side's band index is the persistent
+    artifact at scale: compute once, probe per batch with the SMALL batch
+    broadcast), keeping only pairs that straddle the batch boundary.  No
+    exact-duplicate variant: the testdata has zero identical texts below
+    sf0.1, which would make an exact gate row vacuous."""
+    pairs = sql_dedup_minhash_lsh(g, k=k, threshold=threshold, sh_table=sh_table)
+    is_new1 = f"id1 % {batch_mod} = {batch_mod - 1}"
+    is_new2 = f"id2 % {batch_mod} = {batch_mod - 1}"
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT CASE WHEN {is_new1} THEN id1 ELSE id2 END AS new_doc_id,
+           CASE WHEN {is_new1} THEN id2 ELSE id1 END AS dup_of,
+           jaccard
+    FROM pairs
+    WHERE ({is_new1}) <> ({is_new2})
+    ORDER BY new_doc_id, dup_of
+    """
+
+
+def sql_split_leakage_check(
+    g: Gen, k: int = 3, threshold: float = 0.5, salt: str = "split-v1",
+    sh_table: str | None = None,
+) -> str:
+    """Eval-leakage audit: near-duplicate pairs that straddle a train/val/
+    test boundary -- the reason dedup must run BEFORE splitting.  Composes
+    the verified MinHash pair set with the same deterministic hash-split as
+    ``split_assign`` (identical salt => identical membership), so the audit
+    checks the split actually shipped, not a re-derived one.  One extra
+    projection over the pair set: the expensive part (banded candidates +
+    Jaccard verify) is shared with the dedup pass at scale."""
+    pairs = sql_dedup_minhash_lsh(g, k=k, threshold=threshold, sh_table=sh_table)
+
+    def split_of(col: str) -> str:
+        h = g.md5_32(f"'{salt}:' || {g.str_cast(col)}")
+        return (f"CASE WHEN {h} % 100 < 90 THEN 'train' "
+                f"WHEN {h} % 100 < 95 THEN 'val' ELSE 'test' END")
+
+    return f"""
+    WITH pairs AS ({pairs}),
+    lab AS (
+        SELECT id1, id2, jaccard,
+               {split_of('id1')} AS split1,
+               {split_of('id2')} AS split2
+        FROM pairs
+    )
+    SELECT id1, split1, id2, split2, jaccard
+    FROM lab
+    WHERE split1 <> split2
+    ORDER BY id1, id2
+    """
+
+
 SIMHASH_BITS = 32
 
 
@@ -1403,6 +1465,8 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "sample_quality_weighted": (sql_sample_quality_weighted, ("documents",)),
     "emb_quantize": (sql_emb_quantize, ("embeddings",)),
     "text_unigram_nll": (sql_text_unigram_nll, ("documents",)),
+    "dedup_incremental": (sql_dedup_incremental, ("documents",)),
+    "split_leakage_check": (sql_split_leakage_check, ("documents",)),
 }
 
 
@@ -1536,6 +1600,8 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": D.embedding_near_dup_pairs,
         "dedup_ngram_jaccard": _make_sh_query(sql_dedup_ngram_jaccard),
         "dedup_minhash_lsh": _make_sh_query(sql_dedup_minhash_lsh),
+        "dedup_incremental": _make_sh_query(sql_dedup_incremental),
+        "split_leakage_check": _make_sh_query(sql_split_leakage_check),
         "ngram_topk": _make_sh_query(sql_ngram_topk),
         "dedup_embedding_lsh": _make_emb_lsh_query(sql_dedup_embedding_lsh),
         "sim_topk_bruteforce": _make_en_query(sql_sim_topk),

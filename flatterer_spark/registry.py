@@ -113,6 +113,8 @@ DEFER_WHILE_LATEST_LE: dict[str, int] = {
     "sim_topk_ivfpq": 3,
     "q60_part_promotion": 3,
     "stream_topk_per_window": 3,
+    "dedup_incremental": 3,
+    "split_leakage_check": 3,
 }
 
 
@@ -151,17 +153,24 @@ def _collect(suffix: str) -> dict:
     return out
 
 
-def _gate_ordered(full: dict) -> dict:
+def _gate_ordered(
+    full: dict,
+    last: dict[str, int] | None = None,
+    deferred: set[str] | None = None,
+) -> dict:
     """Least-recently-driver-verified keys first (never-green leads).
 
     With >GATE_WINDOW registered queries the gate rotates: each round checks
     everything never verified plus whichever green rows are stalest, so every
     query's evidence is refreshed on a bounded cycle.  Actively-deferred
     names (window-overflow additions, see DEFER_WHILE_LATEST_LE) sort last
-    until their deferral expires.
+    until their deferral expires.  ``last``/``deferred`` are injectable for
+    unit tests; production reads them from the correctness files.
     """
-    last = last_green_round()
-    deferred = actively_deferred()
+    if last is None:
+        last = last_green_round()
+    if deferred is None:
+        deferred = actively_deferred()
     pos = {k: i for i, k in enumerate(full)}
     keys = sorted(
         full, key=lambda k: (k in deferred, last.get(k, -1), pos[k])

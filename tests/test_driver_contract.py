@@ -140,3 +140,43 @@ def test_bench_parses_as_one_json_line():
     parsed = json.loads(lines[-1])
     assert parsed["unit"] == "sec" and parsed["queries"]
     assert all(v >= 0 for v in parsed["queries"].values())
+
+
+def test_gate_ordering_unit_semantics():
+    """The rotation's sort semantics, pinned directly: (1) never-green
+    undeferred first, in registration order; (2) then green names by
+    staleness (oldest round first); (3) actively-deferred never-green dead
+    last; (4) a deferred name that HAS a green row rejoins normal LRU."""
+    from flatterer_spark.registry import _gate_ordered
+
+    full = {k: k for k in ["a", "b", "c", "d", "e", "f"]}
+    last = {"b": 2, "c": 1, "e": 3, "f": 1}
+    # a, d never green; d deferred; f deferred-but-green
+    out = list(
+        _gate_ordered(full, last=last, deferred={"d"})
+    )
+    assert out == [
+        "a",          # never-green, undeferred
+        "c", "f",     # stalest green (round 1), registration order
+        "b",          # round 2
+        "e",          # round 3
+        "d",          # deferred never-green: last
+    ]
+
+
+def test_active_deferral_expires_with_new_round(tmp_path):
+    """actively_deferred() keys off the latest recorded round: once a newer
+    correctness file lands, deferral ends even without a green row."""
+    import json
+
+    from flatterer_spark.registry import (
+        DEFER_WHILE_LATEST_LE,
+        actively_deferred,
+    )
+
+    name = next(iter(DEFER_WHILE_LATEST_LE))
+    # current repo: latest file is r03 or r04 -> compare both regimes
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({}))
+    assert name in actively_deferred(str(tmp_path))
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({}))
+    assert name not in actively_deferred(str(tmp_path))
