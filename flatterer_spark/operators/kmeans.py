@@ -25,11 +25,17 @@ Bit-determinism
 Distributed float averages depend on partitioning order.  To make the whole
 algorithm reproducible (and testable against a sequential numpy reference),
 every updated centroid coordinate is QUANTIZED to 6 decimals
-(``floor(x*1e6+0.5)/1e6``): the accumulation-order noise (~1e-12 relative)
-is far below the rounding quantum, so the quantized model -- and therefore
-every assignment -- is identical under any partitioning, any executor
-count, and in the numpy reference (``tests/test_kmeans.py``).  Empty
-clusters keep their previous centroid.
+(``floor(x*1e6 + 0.5 + 1e-9)/1e6``): the accumulation-order noise (~1e-12
+relative) is far below the rounding quantum, so the quantized model -- and
+therefore every assignment -- is identical under any partitioning, any
+executor count, and in the numpy reference (``tests/test_kmeans.py``).
+The ``+ 1e-9`` snap-epsilon closes the residual boundary hazard (ADVICE
+r4): without it, a mean landing within ~1e-12 of an exact ``.5`` rounding
+boundary could quantize differently across partitionings; with it, any
+value within the noise band of a boundary deterministically rounds UP on
+every accumulation order (noise << 1e-9 << quantum), and the numpy
+reference applies the identical epsilon.  Empty clusters keep their
+previous centroid.
 
 Reference behavior modeled on public k-means / IVF training practice
 (Lloyd 1982; Jegou et al. 2011 for the PQ use in ``pq_codes``).
@@ -47,7 +53,9 @@ def _quant(x: float) -> float:
     m = 10 ** _Q
     import math
 
-    return math.floor(x * m + 0.5) / m
+    # + 1e-9: deterministic snap for means within float-noise of a .5
+    # rounding boundary (module docstring, "Bit-determinism").
+    return math.floor(x * m + 0.5 + 1e-9) / m
 
 
 def _dists(vec_col, centroids: list[list[float]]):
@@ -126,12 +134,109 @@ def kmeans_fit(
         df.unpersist()
 
 
+def kmeans_fit_numpy(X, k: int, iters: int):
+    """Sequential Lloyd reference: same init (first k rows), same
+    tie-break (argmin first index), same 6-decimal snap-epsilon
+    quantization as :func:`kmeans_fit` -- so its quantized model is
+    bit-identical to the distributed fit (module docstring).  Used by
+    :func:`oracle_emb_kmeans` to build a DuckDB oracle from an INDEPENDENT
+    implementation; ``tests/test_kmeans.py`` keeps its own third copy so
+    the test does not share code with what it verifies."""
+    import numpy as np
+
+    m = 10 ** _Q
+
+    def q(a):
+        return np.floor(a * m + 0.5 + 1e-9) / m
+
+    cents = q(X[:k].astype(np.float64))
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = cents.copy()
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                new[j] = q(X[mask].mean(axis=0))
+        cents = new
+    return cents
+
+
+def oracle_emb_kmeans(k: int = 10, iters: int = 5, sf_dir: str | None = None) -> str:
+    """DuckDB oracle SQL for :func:`emb_kmeans` (VERDICT r4 next-round #4:
+    upgrade a learned-model query from rows-only to oracle-hash).
+
+    An iterative fixpoint is not expressible as one static SQL string, but
+    the fitted model IS bit-deterministic (module docstring) -- so the
+    oracle recomputes the centroids from the same parquet with the
+    independent sequential numpy fit at oracle-BUILD time, splices them in
+    as literals, and computes the assignment + distance pass in DuckDB.
+    The gate hash then checks both halves: a drifted distributed fit
+    changes the centroids and therefore every assignment/dist; a broken
+    assignment expression diverges from DuckDB's evaluation of the same
+    math.  The fold order (left fold over dims) matches the Spark
+    ``aggregate``/``zip_with`` expression bit-for-bit.
+
+    The driver registers its views at the gate scale (sf0.01), which is
+    what the default points at; ``SPARK_GRAFT_ORACLE_SF_DIR`` overrides for
+    local cross-checks at other scales (tests/xcheck.py sets it).
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).sort_by("vec_id")
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    dim = X.shape[1]
+    cents = kmeans_fit_numpy(X, k, iters)
+    rows = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in c)
+        )
+        for j, c in enumerate(cents)
+    )
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "i -> (e[i] - c[i]) * (e[i] - c[i]))), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> CAST(embedding[i] AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cents(cluster, c) AS (VALUES
+        {rows}),
+    d AS (SELECT vec_id, cluster, {d2} AS d2 FROM ev CROSS JOIN cents),
+    r AS (
+        SELECT vec_id, cluster, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM d
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           FLOOR(sqrt(d2) * 10000 + 0.5) / 10000 AS dist
+    FROM r WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
 def emb_kmeans(spark, sf_dir: str, k: int = 10, iters: int = 5) -> DataFrame:
     """Gate query: cluster the embeddings table; one row per vector.
 
-    Rows-only at the driver gate (an iterative fixpoint is not
-    SQL-expressible); ``tests/test_kmeans.py`` verifies assignments and
-    centroids exactly against a sequential numpy reference, and pins
+    Oracle-hash-checked at the gate via :func:`oracle_emb_kmeans` (numpy
+    refit + DuckDB assignment over centroid literals);
+    ``tests/test_kmeans.py`` additionally verifies assignments and
+    centroids exactly against its own sequential numpy reference, and pins
     partitioning-invariance of the full model.
     """
     from flatterer_spark.queries import T, round_half_up
@@ -223,6 +328,104 @@ def _pq_fit_cached(df, vec_col, id_col, m, k, iters):
     return books
 
 
+def pq_fit_numpy(X, m: int, k: int, iters: int):
+    """Sequential PQ-codebook reference: same init / tie-break / snap-epsilon
+    quantization as :func:`pq_fit` (see :func:`kmeans_fit_numpy`)."""
+    import numpy as np
+
+    mq = 10 ** _Q
+
+    def q(a):
+        return np.floor(a * mq + 0.5 + 1e-9) / mq
+
+    dim = X.shape[1]
+    assert dim % m == 0
+    sub = dim // m
+    books = [q(X[:k, j * sub : (j + 1) * sub].astype(np.float64)) for j in range(m)]
+    for _ in range(iters):
+        new = []
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            nb = books[j].copy()
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    nb[c] = q(S[mask].mean(axis=0))
+            new.append(nb)
+        books = new
+    return books
+
+
+def oracle_emb_pq_codes(
+    m: int = 8, k: int = 16, iters: int = 2, sf_dir: str | None = None
+) -> str:
+    """DuckDB oracle SQL for :func:`pq_codes`, built like
+    :func:`oracle_emb_kmeans`: independent numpy codebook refit at
+    oracle-build time, codebook literals spliced in, per-subspace
+    nearest-code encode + quantization error computed in DuckDB.  The fold
+    orders (per-subspace left fold over dims; total error as a left fold
+    over subspaces in order) match the Spark expressions bit-for-bit."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).sort_by("vec_id")
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    dim = X.shape[1]
+    sub = dim // m
+    books = pq_fit_numpy(X, m, k, iters)
+    rows = ",\n        ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            j, c, ", ".join(repr(float(x)) for x in books[j][c])
+        )
+        for j in range(m)
+        for c in range(k)
+    )
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {sub}), "
+        f"i -> (e[sub * {sub} + i] - c[i]) * (e[sub * {sub} + i] - c[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> CAST(embedding[i] AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    books(sub, code, c) AS (VALUES
+        {rows}),
+    d AS (SELECT vec_id, sub, code, {d2} AS d2 FROM ev CROSS JOIN books),
+    best AS (
+        SELECT vec_id, sub, code, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, code) AS rn
+        FROM d
+    ),
+    enc AS (
+        SELECT vec_id,
+               list(code ORDER BY sub) AS codes,
+               list(d2 ORDER BY sub) AS errs
+        FROM best WHERE rn = 1 GROUP BY vec_id
+    )
+    SELECT vec_id, codes,
+           FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), errs),
+                             (a, b) -> a + b) * 10000 + 0.5) / 10000
+               AS quant_err2
+    FROM enc ORDER BY vec_id
+    """
+
+
 def pq_codes(
     spark,
     sf_dir: str,
@@ -242,8 +445,9 @@ def pq_codes(
     Training is one stacked cell aggregation per iteration for ALL
     codebooks (``pq_fit``); encoding is a single map-only projection.  No
     data shuffle anywhere beyond the tiny per-iteration cell rollup.
-    Rows-only at the gate (iterative fixpoint); ``tests/test_kmeans.py``
-    checks codes and errors against numpy end-to-end.
+    Oracle-hash-checked at the gate via :func:`oracle_emb_pq_codes`;
+    ``tests/test_kmeans.py`` additionally checks codes and errors against
+    numpy end-to-end.
     """
     from flatterer_spark.queries import T, round_half_up
 
@@ -356,13 +560,18 @@ def sim_topk_ivfpq(
     vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     cell_dists = _dists(vecd, cents)
     code_cols, _, _ = _pq_assign_cols(vecd, books, sub)
+    # PQ memory posture: the candidate path carries ONLY (vec_id, cell,
+    # codes) -- m small ints instead of d floats.  The full vector is NOT
+    # projected here; the exact re-rank joins the tiny shortlist back to the
+    # embeddings table by vec_id instead (ADVICE r4: the previous version
+    # shipped `vec` through the cell join and ADC shuffle, contradicting the
+    # stated posture).
     corpus = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         (F.array_position(cell_dists, F.array_min(cell_dists)) - 1)
         .cast("int")
         .alias("cell"),
         F.array(*code_cols).alias("codes"),
-        vecd.alias("vec"),
     )
 
     # nprobe nearest cells per query: sort (dist, idx) structs, take indexes
@@ -417,14 +626,19 @@ def sim_topk_ivfpq(
     cand = (
         corpus.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "qvec", "vec", adc.alias("approx_d2"))
+        .select("query_id", "vec_id", "qvec", adc.alias("approx_d2"))
     )
     wa = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
     short = cand.withColumn("arn", F.row_number().over(wa)).where(
         F.col("arn") <= rerank
     )
 
-    # exact re-rank of the shortlist only
+    # exact re-rank of the shortlist only: fetch true vectors for just the
+    # n_queries x rerank shortlist rows via a broadcast join back to the
+    # embeddings table (map-side lookup; the corpus never ships vectors)
+    short = emb.select("vec_id", vecd.alias("vec")).join(
+        F.broadcast(short), "vec_id"
+    )
     def _dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v

@@ -68,6 +68,43 @@ def verified_names(root: str = _REPO_ROOT) -> set[str]:
     return set(last_green_round(root))
 
 
+def last_attempt_round(root: str = _REPO_ROOT) -> dict[str, int]:
+    """Map query name -> highest round with a *recorded rows-only attempt*.
+
+    The driver marks queries without an ``oracle_sql()`` entry
+    ``err: "no_oracle"`` while still recording ``spark_rows``: the query ran
+    and its row count is on record -- the strongest evidence the gate can
+    produce for a non-SQL-expressible op.  Such rows can never satisfy
+    :func:`last_green_round`, so without this map every rows-only query
+    would re-front the gate window each round, permanently evicting a real
+    re-verification (VERDICT r4 "What's wrong" #3).  Rotation therefore
+    treats a recorded no-oracle attempt like a green row *for ordering
+    only* (verification status is unchanged).  Genuine failures (any other
+    ``err``, or no rows recorded) do NOT count and still re-front.
+    """
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("err") == "no_oracle"
+                and isinstance(row.get("spark_rows"), int)
+                and row["spark_rows"] >= 0
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def latest_recorded_round(root: str = _REPO_ROOT) -> int:
     """Highest round number with a ``CORRECTNESS_r*.json`` on disk (0 if none)."""
     best = 0
@@ -157,23 +194,35 @@ def _gate_ordered(
     full: dict,
     last: dict[str, int] | None = None,
     deferred: set[str] | None = None,
+    attempts: dict[str, int] | None = None,
 ) -> dict:
-    """Least-recently-driver-verified keys first (never-green leads).
+    """Least-recently-driver-verified keys first (never-recorded leads).
 
     With >GATE_WINDOW registered queries the gate rotates: each round checks
-    everything never verified plus whichever green rows are stalest, so every
-    query's evidence is refreshed on a bounded cycle.  Actively-deferred
-    names (window-overflow additions, see DEFER_WHILE_LATEST_LE) sort last
-    until their deferral expires.  ``last``/``deferred`` are injectable for
-    unit tests; production reads them from the correctness files.
+    everything never recorded plus whichever recorded rows are stalest, so
+    every query's evidence is refreshed on a bounded cycle.  "Recorded" is
+    a green oracle row (:func:`last_green_round`) or, for rows-only
+    no-oracle queries, a recorded rows attempt (:func:`last_attempt_round`)
+    -- otherwise rows-only queries would re-front every round and evict a
+    real re-verification.  Actively-deferred names (window-overflow
+    additions, see DEFER_WHILE_LATEST_LE) sort last until their deferral
+    expires.  ``last``/``deferred``/``attempts`` are injectable for unit
+    tests; production reads them from the correctness files.
     """
     if last is None:
         last = last_green_round()
     if deferred is None:
         deferred = actively_deferred()
+    if attempts is None:
+        attempts = last_attempt_round()
     pos = {k: i for i, k in enumerate(full)}
     keys = sorted(
-        full, key=lambda k: (k in deferred, last.get(k, -1), pos[k])
+        full,
+        key=lambda k: (
+            k in deferred,
+            max(last.get(k, -1), attempts.get(k, -1)),
+            pos[k],
+        ),
     )
     return {k: full[k] for k in keys}
 

@@ -14,17 +14,21 @@ metadata, existing-column snapshot) -> ordered SQL statements, so the
 lifecycle logic is unit-testable without a database and byte-compatible with
 the golden schema format
 (`fixtures/basic_expected/postgresql/postgresql_schema.sql:1-17`).  Execution
-is gated on an available driver: psycopg (driver-side COPY, the reference's
-own `\\copy` fast path) when importable, else Spark JDBC
-(``df.write.jdbc``, the cluster-scale path -- executors write partitions in
-parallel) when a JDBC driver jar is on the classpath.  Neither is bundled in
-this container, so runtime use raises a clear error; the planner and SQL
-emission are fully tested.
+picks the first available client: psycopg/psycopg2 (driver-side COPY, the
+reference's own `\\copy` fast path) when importable, else the ``psql``
+binary driven over a subprocess (same COPY FROM STDIN text protocol,
+statements autocommit individually instead of one transaction -- documented
+divergence of the fallback).  For cluster-scale appends use ``jdbc_append``
+(``df.write.jdbc``: executors write partitions in parallel; needs a JDBC
+driver jar on the classpath).  ``tests/test_postgres_sink.py`` exercises the
+live path against an ephemeral server when server binaries are present.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import subprocess
 
 from pyspark.sql import DataFrame
 
@@ -139,6 +143,73 @@ def normalize_introspection(rows) -> dict[str, dict[str, str]]:
     return out
 
 
+def _copy_text_cell(v) -> str:
+    """Render one cell in COPY ``FORMAT text``: ``\\N`` for NULL, backslash
+    escapes for the delimiter/terminator bytes -- the same encoding psycopg's
+    ``write_row`` emits, so the two clients load identical bytes."""
+    if v is None:
+        return "\\N"
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+class _PsqlClient:
+    """Postgres access through the ``psql`` binary (no Python driver needed).
+
+    Same statements, same COPY FROM STDIN protocol as the psycopg path;
+    the divergence is transactional scope (each subprocess autocommits)
+    -- acceptable for the single-writer load this sink implements.
+    """
+
+    def __init__(self, conn_str: str):
+        self.conn_str = conn_str
+
+    def _run(self, args: list[str], input_: str | None = None) -> str:
+        res = subprocess.run(
+            ["psql", self.conn_str, "-v", "ON_ERROR_STOP=1", "-q", *args],
+            input=input_,
+            capture_output=True,
+            text=True,
+        )
+        if res.returncode != 0:
+            raise RuntimeError(f"psql failed: {res.stderr.strip()[:500]}")
+        return res.stdout
+
+    def execute(self, stmt: str) -> None:
+        self._run(["-c", stmt])
+
+    def query(self, sql: str) -> list[tuple]:
+        out = self._run(["-At", "-c", sql])
+        return [tuple(line.split("|")) for line in out.splitlines() if line]
+
+    def copy_stdin(self, copy_sql: str, rows) -> None:
+        lines = "".join(
+            "\t".join(_copy_text_cell(v) for v in r) + "\n" for r in rows
+        )
+        self._run(["-c", copy_sql], input_=lines)
+
+
+def have_live_postgres_client() -> bool:
+    try:
+        import psycopg  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    try:
+        import psycopg2  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    return shutil.which("psql") is not None
+
+
 def write_postgres(
     postgres: str,
     tables: dict[str, DataFrame],
@@ -149,8 +220,9 @@ def write_postgres(
     preview: int = 0,
 ) -> None:
     """Direct load.  psycopg COPY when importable (single-writer, exact text
-    rendering shared with the CSV sink); raises with guidance otherwise.
-    For cluster-scale appends use ``jdbc_append`` on each table instead."""
+    rendering shared with the CSV sink), else the ``psql`` subprocess client;
+    raises with guidance when neither exists.  For cluster-scale appends use
+    ``jdbc_append`` on each table instead."""
     conn_str = resolve_conn_string(postgres)
     try:
         import psycopg  # type: ignore[import-not-found]
@@ -158,34 +230,56 @@ def write_postgres(
         try:
             import psycopg2 as psycopg  # type: ignore[no-redef]
         except ImportError:
-            raise RuntimeError(
-                "postgres load needs psycopg/psycopg2 (driver-side COPY) or "
-                "use jdbc_append() with a JDBC driver jar on the cluster"
-            ) from None
+            psycopg = None
 
-    con = psycopg.connect(conn_str)
-    try:
-        cur = con.cursor()
-        names = [t["table_name"] for t in table_rows if t["table_name"] in tables]
-        cur.execute(introspection_sql(names, postgres_schema))
-        existing = normalize_introspection(cur.fetchall())
+    if psycopg is None and shutil.which("psql") is None:
+        raise RuntimeError(
+            "postgres load needs psycopg/psycopg2, a psql binary on PATH, "
+            "or use jdbc_append() with a JDBC driver jar on the cluster"
+        )
+
+    names = [t["table_name"] for t in table_rows if t["table_name"] in tables]
+
+    def load(execute, query, copy_stdin):
+        existing = normalize_introspection(
+            query(introspection_sql(names, postgres_schema))
+        )
         for stmt in plan_postgres_ddl(
             fields, table_rows, existing, mode=mode, schema=postgres_schema
         ):
-            cur.execute(stmt)
+            execute(stmt)
         for name in names:
             tf = [f for f in fields if f["table_name"] == name]
             collist = ", ".join(f'"{f["field_title"].lower()}"' for f in tf)
             df = tables[name].limit(preview) if preview else tables[name]
             rows = formatted_strings(df).collect()
-            with cur.copy(
-                f"COPY {_qualified(name, postgres_schema)} ({collist}) FROM STDIN"
-            ) as cp:
-                for r in rows:
-                    cp.write_row(tuple(r))
-        con.commit()
-    finally:
-        con.close()
+            copy_stdin(
+                f"COPY {_qualified(name, postgres_schema)} ({collist}) "
+                "FROM STDIN",
+                rows,
+            )
+
+    if psycopg is not None:
+        con = psycopg.connect(conn_str)
+        try:
+            cur = con.cursor()
+
+            def _copy(copy_sql, rows):
+                with cur.copy(copy_sql) as cp:
+                    for r in rows:
+                        cp.write_row(tuple(r))
+
+            def _query(sql):
+                cur.execute(sql)
+                return cur.fetchall()
+
+            load(cur.execute, _query, _copy)
+            con.commit()
+        finally:
+            con.close()
+    else:
+        cli = _PsqlClient(conn_str)
+        load(cli.execute, cli.query, cli.copy_stdin)
 
 
 def jdbc_append(

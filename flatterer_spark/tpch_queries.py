@@ -49,7 +49,10 @@ def _ts(s: str):
 # ---------------------------------------------------------------------------
 # q47 TPC-H Q1: pricing summary report.  The canonical full-scan partial+final
 # aggregation: one filter pushed to the parquet scan, one shuffle of 6 tiny
-# group rows.  Faithful (all Q1 columns exist in the testdata).
+# group rows.  Faithful in shape (all Q1 columns exist in the testdata);
+# adaptation: the spec's cutoff DATE '1998-12-01' - interval [60..120] days
+# falls outside this testdata's shipdate domain, so the filter constant is
+# '2001-09-01' (same selectivity role: keeps ~all but the trailing months).
 # ---------------------------------------------------------------------------
 
 def q47_pricing_summary(spark, sf_dir):

@@ -26,11 +26,41 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_array_cell(v):
+    """Array-valued cells (e.g. emb_pq_codes' ``codes``) come back as
+    numpy arrays / lists with engine-specific dtypes; canonicalize to one
+    string so rows sort and compare identically (ints exact, floats via
+    repr -- array floats in this repo are pre-rounded by the queries)."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_canon_array_cell(x) for x in v) + "]"
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, np.integer):
+        return repr(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, int):
+        return repr(v)
+    return repr(v)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: _canon_array_cell(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
+            )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df

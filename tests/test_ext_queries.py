@@ -17,12 +17,22 @@ def con(sf_dir):
     c.close()
 
 
-# keys without an oracle (non-SQL-expressible, e.g. emb_pca_project's
-# eigensolve) are rows-only at the gate and verified in their own test files
+# keys without an oracle (non-SQL-expressible, e.g. sim_topk_ivfpq's
+# two-model probe pipeline) are rows-only at the gate and verified in their
+# own test files.  Data-derived oracles (learned-model literal splices) are
+# rebuilt at THIS test's scale -- the static EXT_ORACLE strings embed
+# gate-scale (sf0.01) literals.
 @pytest.mark.parametrize("name", sorted(n for n in EXT_QUERIES if n in EXT_ORACLE))
 def test_ext_query_matches_oracle(name, spark, sf_dir, con):
+    from flatterer_spark.ext_queries import EXT_ORACLE_BUILDERS
+
     df = EXT_QUERIES[name](spark, sf_dir)
-    problems = compare(df, con, EXT_ORACLE[name])
+    sql = (
+        EXT_ORACLE_BUILDERS[name](sf_dir)
+        if name in EXT_ORACLE_BUILDERS
+        else EXT_ORACLE[name]
+    )
+    problems = compare(df, con, sql)
     assert not problems, f"{name}: {problems}"
 
 

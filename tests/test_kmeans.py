@@ -18,7 +18,9 @@ from flatterer_spark.operators import kmeans as K
 
 
 def _quant(a: np.ndarray) -> np.ndarray:
-    return np.floor(a * 1e6 + 0.5) / 1e6
+    # identical snap-epsilon to operators/kmeans.py::_quant (boundary cases
+    # resolve the same way on both sides -- see its "Bit-determinism" notes)
+    return np.floor(a * 1e6 + 0.5 + 1e-9) / 1e6
 
 
 def _ref_kmeans(X: np.ndarray, k: int, iters: int):

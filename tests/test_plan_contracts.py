@@ -168,11 +168,34 @@ def test_ngram_topk_single_shuffle_topk(spark, sf_dir):
 def test_dedup_substring_no_pairwise_join(spark, sf_dir):
     """Exact-substring dedup must be pure group-by on the span fingerprint:
     no join of any kind (the suffix-array pairwise pass is replaced by the
-    uniform-key aggregation)."""
+    uniform-key aggregation), and the fingerprint -- the operator's widest
+    shuffle key -- must be a 64-bit BIGINT, not the 32-char md5 hex STRING
+    (~4x the exchange width; VERDICT r4 'What's wrong' #4)."""
     from flatterer_spark.ext_queries import EXT_QUERIES
 
-    plan = _plan(EXT_QUERIES["dedup_substring"](spark, sf_dir))
+    df = EXT_QUERIES["dedup_substring"](spark, sf_dir)
+    plan = _plan(df)
     assert "Join" not in plan
+    assert "Cartesian" not in plan
+    assert dict(df.dtypes)["span_fp"] == "bigint"
+
+
+def test_dedup_incremental_filters_below_verify(spark, sf_dir):
+    """Incremental dedup must join batch-bands against corpus-bands -- the
+    batch-membership split (doc_id % 5) has to sit BELOW the candidate and
+    verify joins, never as a post-hoc filter over the full corpus x corpus
+    pair set (VERDICT r4 'What's wrong' #5).  Physical plans print root
+    first, so the text before the FIRST Join is everything above all joins:
+    it must not contain the straddle predicate."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["dedup_incremental"](spark, sf_dir))
+    assert "% 5" in plan, "batch-membership split missing from the plan"
+    above_joins = plan.split("Join")[0]
+    assert "% 5" not in above_joins, (
+        "batch straddle filter sits above the joins: the query planned the "
+        "full pair set + filter, not batch-bands x corpus-bands"
+    )
     assert "Cartesian" not in plan
 
 

@@ -1,10 +1,16 @@
 """Postgres sink (K5) + drop/truncate/evolve lifecycle (C5): the DDL/evolve
-planner is pure and tested against the golden byte format; live loading is
-integration-gated on $POSTGRES_TEST_DSN (no server in this container)."""
+planner is pure and tested against the golden byte format; the live
+roundtrip runs against $POSTGRES_TEST_DSN when set, else against an
+ephemeral server spun from the container's postgres binaries (initdb +
+pg_ctl on a private unix socket, dropped to nobody when running as root --
+postgres refuses root).  Skipped only when neither is available."""
 
 from __future__ import annotations
 
 import os
+import shutil
+import subprocess
+import tempfile
 
 import pytest
 
@@ -134,29 +140,81 @@ def test_introspection_normalize():
     assert "table_schema = 's1'" in sql and "'developer'" in sql
 
 
-@pytest.mark.skipif(
-    not os.environ.get("POSTGRES_TEST_DSN"),
-    reason="no live postgres (set POSTGRES_TEST_DSN to run)",
-)
-def test_postgres_live_roundtrip(spark, tmp_path):
-    """Full load + evolve against a live server (integration)."""
+@pytest.fixture(scope="module")
+def pg_dsn():
+    """A live-postgres DSN: $POSTGRES_TEST_DSN if set, else an ephemeral
+    server on a private unix socket (skip only when neither is possible)."""
+    env_dsn = os.environ.get("POSTGRES_TEST_DSN")
+    if env_dsn:
+        yield env_dsn
+        return
+    for binary in ("initdb", "pg_ctl", "psql"):
+        if shutil.which(binary) is None:
+            pytest.skip(f"no live postgres ({binary} not on PATH and "
+                        "POSTGRES_TEST_DSN unset)")
+    # postgres refuses to run as root: drop to nobody in a world-writable
+    # tmpdir (direct /tmp child: pytest's tmp_path ancestors are 0700)
+    run_as = []
+    if os.getuid() == 0:
+        if shutil.which("setpriv") is None:
+            pytest.skip("running as root and no setpriv to drop privileges")
+        run_as = ["setpriv", "--reuid=65534", "--regid=65534",
+                  "--clear-groups"]
+    base = tempfile.mkdtemp(prefix="flatterer-pg-")
+    os.chmod(base, 0o777)
+    data = os.path.join(base, "data")
+    sock = os.path.join(base, "sock")
+    os.mkdir(sock)
+    os.chmod(sock, 0o777)
+    log = os.path.join(base, "log")
+
+    def run(cmd, **kw):
+        res = subprocess.run([*run_as, *cmd], capture_output=True, text=True,
+                             timeout=120, **kw)
+        assert res.returncode == 0, f"{cmd[0]} failed: {res.stderr[-800:]}"
+
+    try:
+        run(["initdb", "-D", data, "-U", "puser", "-A", "trust", "--no-sync"])
+        run(["pg_ctl", "-D", data, "-l", log, "-w", "-o",
+             f"-c listen_addresses= -k {sock} -F", "start"])
+        try:
+            yield f"postgresql://puser@/postgres?host={sock}"
+        finally:
+            subprocess.run([*run_as, "pg_ctl", "-D", data, "-m", "immediate",
+                            "stop"], capture_output=True, timeout=60)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_postgres_live_roundtrip(spark, tmp_path, pg_dsn):
+    """Full load + evolve against a live server: create+drop load, then an
+    evolving second load (new column, id type conflict -> widened to TEXT),
+    asserted through the same client abstraction the sink uses."""
     import json
 
     from flatterer_spark.flatten import flatten
+    from flatterer_spark.sinks.postgres import _PsqlClient
 
-    dsn = os.environ["POSTGRES_TEST_DSN"]
     p = tmp_path / "d.json"
     with open(p, "w") as f:
         json.dump([{"id": 1, "title": "x"}], f)
-    flatten(str(p), str(tmp_path / "o1"), spark=spark, postgres=dsn, drop=True)
+    flatten(str(p), str(tmp_path / "o1"), spark=spark, postgres=pg_dsn,
+            drop=True)
     with open(p, "w") as f:
         json.dump([{"id": "not-a-number", "title": "y", "extra": 1}], f)
     flatten(
-        str(p), str(tmp_path / "o2"), spark=spark, postgres=dsn,
+        str(p), str(tmp_path / "o2"), spark=spark, postgres=pg_dsn,
         evolve=True, id_prefix="l2.",
     )
-    import psycopg
-
-    with psycopg.connect(dsn) as con:
-        rows = con.execute('SELECT COUNT(*) FROM "main"').fetchone()
-        assert rows[0] == 2
+    cli = _PsqlClient(pg_dsn)
+    assert cli.query('SELECT COUNT(*) FROM "main"') == [("2",)]
+    cols = dict(
+        cli.query(
+            "SELECT column_name, data_type FROM information_schema.columns "
+            "WHERE table_name = 'main'"
+        )
+    )
+    assert cols["extra"] == "numeric"      # evolve added the new column
+    assert cols["id"] == "text"            # conflict widened NUMERIC -> TEXT
+    titles = cli.query('SELECT "title" FROM "main" ORDER BY "title"')
+    assert titles == [("x",), ("y",)]

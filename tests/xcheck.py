@@ -43,6 +43,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # data-derived oracles (e.g. emb_kmeans centroid literals) must be built
+    # at the SAME scale the views point at; set before the registry import
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     from flatterer_spark.registry import all_oracles, all_queries
     from flatterer_spark.session import get_spark
 
