@@ -51,6 +51,7 @@ from flatterer_spark.functions.textgen import Gen
 # Tokens per output shard for pack_shards: small enough that sf0.01 (500
 # docs, ~30 tokens each) produces a multi-shard assignment worth checking.
 SHARD_TOKENS = 2000
+SEQ_TOKENS = 512
 
 # Contamination flag threshold: >= this many distinct shared n-grams.
 CONTAM_MIN_SHARED = 5
@@ -283,11 +284,9 @@ def sql_pack_shards(g: Gen, shard_tokens: int = SHARD_TOKENS) -> str:
     """
 
 
-def pack_shards_query(
-    spark: SparkSession, sf_dir: str, shard_tokens: int = SHARD_TOKENS,
-    n_buckets: int = 32,
-) -> DataFrame:
-    """Distributed two-phase prefix sum over doc_id order.
+def _global_cum_tok(spark: SparkSession, sf_dir: str, n_buckets: int) -> DataFrame:
+    """(doc_id, n_tok, cum_tok): exact global running token sum in doc_id
+    order, via the distributed two-phase prefix sum.
 
     Phase 1: range-bucket on doc_id (``doc_id DIV width``), aggregate one
     partial token sum per bucket -- a narrow shuffle of n_buckets rows.
@@ -328,15 +327,84 @@ def pack_shards_query(
     w = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    return tok.join(F.broadcast(off), "_b").withColumn(
+        "cum_tok", (F.col("_off") + F.sum("n_tok").over(w)).cast("long")
+    )
+
+
+def pack_shards_query(
+    spark: SparkSession, sf_dir: str, shard_tokens: int = SHARD_TOKENS,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Token-aware shard assignment over the distributed prefix sum
+    (:func:`_global_cum_tok`): a document goes to the shard its start
+    offset falls in."""
+    import pyspark.sql.functions as F
+
     return (
-        tok.join(F.broadcast(off), "_b")
-        .withColumn("cum_tok", (F.col("_off") + F.sum("n_tok").over(w)).cast("long"))
+        _global_cum_tok(spark, sf_dir, n_buckets)
         .withColumn(
             "shard",
             ((F.col("cum_tok") - F.col("n_tok")) / shard_tokens)
             .cast("long"),
         )
         .select("doc_id", "n_tok", "cum_tok", "shard")
+        .orderBy("doc_id")
+    )
+
+
+def sql_pack_sequences(g: Gen, seq_tokens: int = SEQ_TOKENS) -> str:
+    """Oracle spec for training-sequence packing (concat-and-chop): the
+    corpus token stream in doc_id order is chopped into fixed
+    ``seq_tokens``-length training sequences; each document occupies global
+    offsets [cum - n_tok, cum), so it starts in sequence
+    (cum - n_tok) DIV L and ends in (cum - 1) DIV L (n_tok >= 1 always).
+    ``n_seqs`` is the straddle width -- the number of training sequences a
+    document's tokens land in.
+
+    Like :func:`sql_pack_shards`, the ``SUM() OVER (ORDER BY)`` window here
+    is the SPEC only; the registered Spark path
+    (:func:`pack_sequences_query`) computes the identical prefix sum with
+    the two-phase distributed pattern."""
+    n_tok = f"CAST({g.size(g.tokens('text'))} AS BIGINT)"
+    start = g.idiv("(cum_tok - n_tok)", seq_tokens)
+    end = g.idiv("(cum_tok - 1)", seq_tokens)
+    return f"""
+    WITH tok AS (SELECT doc_id, {n_tok} AS n_tok FROM documents),
+    c AS (
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tok
+        FROM tok
+    )
+    SELECT doc_id, n_tok,
+           CAST({start} AS BIGINT) AS start_seq,
+           CAST({end} AS BIGINT) AS end_seq,
+           CAST({end} - {start} + 1 AS BIGINT) AS n_seqs
+    FROM c
+    ORDER BY doc_id
+    """
+
+
+def pack_sequences_query(
+    spark: SparkSession, sf_dir: str, seq_tokens: int = SEQ_TOKENS,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Training-sequence packing over the distributed prefix sum: which
+    fixed-length training sequences each document's tokens land in (see
+    :func:`sql_pack_sequences` for the spec).  Same 100 TB posture as
+    :func:`pack_shards_query` -- the two share :func:`_global_cum_tok`."""
+    import pyspark.sql.functions as F
+
+    start = ((F.col("cum_tok") - F.col("n_tok")) / seq_tokens).cast("long")
+    end = ((F.col("cum_tok") - 1) / seq_tokens).cast("long")
+    return (
+        _global_cum_tok(spark, sf_dir, n_buckets)
+        .withColumn("start_seq", start)
+        .withColumn("end_seq", end)
+        .withColumn("n_seqs", (F.col("end_seq") - F.col("start_seq") + 1))
+        .select("doc_id", "n_tok", "start_seq", "end_seq", "n_seqs")
         .orderBy("doc_id")
     )
 
@@ -614,6 +682,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "mix_upsample": (sql_mix_upsample, ("documents",)),
     "decontaminate": (sql_decontaminate, ("documents",)),
     "pack_shards": (sql_pack_shards, ("documents",)),
+    "pack_sequences": (sql_pack_sequences, ("documents",)),
     "dedup_cluster": (sql_dedup_cluster, ("documents",)),
     "dedup_resolve": (sql_dedup_resolve, ("documents",)),
     "curate_pipeline": (sql_curate_pipeline, ("documents",)),
@@ -646,6 +715,7 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 CURATION_QUERIES["decontaminate"] = _decontaminate_spark
 CURATION_QUERIES["pack_shards"] = pack_shards_query
+CURATION_QUERIES["pack_sequences"] = pack_sequences_query
 CURATION_QUERIES["dedup_cluster"] = dedup_cluster_query
 CURATION_QUERIES["dedup_resolve"] = dedup_resolve_query
 CURATION_QUERIES["curate_pipeline"] = _curate_pipeline_spark

@@ -1508,6 +1508,104 @@ def sql_text_unigram_nll(g: Gen) -> str:
 
 
 # ---------------------------------------------------------------------------
+# dedup_boilerplate: corpus-frequency span removal (CCNet-style boilerplate
+# stripping re-expressed at k-gram granularity -- the testdata documents are
+# single-line word bags, so the "repeated line" unit is a k-token window)
+# ---------------------------------------------------------------------------
+
+def sql_dedup_boilerplate(g: Gen, k: int = 3, min_df: int = 4) -> str:
+    """Strip boilerplate spans: any token position covered by a k-gram that
+    occurs in >= ``min_df`` distinct documents is removed, and each document
+    is reassembled from its surviving tokens (in order).  Output one row per
+    document: (doc_id, clean_text, n_removed).
+
+    This is the rewrite counterpart of ``dedup_substring``: that query
+    *identifies* cross-document duplicated windows, this one *applies* the
+    removal and emits the cleaned corpus -- the CCNet / RefinedWeb
+    boilerplate-removal step of a training-data pipeline.
+
+    Scale posture (100 TB): the gram-DF aggregate is partial+final on the
+    gram key (hot boilerplate grams pre-aggregate map-side); the high-DF
+    gram set is the head of the Zipf curve -- tiny by construction -- so
+    the occurrence join broadcasts it; coverage expansion is a map-side
+    ``explode`` of k rows per hit; the keep anti-join and the reassembly
+    agg both shuffle once on the uniform (doc_id) key.  No all-pairs, no
+    data-sized driver state.
+    """
+    toks = g.tokens("text")
+    gram = g.join(g.slice("toks", "p", k), " ")
+    return f"""
+    WITH tn AS (SELECT doc_id, {toks} AS toks, {g.size(toks)} AS n
+                FROM documents),
+    pos AS (SELECT doc_id, toks, {g.explode_seq('1', f'n - {k - 1}', 'p')}
+            FROM tn),
+    occ AS (SELECT doc_id, p, {gram} AS gram FROM pos),
+    boiler AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gram
+        ) f WHERE df >= {min_df}
+    ),
+    hits AS (SELECT o.doc_id, o.p FROM occ o
+             JOIN boiler b ON o.gram = b.gram),
+    cov AS (SELECT DISTINCT doc_id, cp FROM (
+                SELECT doc_id, {g.explode_seq('p', f'p + {k - 1}', 'cp')}
+                FROM hits) h),
+    tokpos AS (SELECT doc_id, i, {g.at('toks', 'i')} AS tok FROM (
+                   SELECT doc_id, toks, {g.explode_seq('1', 'n', 'i')}
+                   FROM tn) x),
+    keep AS (
+        SELECT tp.doc_id, tp.i, tp.tok
+        FROM tokpos tp LEFT JOIN cov c
+          ON tp.doc_id = c.doc_id AND tp.i = c.cp
+        WHERE c.doc_id IS NULL
+    ),
+    reasm AS (
+        SELECT doc_id, {g.ordered_join_agg('tok', 'i', ' ')} AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM keep GROUP BY doc_id
+    )
+    SELECT tn.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(tn.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tn LEFT JOIN reasm r ON tn.doc_id = r.doc_id
+    ORDER BY tn.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus_ngram_novelty: per-document novelty vs everything earlier
+# ---------------------------------------------------------------------------
+
+def sql_corpus_ngram_novelty(g: Gen, k: int = 3) -> str:
+    """Share of each document's distinct k-grams first introduced BY that
+    document (first appearance = minimal doc_id over the corpus).  The
+    curation metric behind temporal dataset mixing: a crawl snapshot whose
+    novelty collapses is re-crawling what the corpus already holds.
+
+    Scale posture: gram -> min(doc_id) is one partial+final aggregate on
+    the gram key; the novelty join is gram-keyed against the output of that
+    same aggregate, so the exchange is reused (co-partitioned equi-join, no
+    second data shuffle of the gram stream); the per-doc rollup shuffles
+    once on the uniform doc_id key.
+    """
+    return f"""
+    WITH sh AS ({sql_shingle_cte(g, k)}),
+    e AS (SELECT doc_id, {_explode(g, 's', 'gram')} FROM sh),
+    firstg AS (SELECT gram, MIN(doc_id) AS first_doc FROM e GROUP BY gram)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {g.round2(
+               'CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 4)} AS novelty
+    FROM e JOIN firstg f ON e.gram = f.gram
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
 
@@ -1547,6 +1645,8 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "text_unigram_nll": (sql_text_unigram_nll, ("documents",)),
     "dedup_incremental": (sql_dedup_incremental, ("documents",)),
     "split_leakage_check": (sql_split_leakage_check, ("documents",)),
+    "dedup_boilerplate": (sql_dedup_boilerplate, ("documents",)),
+    "corpus_ngram_novelty": (sql_corpus_ngram_novelty, ("documents",)),
 }
 
 
@@ -1714,14 +1814,16 @@ def _pca_oracles() -> dict[str, str]:
 
 
 def _kmeans() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # emb_kmeans / emb_pq_codes ARE oracle-checked (see _kmeans_oracles):
-    # the fitted models are bit-deterministic, so a numpy refit + DuckDB
-    # assignment/encode over the model literals hash-checks both the fit
-    # and the scoring pass.  sim_topk_ivfpq stays rows-only at the gate
-    # (its probe + ADC + rerank pipeline over two learned models would make
-    # the literal-splice oracle mostly self-referential);
-    # tests/test_kmeans.py verifies its recall against brute force and the
-    # models EXACTLY against a sequential numpy reference.
+    # All three ARE oracle-checked (see _kmeans_oracles): the fitted models
+    # are bit-deterministic, so a numpy refit + DuckDB replay over the
+    # model literals hash-checks both the fit and the scoring pass.  For
+    # sim_topk_ivfpq the oracle replays the ENTIRE search path (cell
+    # assign, PQ encode, probe selection, ADC, shortlist, exact re-rank)
+    # from independently-refit model literals -- not self-referential: the
+    # models come from the sequential numpy references and every search
+    # stage is re-evaluated by DuckDB.  tests/test_kmeans.py additionally
+    # verifies recall against brute force and the models EXACTLY against a
+    # sequential numpy reference.
     from flatterer_spark.operators import kmeans as KM
 
     return {
@@ -1745,6 +1847,7 @@ def _data_derived_oracle_builders() -> dict[str, Callable[[str], str]]:
         "emb_kmeans": lambda sf: KM.oracle_emb_kmeans(sf_dir=sf),
         "emb_pq_codes": lambda sf: KM.oracle_emb_pq_codes(sf_dir=sf),
         "emb_pca_project": lambda sf: P.oracle_emb_pca_project(sf_dir=sf),
+        "sim_topk_ivfpq": lambda sf: KM.oracle_sim_topk_ivfpq(sf_dir=sf),
     }
 
 
@@ -1760,6 +1863,7 @@ def _kmeans_oracles() -> dict[str, str]:
         return {
             "emb_kmeans": KM.oracle_emb_kmeans(),
             "emb_pq_codes": KM.oracle_emb_pq_codes(),
+            "sim_topk_ivfpq": KM.oracle_sim_topk_ivfpq(),
         }
     except OSError:
         # testdata absent (e.g. bare checkout): these degrade to the

@@ -109,6 +109,19 @@ class Gen:
             return f"sort_array(collect_list({col}))"
         return f"list({col} ORDER BY {col})"
 
+    def ordered_join_agg(self, val: str, key: str, sep: str) -> str:
+        """String-concatenate column ``val`` in ascending ``key`` order.
+
+        ``val``/``key`` must be plain column names (the Spark form accesses
+        ``val`` as a struct field after sorting by the struct's leading
+        ``key`` field)."""
+        if self.spark:
+            return (
+                f"array_join(transform(array_sort(collect_list("
+                f"struct({key}, {val}))), s -> s.{val}), '{sep}')"
+            )
+        return f"string_agg({val}, '{sep}' ORDER BY {key})"
+
     def slice(self, l: str, start: str, length: int) -> str:
         """1-based slice of fixed length."""
         if self.spark:

@@ -414,7 +414,7 @@ def oracle_emb_pq_codes(
     ),
     enc AS (
         SELECT vec_id,
-               list(code ORDER BY sub) AS codes,
+               string_agg(CAST(code AS VARCHAR), '.' ORDER BY sub) AS codes,
                list(d2 ORDER BY sub) AS errs
         FROM best WHERE rn = 1 GROUP BY vec_id
     )
@@ -460,10 +460,15 @@ def pq_codes(
     total_err = err_cols[0]
     for e in err_cols[1:]:
         total_err = total_err + e
+    # codes as a dot-joined string, not an array: the gate's value-hash
+    # stringifies via pandas, where a Spark list and a DuckDB numpy array
+    # repr differently (same reason emb_quantize emits checksums)
     return (
         emb.select(
             "vec_id",
-            F.array(*code_cols).alias("codes"),
+            F.concat_ws(".", *[c.cast("string") for c in code_cols]).alias(
+                "codes"
+            ),
             round_half_up(total_err, 4).alias("quant_err2"),
         )
         .orderBy("vec_id")
@@ -661,3 +666,179 @@ def sim_topk_ivfpq(
         )
         .orderBy("query_id", "rnk")
     )
+
+
+def oracle_sim_topk_ivfpq(
+    n_queries: int = 10,
+    k: int = 5,
+    cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    kc: int = 16,
+    rerank: int = 30,
+    sf_dir: str | None = None,
+) -> str:
+    """DuckDB oracle SQL for :func:`sim_topk_ivfpq` -- the full IVF-PQ
+    search path replayed in an independent engine.
+
+    Built like :func:`oracle_emb_kmeans`: both learned models (coarse
+    centroids, PQ codebooks) are refit from the same parquet by the
+    sequential numpy references at oracle-BUILD time and spliced in as
+    literals; DuckDB then recomputes EVERY stage of the search from those
+    literals -- corpus cell assignment, PQ encode, per-query nprobe probe
+    selection, asymmetric-distance scoring of the probed candidates, the
+    ``rerank``-row shortlist, and the exact-cosine re-rank.  The gate hash
+    is sensitive to (a) model drift in the distributed fit (bit-determinism
+    argument, module docstring), (b) any divergence in the Spark
+    assignment/encode/ADC expressions, and (c) shortlist/ranking tie
+    discipline.  Every float fold mirrors the Spark expression's left-fold
+    order bit-for-bit (dims in order within a subspace; subspaces in
+    order), and all tie-breaks are (distance, index) ascending, so the two
+    engines agree exactly, not just approximately.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).sort_by("vec_id")
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    dim = X.shape[1]
+    sub = dim // m
+    cents = kmeans_fit_numpy(X, cells, 3)       # _ivfpq_model: iters=3
+    books = pq_fit_numpy(X, m, kc, 2)           # _ivfpq_model: iters=2
+
+    cent_rows = ",\n        ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in c)
+        )
+        for j, c in enumerate(cents)
+    )
+    book_rows = ",\n        ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            j, c, ", ".join(repr(float(x)) for x in books[j][c])
+        )
+        for j in range(m)
+        for c in range(kc)
+    )
+    # the full m x kc x sub codebook as ONE nested literal for the ADC
+    # lookup-by-code (mirrors Spark's constant-folded book_lit)
+    bl = "[{}]::DOUBLE[][][]".format(
+        ", ".join(
+            "[{}]".format(
+                ", ".join(
+                    "[{}]".format(", ".join(repr(float(x)) for x in c))
+                    for c in bk
+                )
+            )
+            for bk in books
+        )
+    )
+    cell_d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "i -> (e[i] - c[i]) * (e[i] - c[i]))), (acc, x) -> acc + x)"
+    )
+    sub_d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {sub}), "
+        f"i -> (e[sub * {sub} + i] - bc[i]) * (e[sub * {sub} + i] - bc[i]))), "
+        "(acc, x) -> acc + x)"
+    )
+    # ADC: outer left fold over subspaces of an inner left fold over the
+    # subspace dims -- identical nesting and order to the Spark expression
+    adc = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {m}), j -> "
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {sub}), s -> "
+        f"(q[(j-1) * {sub} + s] - b[j][codes[j] + 1][s]) "
+        f"* (q[(j-1) * {sub} + s] - b[j][codes[j] + 1][s]))), "
+        "(acc, x) -> acc + x))), (acc, x) -> acc + x)"
+    )
+
+    def dot(a, bb):
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> {a}[i] * {bb}[i])), (acc, x) -> acc + x)"
+        )
+
+    return f"""
+    WITH ev AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> CAST(embedding[i] AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cents(cell, c) AS (VALUES
+        {cent_rows}),
+    cd AS (SELECT vec_id, cell, {cell_d2} AS d2 FROM ev CROSS JOIN cents),
+    corpus_cell AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM cd) WHERE rn = 1
+    ),
+    books(sub, code, bc) AS (VALUES
+        {book_rows}),
+    bd AS (SELECT vec_id, sub, code, {sub_d2} AS d2 FROM ev CROSS JOIN books),
+    codes_t AS (
+        SELECT vec_id, list(code ORDER BY sub) AS codes FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, code) AS rn
+            FROM bd) WHERE rn = 1 GROUP BY vec_id
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM cd WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+    ),
+    qv AS (SELECT vec_id AS query_id, e AS q FROM ev
+           WHERE vec_id < {n_queries}),
+    bl_t(b) AS (VALUES ({bl})),
+    cand AS (
+        SELECT p.query_id, cc.vec_id, {adc} AS approx_d2
+        FROM probes p
+        JOIN corpus_cell cc ON cc.cell = p.cell
+        JOIN qv ON qv.query_id = p.query_id
+        JOIN codes_t co ON co.vec_id = cc.vec_id
+        CROSS JOIN bl_t
+        WHERE cc.vec_id <> p.query_id
+    ),
+    shortl AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_d2, vec_id) AS arn
+            FROM cand) WHERE arn <= {rerank}
+    ),
+    rer AS (
+        SELECT s.query_id, s.vec_id,
+               {dot('q', 'e')} / (sqrt({dot('q', 'q')})
+                                  * sqrt({dot('e', 'e')})) AS cos
+        FROM shortl s
+        JOIN qv ON qv.query_id = s.query_id
+        JOIN ev ON ev.vec_id = s.vec_id
+    )
+    SELECT query_id, rnk, vec_id AS neighbor_id,
+           FLOOR(cos * 100 + 0.5) / 100 AS cosine
+    FROM (
+        SELECT query_id, vec_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, vec_id) AS BIGINT)
+                   AS rnk
+        FROM rer)
+    WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """

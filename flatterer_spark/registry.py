@@ -228,7 +228,16 @@ def _gate_ordered(
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _gate_ordered(_collect("QUERIES"))
+    # A recorded no-oracle attempt counts for rotation ordering ONLY while
+    # the query still lacks an oracle.  The moment an oracle lands (e.g.
+    # emb_pca_project gained one after its r4 rows-only row), the query must
+    # re-front the window to earn its first green hash row -- otherwise the
+    # stale attempt row would park it behind a full window of re-checks.
+    oracled = set(_collect("ORACLE"))
+    attempts = {
+        k: v for k, v in last_attempt_round().items() if k not in oracled
+    }
+    return _gate_ordered(_collect("QUERIES"), attempts=attempts)
 
 
 def all_oracles() -> dict[str, str]:

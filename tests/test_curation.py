@@ -243,3 +243,42 @@ def test_mix_temperature_keeps_rarest_lang_whole(spark, sf_dir):
     assert all(kept.get(l, 0) > 0 for l in full)
     # dominant flattened: kept share strictly below raw share
     assert kept[dominant] / sum(kept.values()) < full[dominant] / sum(full.values())
+
+
+def test_pack_sequences_two_phase_equals_global_window(spark, sf_dir):
+    """Same contract as pack_shards: the distributed prefix sum must equal
+    the single-window spec exactly, with no partition-less window."""
+    from flatterer_spark.curation import sql_pack_sequences
+    from flatterer_spark.functions.textgen import Gen
+    from flatterer_spark.queries import T
+
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spec = spark.sql(sql_pack_sequences(Gen(spark=True))).collect()
+    dist_df = CURATION_QUERIES["pack_sequences"](spark, sf_dir)
+    dist = dist_df.collect()
+    assert sorted(map(tuple, spec)) == sorted(map(tuple, dist))
+    plan = plan_of(dist_df)
+    assert "Window" in plan
+    assert "_b" in plan  # bucketed, not global
+
+
+def test_pack_sequences_covers_stream_contiguously(spark, sf_dir):
+    """Sequence spans tile the global token stream: each doc starts where
+    the previous ended (same seq or the next one), n_seqs matches the
+    start/end arithmetic, and the implied per-sequence load is exactly
+    SEQ_TOKENS for every interior sequence."""
+    from flatterer_spark.curation import SEQ_TOKENS
+
+    rows = sorted(
+        CURATION_QUERIES["pack_sequences"](spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows[0].start_seq == 0
+    cum = 0
+    for r in rows:
+        assert r.start_seq == cum // SEQ_TOKENS
+        cum += r.n_tok
+        assert r.end_seq == (cum - 1) // SEQ_TOKENS
+        assert r.n_seqs == r.end_seq - r.start_seq + 1 >= 1
+    # total sequences = ceil(total tokens / L)
+    assert rows[-1].end_seq == (cum - 1) // SEQ_TOKENS

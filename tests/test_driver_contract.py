@@ -80,7 +80,12 @@ def test_gate_window_covers_unverified_queries(entry_mod):
     front = set(keys[:GATE_WINDOW])
     deferred = actively_deferred()
 
-    recorded = set(last_green_round()) | set(last_attempt_round())
+    # A rows-only attempt only counts as "recorded" while the query still
+    # lacks an oracle; once an oracle exists the query must re-front and
+    # earn a green hash row (registry.all_queries pins this).
+    oracled = set(entry_mod.oracle_sql())
+    attempts = {k for k in last_attempt_round() if k not in oracled}
+    recorded = set(last_green_round()) | attempts
     backlog = [k for k in keys if k not in recorded and k not in deferred]
     assert len(backlog) <= GATE_WINDOW, (
         f"{len(backlog)} never-recorded queries exceed the "
@@ -215,13 +220,17 @@ def test_gate_window_invariant_survives_future_rounds(entry_mod, tmp_path):
     (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps(r05))
 
     root = str(tmp_path)
+    # mirror all_queries(): attempts only count for names without an oracle
+    sim_attempts = {
+        k: v for k, v in last_attempt_round(root).items() if k not in oracles
+    }
     ordered = list(_gate_ordered(
         _collect("QUERIES"),
         last=last_green_round(root),
         deferred=actively_deferred(root),
-        attempts=last_attempt_round(root),
+        attempts=sim_attempts,
     ))
-    recorded = set(last_green_round(root)) | set(last_attempt_round(root))
+    recorded = set(last_green_round(root)) | set(sim_attempts)
     backlog = [k for k in ordered
                if k not in recorded and k not in actively_deferred(root)]
     assert len(backlog) <= GATE_WINDOW

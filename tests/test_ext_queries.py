@@ -17,11 +17,10 @@ def con(sf_dir):
     c.close()
 
 
-# keys without an oracle (non-SQL-expressible, e.g. sim_topk_ivfpq's
-# two-model probe pipeline) are rows-only at the gate and verified in their
-# own test files.  Data-derived oracles (learned-model literal splices) are
-# rebuilt at THIS test's scale -- the static EXT_ORACLE strings embed
-# gate-scale (sf0.01) literals.
+# Since round 5 every EXT query has an oracle (the learned-model queries
+# splice independently-refit numpy model literals into DuckDB SQL).
+# Data-derived oracles are rebuilt at THIS test's scale -- the static
+# EXT_ORACLE strings embed gate-scale (sf0.01) literals.
 @pytest.mark.parametrize("name", sorted(n for n in EXT_QUERIES if n in EXT_ORACLE))
 def test_ext_query_matches_oracle(name, spark, sf_dir, con):
     from flatterer_spark.ext_queries import EXT_ORACLE_BUILDERS
@@ -190,3 +189,62 @@ def test_dedup_substring_finds_planted_span(spark):
         assert not any(r.first_doc == 3 and r.last_doc == 3 for r in out)
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_dedup_boilerplate_strips_all_high_df_grams(spark, sf_dir):
+    """Invariants of the rewrite: (a) token accounting is exact
+    (len(clean) + n_removed == original length); (b) no cleaned document
+    still contains a boilerplate k-gram as a contiguous window."""
+    from flatterer_spark.queries import T
+
+    docs = {r.doc_id: r.text for r in T(spark, sf_dir, "documents").collect()}
+    out = EXT_QUERIES["dedup_boilerplate"](spark, sf_dir).collect()
+    assert len(out) == len(docs)
+
+    k, min_df = 3, 4
+    df_count: dict[str, set] = {}
+    for did, text in docs.items():
+        toks = text.split(" ")
+        for i in range(len(toks) - k + 1):
+            df_count.setdefault(" ".join(toks[i : i + k]), set()).add(did)
+    boiler = {g for g, d in df_count.items() if len(d) >= min_df}
+    assert boiler, "degenerate fixture: no boilerplate grams at this scale"
+
+    removed_total = 0
+    for r in out:
+        orig = docs[r.doc_id].split(" ")
+        clean = r.clean_text.split(" ") if r.clean_text else []
+        assert len(clean) + r.n_removed == len(orig)
+        removed_total += r.n_removed
+        # exact expected rewrite: drop every position covered by a
+        # boilerplate gram occurrence, keep the rest in order
+        covered = set()
+        for i in range(len(orig) - k + 1):
+            if " ".join(orig[i : i + k]) in boiler:
+                covered.update(range(i, i + k))
+        expect = [t for i, t in enumerate(orig) if i not in covered]
+        assert clean == expect, f"doc {r.doc_id} rewrite mismatch"
+    assert removed_total > 0
+
+
+def test_corpus_ngram_novelty_first_doc_and_totals(spark, sf_dir):
+    """The lowest doc_id introduces everything it contains (novelty 1.0),
+    and summed n_novel equals the corpus's distinct-gram count (every gram
+    is introduced exactly once)."""
+    from flatterer_spark.queries import T
+
+    out = sorted(
+        EXT_QUERIES["corpus_ngram_novelty"](spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert out[0].novelty == 1.0 and out[0].n_novel == out[0].n_grams
+    assert all(0.0 <= r.novelty <= 1.0 for r in out)
+
+    k = 3
+    grams = set()
+    for r in T(spark, sf_dir, "documents").collect():
+        toks = r.text.split(" ")
+        grams.update(
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        )
+    assert sum(r.n_novel for r in out) == len(grams)

@@ -88,7 +88,8 @@ def test_pq_codes_match_numpy_reference(spark, sf_dir, X):
     m, k, iters = 8, 16, 3
     sub = X.shape[1] // m
     out = K.pq_codes(spark, sf_dir, m=m, k=k, iters=iters).collect()
-    got_codes = np.array([r["codes"] for r in out])
+    # codes are a dot-joined string (the gate hash can't compare arrays)
+    got_codes = np.array([[int(c) for c in r["codes"].split(".")] for r in out])
     got_err = np.array([r["quant_err2"] for r in out])
 
     ref_codes = np.empty((len(X), m), dtype=int)
