@@ -391,16 +391,17 @@ def sql_dedup_exact(g: Gen) -> str:
     """
 
 
-def sql_shingle_cte(g: Gen, k: int = 3) -> str:
+def sql_shingle_cte(g: Gen, k: int = 3, table: str = "documents") -> str:
     """Standalone (doc_id, s) shingle-set query.  Spark inlines WITH-CTEs, so
     a CTE referenced three times is computed three times; the Spark paths
     materialize this once (persisted temp view) and splice its name into the
     builders via ``sh_table`` -- the expression tree per value is unchanged,
-    so oracle parity holds."""
+    so oracle parity holds.  ``table`` lets the streaming path point the
+    same expression chain at a streaming temp view."""
     toks = g.tokens("text")
     return (
         f"SELECT doc_id, {g.shingles('toks', k)} AS s FROM "
-        f"(SELECT doc_id, {toks} AS toks FROM documents) t"
+        f"(SELECT doc_id, {toks} AS toks FROM {table}) t"
     )
 
 
@@ -510,7 +511,9 @@ _MH_A = [int(a) | 1 for a in _rs13.randint(1, 1 << 31, N_MINHASH)]
 _MH_B = [int(b) for b in _rs13.randint(0, 1 << 31, N_MINHASH)]
 
 
-def _sql_lsh_bands_chain(g: Gen, k: int = 3, sh_table: str | None = None) -> str:
+def _sql_lsh_bands_chain(
+    g: Gen, k: int = 3, sh_table: str | None = None, table: str = "documents"
+) -> str:
     """Shared MinHash banding pipeline as CTE text (no trailing comma):
     shingles -> 32-bit shingle hashes -> MinHash signature -> banded keys ->
     exploded ``bl(doc_id, band)`` rows.  Used by the all-pairs LSH dedup AND
@@ -536,7 +539,7 @@ def _sql_lsh_bands_chain(g: Gen, k: int = 3, sh_table: str | None = None) -> str
     band_arr = "array({})" if g.spark else "[{}]"
     band_arr = band_arr.format(", ".join(f"band{j}" for j in range(N_BANDS)))
     sh = sh_table or "sh"
-    sh_cte = "" if sh_table else f"sh AS ({sql_shingle_cte(g, k)}),"
+    sh_cte = "" if sh_table else f"sh AS ({sql_shingle_cte(g, k, table)}),"
     hs = g.transform("s", "x", g.md5_32("x"))
     return f"""{sh_cte}
     hsv AS (SELECT doc_id, {hs} AS hs FROM {sh}),

@@ -1019,6 +1019,39 @@ def q46_rank_stats(spark, sf_dir):
     )
 
 
+# Q61 FULL OUTER JOIN reconciliation -- the one join type the registry
+# lacked.  Monthly booked revenue (orders) vs monthly shipped revenue
+# (lineitem): a month present on one side only surfaces with NULLs on the
+# other.  Scale shape: both inputs are partial+final aggregates down to
+# ~tens of month rows BEFORE the join -- the full-outer join never touches
+# a fact table, so its (unavoidably) shuffle-based full-outer exchange
+# moves metadata-sized input.
+
+def q61_full_outer_reconcile(spark, sf_dir):
+    o = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(round_half_up(F.sum("o_totalprice")).alias("booked"))
+    )
+    l = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("shipped")
+        )
+    )
+    gap = F.coalesce(F.col("booked"), F.lit(0.0)) - F.coalesce(
+        F.col("shipped"), F.lit(0.0)
+    )
+    return (
+        o.join(l, "month", "full_outer")
+        .select("month", "booked", "shipped", round_half_up(gap).alias("gap"))
+        .orderBy("month")
+    )
+
+
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_project": q01_filter_project,
     "q02_join_dims": q02_join_dims,
@@ -1065,6 +1098,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_mad_outliers": q44_mad_outliers,
     "q45_dormant_customers": q45_dormant_customers,
     "q46_rank_stats": q46_rank_stats,
+    "q61_full_outer_reconcile": q61_full_outer_reconcile,
 }
 
 
@@ -1542,5 +1576,23 @@ CORE_ORACLE: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice, o_orderkey)
         ORDER BY o_orderkey
+    """,
+    "q61_full_outer_reconcile": f"""
+        WITH b AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   {_sql_round('SUM(o_totalprice)')} AS booked
+            FROM orders GROUP BY 1
+        ),
+        s AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   {_sql_round('SUM(l_extendedprice * (1 - l_discount))')}
+                       AS shipped
+            FROM lineitem GROUP BY 1
+        )
+        SELECT COALESCE(b.month, s.month) AS month, booked, shipped,
+               {_sql_round('COALESCE(booked, 0) - COALESCE(shipped, 0)')}
+                   AS gap
+        FROM b FULL OUTER JOIN s ON b.month = s.month
+        ORDER BY month
     """,
 }

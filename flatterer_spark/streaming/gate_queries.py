@@ -406,7 +406,70 @@ def stream_topk_per_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate detection: the batch MinHash-LSH banding
+    chain applied to a document stream, with a persistent per-band
+    min-doc_id state (see ``minhash_band_dup_stream``).  A document is
+    flagged ``near_dup`` when any of its bands is owned by a lower-doc_id
+    document -- the streaming form of the nightly incremental-dedup band
+    index (``dedup_incremental``), with the corpus index held as streaming
+    STATE instead of a persisted table.
+
+    The stateless shingle -> 32-bit hash -> MinHash signature -> banded
+    keys chain is the SAME dual-dialect expression chain the batch
+    ``dedup_minhash_lsh`` runs, pointed at a streaming temp view, so the
+    only new machinery under test is the stateful band index.  Under the
+    bounded availableNow drain every band group sees all its members, and
+    dup-vs-original resolves by doc_id (not arrival order), so the drained
+    result deterministically equals the batch oracle: band -> MIN(doc_id)
+    owner, doc flagged iff it shares a band with a lower doc_id.
+    """
+    from flatterer_spark.ext_queries import _sql_lsh_bands_chain, _view_suffix
+    from flatterer_spark.functions.textgen import Gen
+    from flatterer_spark.streaming.stream_flatten import (
+        minhash_band_dup_stream,
+        run_available_now,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    view = f"docs_stream_{_view_suffix(sf_dir)}"
+    (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .createOrReplaceTempView(view)
+    )
+    chain = _sql_lsh_bands_chain(Gen(spark=True), table=view)
+    bl = spark.sql(f"WITH {chain} SELECT doc_id, band FROM bl")
+    flags = minhash_band_dup_stream(bl)
+    res = run_available_now(flags, f"stream_mh_{_view_suffix(sf_dir)}")
+    return (
+        res.groupBy("doc_id")
+        .agg(F.max("band_dup").alias("near_dup"))
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_stream_dedup_minhash() -> str:
+    from flatterer_spark.ext_queries import _sql_lsh_bands_chain
+    from flatterer_spark.functions.textgen import Gen
+
+    chain = _sql_lsh_bands_chain(Gen(spark=False))
+    return f"""
+    WITH {chain},
+    m AS (SELECT band, MIN(doc_id) AS mn FROM bl GROUP BY band)
+    SELECT b.doc_id,
+           CAST(MAX(CASE WHEN b.doc_id > m.mn THEN 1 ELSE 0 END) AS BOOLEAN)
+               AS near_dup
+    FROM bl b JOIN m ON b.band = m.band
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """
+
+
 STREAM_GATE_QUERIES = {
+    "stream_dedup_minhash": stream_dedup_minhash_query,
     "stream_windowed_stats": stream_windowed_stats_query,
     "stream_dedup_exact": stream_dedup_exact_query,
     "stream_enrich": stream_enrich_query,
@@ -418,6 +481,7 @@ STREAM_GATE_QUERIES = {
 }
 
 STREAM_GATE_ORACLE = {
+    "stream_dedup_minhash": _oracle_stream_dedup_minhash(),
     "stream_topk_per_window": """
         WITH c AS (
             SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)

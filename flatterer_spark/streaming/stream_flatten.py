@@ -299,3 +299,48 @@ def run_available_now(
             f"streaming drain '{query_name}' did not terminate in {timeout_sec}s"
         )
     return stream_df.sparkSession.table(query_name)
+
+
+BAND_DUP_SCHEMA = "doc_id long, band_dup boolean"
+BAND_STATE_SCHEMA = "min_doc long"
+
+
+def minhash_band_dup_stream(bands: DataFrame) -> DataFrame:
+    """Streaming near-duplicate band detector: custom stateful operator
+    keeping ONE value per distinct MinHash band -- the minimum doc_id ever
+    seen in that band (the band's "owner").  Every arriving (doc_id, band)
+    row is emitted with ``band_dup`` = whether a lower-doc_id owner exists
+    for that band, across ALL batches seen so far -- the persistent band
+    index of an incremental ingest pipeline, as first-class streaming
+    state instead of a nightly batch artifact.
+
+    Dup-vs-original resolves by doc_id (min over state AND the current
+    batch), not by arrival order, so the result is deterministic however
+    the source partitions the drain.  State is O(distinct bands), not
+    O(rows); an unbounded production stream would TTL stale bands via an
+    event-time timeout (the sessionizer above shows the pattern) --
+    deliberately omitted here so the gate query proves the pure
+    accumulate-forever index semantics.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        mn = min(ids)
+        if state.exists:
+            mn = min(mn, state.get[0])
+        state.update((mn,))
+        yield pd.DataFrame(
+            {"doc_id": ids, "band_dup": [i > mn for i in ids]}
+        )
+
+    return bands.groupBy("band").applyInPandasWithState(
+        fn,
+        outputStructType=BAND_DUP_SCHEMA,
+        stateStructType=BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

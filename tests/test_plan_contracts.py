@@ -416,3 +416,42 @@ def test_ivfpq_search_is_broadcast_cell_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_boilerplate_no_cartesian_partial_agg(spark, sf_dir):
+    """Boilerplate stripping must stay a chain of equi-joins + partial+final
+    aggregates: the gram-DF rollup pre-aggregates map-side (hot boilerplate
+    grams are the Zipf head), the occurrence join is an equi-join on gram,
+    and the keep step is an equi anti/outer join on (doc_id, position) --
+    never any cartesian pairing."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["dedup_boilerplate"](spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "partial_" in plan or "HashAggregate" in plan
+
+
+def test_corpus_ngram_novelty_single_gram_exchange(spark, sf_dir):
+    """Novelty scoring joins the gram stream against its own MIN(doc_id)
+    aggregate: both sides hash-partition on gram, so the plan must contain
+    exactly one distinct exchange over the gram key (the aggregate's), plus
+    one over doc_id for the final rollup -- and no cartesian pairing."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["corpus_ngram_novelty"](spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    gram_exchanges = {
+        ln.strip() for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "gram" in ln
+    }
+    assert len(gram_exchanges) <= 2, gram_exchanges
+
+
+def test_pack_sequences_bucketed_window(spark, sf_dir):
+    """pack_sequences must inherit pack_shards' two-phase shape: a window
+    partitioned on the range bucket, never a global (partition-less) one."""
+    from flatterer_spark.curation import CURATION_QUERIES
+
+    plan = _plan(CURATION_QUERIES["pack_sequences"](spark, sf_dir))
+    assert "Window" in plan and "_b" in plan
+    assert "Cartesian" not in plan

@@ -259,3 +259,56 @@ def test_stream_gate_queries_match_oracle(spark, sf_dir):
             assert not problems, f"{name}: {problems}"
     finally:
         con.close()
+
+
+def test_minhash_band_state_persists_across_batches(spark, tmp_path):
+    """The streaming band index must be cumulative: a document arriving in a
+    LATER micro-batch is flagged against band owners from EARLIER batches
+    (maxFilesPerTrigger=1 forces one batch per file).  Doc 11 in batch 2
+    shares its text with doc 1 from batch 1 -> flagged; doc 12 is unique ->
+    clean."""
+    from flatterer_spark.ext_queries import _sql_lsh_bands_chain
+    from flatterer_spark.functions.textgen import Gen
+    from flatterer_spark.streaming.stream_flatten import (
+        minhash_band_dup_stream,
+        run_available_now,
+    )
+
+    base = ("spark shuffles the hash join on the band key while the "
+            "watermark advances past the window gap and state is evicted")
+    uniq = ("completely different words about embeddings quantization "
+            "codebooks cells probes rerank shortlist and asymmetric distance")
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, base), (2, uniq.replace("different", "changed"))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(
+        [(11, base), (12, "totally fresh vocabulary nothing shared here "
+                          "with any earlier stream batch content at all")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(d / "b2"))
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    stream.createOrReplaceTempView("mh_state_docs")
+    chain = _sql_lsh_bands_chain(Gen(spark=True), table="mh_state_docs")
+    bl = spark.sql(f"WITH {chain} SELECT doc_id, band FROM bl")
+    res = run_available_now(
+        minhash_band_dup_stream(bl), "mh_state_test"
+    )
+    flags = {
+        r.doc_id: r.near_dup
+        for r in res.groupBy("doc_id")
+        .agg(F.max("band_dup").alias("near_dup"))
+        .collect()
+    }
+    assert flags[11] is True, "band owner from batch 1 not retained in state"
+    assert flags[12] is False
+    assert flags[1] is False
