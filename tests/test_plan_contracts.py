@@ -432,19 +432,20 @@ def test_dedup_boilerplate_no_cartesian_partial_agg(spark, sf_dir):
 
 
 def test_corpus_ngram_novelty_single_gram_exchange(spark, sf_dir):
-    """Novelty scoring joins the gram stream against its own MIN(doc_id)
-    aggregate: both sides hash-partition on gram, so the plan must contain
-    exactly one distinct exchange over the gram key (the aggregate's), plus
-    one over doc_id for the final rollup -- and no cartesian pairing."""
+    """Novelty scoring computes first-appearance as a window MIN over the
+    gram partition: ONE exchange of the gram stream, no self-join (the
+    join form inlined the shingle chain twice and ran 3x slower), no
+    cartesian pairing."""
     from flatterer_spark.ext_queries import EXT_QUERIES
 
     plan = _plan(EXT_QUERIES["corpus_ngram_novelty"](spark, sf_dir))
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "Join" not in plan, "novelty must be window-based, not a self-join"
     gram_exchanges = {
         ln.strip() for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln and "gram" in ln
     }
-    assert len(gram_exchanges) <= 2, gram_exchanges
+    assert len(gram_exchanges) <= 1, gram_exchanges
 
 
 def test_pack_sequences_bucketed_window(spark, sf_dir):
