@@ -1540,9 +1540,10 @@ def sql_dedup_boilerplate(g: Gen, k: int = 3, min_df: int = 4) -> str:
     return f"""
     WITH tn AS (SELECT doc_id, {toks} AS toks, {g.size(toks)} AS n
                 FROM documents),
-    pos AS (SELECT doc_id, toks, {g.explode_seq('1', f'n - {k - 1}', 'p')}
+    pos AS (SELECT doc_id, toks, n, {g.explode_seq('1', 'n', 'p')}
             FROM tn),
-    occ AS (SELECT doc_id, p, {gram} AS gram FROM pos),
+    occ AS (SELECT doc_id, p, {gram} AS gram FROM pos
+            WHERE p <= n - {k - 1}),
     boiler AS (
         SELECT gram FROM (
             SELECT gram, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gram

@@ -219,10 +219,18 @@ class Gen:
         return self.split_ws(c)
 
     def shingles(self, toks: str, k: int) -> str:
-        """Distinct k-gram token shingles ('w1 w2 .. wk' strings)."""
+        """Distinct k-gram token shingles ('w1 w2 .. wk' strings).
+
+        Positions come from ``filter(seq(1, n), i -> i <= n-k+1)`` rather
+        than ``seq(1, n-k+1)``: for a document shorter than k tokens the
+        upper bound goes non-positive, where Spark's ``sequence(1, 0)`` is
+        the DESCENDING ``[1, 0]`` (slice start 0 = runtime error) while
+        DuckDB's ``generate_series`` is empty -- the engines diverge
+        exactly where the crash hides.  The filtered form is empty on both
+        engines, so sub-k-token documents simply contribute no shingles."""
         n = self.size(toks)
         grams = self.transform(
-            self.seq("1", f"{n} - {k - 1}"),
+            self.filter(self.seq("1", n), "i", f"i <= {n} - {k - 1}"),
             "i",
             self.join(self.slice(toks, "i", k), " "),
         )

@@ -248,3 +248,47 @@ def test_corpus_ngram_novelty_first_doc_and_totals(spark, sf_dir):
             " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
         )
     assert sum(r.n_novel for r in out) == len(grams)
+
+
+def test_shingle_ops_survive_sub_k_token_docs(spark):
+    """Documents shorter than the shingle width k must not crash and must
+    agree across engines: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    (slice start 0 = runtime error) while DuckDB's generate_series is
+    empty -- Gen.shingles filters positions so both engines produce NO
+    shingles for sub-k docs.  A 100 TB crawl corpus WILL contain 1-2-token
+    documents; before this guard every shingle-based op crashed on them."""
+    import duckdb
+
+    from flatterer_spark.ext_queries import (
+        sql_dedup_boilerplate,
+        sql_dedup_minhash_lsh,
+        sql_corpus_ngram_novelty,
+    )
+    from flatterer_spark.functions.textgen import Gen
+
+    rows = [
+        (1, "only two"),
+        (2, "one"),
+        (3, ""),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    for builder in (
+        sql_dedup_minhash_lsh,
+        sql_dedup_boilerplate,
+        sql_corpus_ngram_novelty,
+    ):
+        got = sorted(
+            tuple(r) for r in spark.sql(builder(Gen(spark=True))).collect()
+        )
+        want = sorted(con.execute(builder(Gen(spark=False))).fetchall())
+        assert got == want, builder.__name__
+    # the planted 4/5 duplicate pair must still be found
+    pairs = spark.sql(sql_dedup_minhash_lsh(Gen(spark=True))).collect()
+    assert {(r.id1, r.id2) for r in pairs} == {(4, 5)}
