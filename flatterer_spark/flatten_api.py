@@ -279,14 +279,24 @@ def _execute_table(
                 )
             )
         else:
-            work = work.select(*keep, F.posexplode(arr).alias(pos, el)).withColumn(
-                f"_lnk{depth + 1}",
-                F.concat_ws(
-                    ".",
-                    F.col(link_names[-1]),
-                    F.lit(key),
-                    F.col(pos).cast("string"),
-                ),
+            # A JSON null array element ("a": [null]) parses to a null
+            # struct; the reference emits no child row for it (same rule as
+            # empty objects, docs/changelog.md:279).  posexplode has already
+            # assigned positions, so surviving elements keep their original
+            # array ordinal in the _link chain ("a": [null, {...}] ->
+            # parent.a.1).
+            work = (
+                work.select(*keep, F.posexplode(arr).alias(pos, el))
+                .where(F.col(el).isNotNull())
+                .withColumn(
+                    f"_lnk{depth + 1}",
+                    F.concat_ws(
+                        ".",
+                        F.col(link_names[-1]),
+                        F.lit(key),
+                        F.col(pos).cast("string"),
+                    ),
+                )
             )
         link_names.append(f"_lnk{depth + 1}")
         cur = el
