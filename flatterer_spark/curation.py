@@ -311,6 +311,8 @@ def _global_cum_tok(spark: SparkSession, sf_dir: str, n_buckets: int) -> DataFra
     # bucket width from the id range: one tiny min/max agg (a real pipeline
     # knows its id range a priori and skips this scan)
     lo, hi = tok.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty corpus: any width works, everything stays empty
+        lo = hi = 0
     width = max(1, (hi - lo + n_buckets) // n_buckets)
     tok = tok.withColumn("_b", ((F.col("doc_id") - lo) / width).cast("long"))
 

@@ -113,6 +113,8 @@ def kmeans_fit(
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism).persist()
     try:
         seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+        if not seed_rows:
+            return []  # empty corpus: no model (callers emit empty results)
         cents = [[_quant(float(x)) for x in r[0]] for r in seed_rows]
         d = len(cents[0])
         for _ in range(iters):
@@ -243,6 +245,8 @@ def emb_kmeans(spark, sf_dir: str, k: int = 10, iters: int = 5) -> DataFrame:
 
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = kmeans_fit(emb, "embedding", "vec_id", k=k, iters=iters)
+    if not cents:  # empty corpus
+        return spark.createDataFrame([], "vec_id long, cluster long, dist double")
     wide = emb.repartition(spark.sparkContext.defaultParallelism)
     out = assign_clusters(wide, "embedding", cents)
     return (
@@ -291,6 +295,8 @@ def pq_fit(
 
 def _pq_fit_cached(df, vec_col, id_col, m, k, iters):
     seed = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not seed:
+        return []  # empty corpus: no codebooks (callers emit empty results)
     dim = len(seed[0][0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
@@ -453,6 +459,10 @@ def pq_codes(
 
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = pq_fit(emb, "embedding", "vec_id", m=m, k=k, iters=iters)
+    if not books:  # empty corpus
+        return spark.createDataFrame(
+            [], "vec_id long, codes string, quant_err2 double"
+        )
     sub = len(books[0][0])
 
     vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -560,6 +570,10 @@ def sim_topk_ivfpq(
 
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, books = _ivfpq_model(spark, sf_dir, emb, cells, nprobe, m, kc)
+    if not cents or not books:  # empty corpus
+        return spark.createDataFrame(
+            [], "query_id long, rnk long, neighbor_id long, cosine double"
+        )
     sub = len(books[0][0])
 
     vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))

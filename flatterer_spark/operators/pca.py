@@ -83,6 +83,11 @@ def top_component(
         gram += np.array(r["gram"]).reshape(d, d)
         mean_sum += np.array(r["mean_sum"])
         n += r["n"]
+    if n == 0:
+        # empty corpus: any component projects the empty set correctly, so
+        # return zeros instead of crashing the driver-side eigensolve (an
+        # empty partition / first pipeline run is a legal input)
+        return [0.0] * d, [0.0] * d, 0
     mu = mean_sum / n
     cov = gram / n - np.outer(mu, mu)
 
