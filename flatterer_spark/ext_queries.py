@@ -739,14 +739,21 @@ def sql_dedup_simhash_pairs(g: Gen, max_dist: int = 3) -> str:
 # ---------------------------------------------------------------------------
 
 def _sql_emb_norm(g: Gen) -> str:
-    """CTE: (vec_id, e DOUBLE[], norm) with deterministic fold arithmetic."""
+    """CTE: (vec_id, e DOUBLE[], norm) with deterministic fold arithmetic.
+
+    The norm is floored at 1e-30: an all-zero vector would otherwise make
+    every cosine denominator 0, which CRASHES Spark (ANSI DIVIDE_BY_ZERO)
+    while DuckDB silently yields inf -- an engine divergence.  With the
+    floor a zero vector scores cosine ~0 against everything (no direction
+    -> never similar) identically on both engines; real vectors are
+    unaffected (their norms are astronomically above the floor)."""
     elems = g.transform(
         g.seq("1", str(EMB_DIM)), "i", f"CAST({g.at('embedding', 'i')} AS DOUBLE)"
     )
     sq = g.fold_sum(g.transform("e", "x", "x * x"))
     return f"""
     ev AS (SELECT vec_id, {elems} AS e FROM embeddings),
-    en AS (SELECT vec_id, e, sqrt({sq}) AS nrm FROM ev)
+    en AS (SELECT vec_id, e, greatest(sqrt({sq}), {g.d(1e-30)}) AS nrm FROM ev)
     """
 
 
@@ -759,7 +766,7 @@ def sql_emb_norm_query(g: Gen) -> str:
     )
     sq = g.fold_sum(g.transform("e", "x", "x * x"))
     return (
-        f"SELECT vec_id, e, sqrt({sq}) AS nrm FROM "
+        f"SELECT vec_id, e, greatest(sqrt({sq}), {g.d(1e-30)}) AS nrm FROM "
         f"(SELECT vec_id, {elems} AS e FROM embeddings) ev"
     )
 
@@ -1110,7 +1117,8 @@ def sql_mm_sim_topk(g: Gen, n_queries: int = 5, k: int = 3) -> str:
     probe_arr = ("array({})" if g.spark else "[{}]").format(probe_vals)
     return f"""
     WITH emb AS (SELECT doc_id, {arr} AS e FROM documents),
-    en AS (SELECT doc_id, e, sqrt({sq}) AS nrm FROM emb),
+    en AS (SELECT doc_id, e, greatest(sqrt({sq}), {g.d(1e-30)}) AS nrm
+           FROM emb),
     b AS (SELECT doc_id, e, nrm, CAST({bucket} AS BIGINT) AS bucket FROM en),
     probes AS (
         SELECT doc_id AS query_id, {_explode(g, probe_arr, 'pb')}

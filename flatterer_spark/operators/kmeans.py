@@ -663,9 +663,13 @@ def sim_topk_ivfpq(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
         )
 
-    cos = _dot(F.col("qvec"), F.col("vec")) / (
+    # denominator floored at 1e-30: a zero vector otherwise crashes Spark
+    # (ANSI DIVIDE_BY_ZERO) while DuckDB yields inf -- same guard as the
+    # ext_queries norm CTEs; zero vectors score ~0 (no direction)
+    cos = _dot(F.col("qvec"), F.col("vec")) / F.greatest(
         F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-        * F.sqrt(_dot(F.col("vec"), F.col("vec")))
+        * F.sqrt(_dot(F.col("vec"), F.col("vec"))),
+        F.lit(1e-30),
     )
     we = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
     return (
@@ -839,8 +843,9 @@ def oracle_sim_topk_ivfpq(
     ),
     rer AS (
         SELECT s.query_id, s.vec_id,
-               {dot('q', 'e')} / (sqrt({dot('q', 'q')})
-                                  * sqrt({dot('e', 'e')})) AS cos
+               {dot('q', 'e')} / greatest(sqrt({dot('q', 'q')})
+                                          * sqrt({dot('e', 'e')}),
+                                          CAST(1e-30 AS DOUBLE)) AS cos
         FROM shortl s
         JOIN qv ON qv.query_id = s.query_id
         JOIN ev ON ev.vec_id = s.vec_id

@@ -292,3 +292,40 @@ def test_shingle_ops_survive_sub_k_token_docs(spark):
     # the planted 4/5 duplicate pair must still be found
     pairs = spark.sql(sql_dedup_minhash_lsh(Gen(spark=True))).collect()
     assert {(r.id1, r.id2) for r in pairs} == {(4, 5)}
+
+
+def test_sim_ops_survive_zero_vector(spark, tmp_path):
+    """An all-zero embedding must not crash the cosine path: Spark's ANSI
+    mode raises DIVIDE_BY_ZERO where DuckDB yields inf -- an engine
+    divergence.  The norm floor (greatest(nrm, 1e-30)) makes a zero vector
+    score cosine ~0 against everything, identically on both engines."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flatterer_spark.ext_queries import sql_sim_topk
+    from flatterer_spark.functions.textgen import Gen
+
+    vecs = [[0.0] * 64, [1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62,
+            [0.6, 0.8] + [0.0] * 62]
+    tbl = pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    spark.read.parquet(str(tmp_path / "embeddings.parquet")) \
+        .createOrReplaceTempView("embeddings")
+    got = sorted(tuple(r) for r in
+                 spark.sql(sql_sim_topk(Gen(spark=True), n_queries=4)).collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{tmp_path}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.execute(sql_sim_topk(Gen(spark=False), n_queries=4))
+                  .fetchall())
+    assert got == want
+    # the zero vector scores ~0 cosine against every neighbor
+    zero_rows = [r for r in got if r[0] == 0]
+    assert zero_rows and all(abs(r[3]) < 1e-9 for r in zero_rows)

@@ -456,3 +456,31 @@ def test_pack_sequences_bucketed_window(spark, sf_dir):
     plan = _plan(CURATION_QUERIES["pack_sequences"](spark, sf_dir))
     assert "Window" in plan and "_b" in plan
     assert "Cartesian" not in plan
+
+
+def test_stream_dedup_minhash_stateless_segment_is_jvm(spark, sf_dir):
+    """The streaming near-dup's banding chain must stay JVM-side (HOF
+    expressions, no Python row-at-a-time) with exactly one Python boundary:
+    the FlatMapGroupsInPandasWithState band index.  No cartesian pairing
+    anywhere."""
+    from flatterer_spark.ext_queries import _sql_lsh_bands_chain
+    from flatterer_spark.functions.textgen import Gen
+    from flatterer_spark.streaming.stream_flatten import (
+        minhash_band_dup_stream,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    stream.createOrReplaceTempView("mh_plan_docs")
+    chain = _sql_lsh_bands_chain(Gen(spark=True), table="mh_plan_docs")
+    bl = spark.sql(f"WITH {chain} SELECT doc_id, band FROM bl")
+    flags = minhash_band_dup_stream(bl)
+    plan = flags._jdf.queryExecution().analyzed().toString()
+    assert "flatMapGroupsInPandasWithState" in plan or "FlatMapGroupsInPandasWithState" in plan
+    assert "Cartesian" not in plan
+    # exactly one Python-evaluated operator: the stateful band index
+    assert plan.count("InPandas") == 1, plan.count("InPandas")
