@@ -67,6 +67,7 @@ HEADLINE = [
     "q58_discount_revenue",  # TPC-H Q19: OR-of-ANDs join residual
     "q59_waiting_suppliers",  # TPC-H Q21: decorrelated double-EXISTS
     "q60_part_promotion",   # TPC-H Q20: nested semi-joins + grouped threshold
+    "q61_full_outer_reconcile",  # FULL OUTER reconciliation of two aggs
 ]
 
 
