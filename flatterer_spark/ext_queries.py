@@ -1518,6 +1518,58 @@ def sql_text_unigram_nll(g: Gen) -> str:
     """
 
 
+def sql_text_ccnet_buckets(g: Gen) -> str:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the unigram-LM negative log-likelihood (the same model as
+    ``text_unigram_nll``) and split the corpus into head / middle / tail
+    thirds by the corpus-wide NLL tercile cutpoints -- head = most fluent,
+    the slice CCNet keeps for LM training.
+
+    Plan: the per-doc score is the unigram_nll partial+final agg chain; the
+    cutpoints are ONE 2-value scalar aggregate that cross-joins (broadcasts)
+    back onto the docs, so bucketing itself is map-side -- no global sort,
+    no NTILE single-partition window.  At 100 TB the exact ``percentile``
+    (which materializes the value multiset) swaps for ``percentile_approx``
+    cutpoints with no plan-shape change; the gate uses the exact form
+    because both engines define it identically (linear interpolation at
+    p*(n-1)), keeping the oracle hash-comparable.
+
+    Cross-engine determinism: avg_nll is rounded to 6 decimals BEFORE the
+    cutpoint aggregate, the interpolated cutpoints are rounded to 6, and
+    bucket boundaries compare rounded-to-rounded (<=), so both engines
+    bucket identically unless an interpolation differs by >= 5e-7 (it is
+    exact rational arithmetic over identical inputs on both sides).
+    """
+    w = g.explode(g.tokens("text"), "word")
+    nll = "-ln(CAST(f.c AS DOUBLE) / CAST(t.n AS DOUBLE))"
+    pctl = "percentile" if g.spark else "quantile_cont"
+    third = "CAST(1.0 AS DOUBLE) / 3.0" if not g.spark else "1.0D / 3.0D"
+    two_thirds = "CAST(2.0 AS DOUBLE) / 3.0" if not g.spark else "2.0D / 3.0D"
+    return f"""
+    WITH w AS (SELECT doc_id, {w} FROM documents),
+    f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY word),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+    doc AS (
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               {g.round2(f'AVG({nll})', 6)} AS avg_nll
+        FROM w JOIN f ON w.word = f.word CROSS JOIN t
+        GROUP BY w.doc_id
+    ),
+    cut AS (
+        SELECT {g.round2(f'{pctl}(avg_nll, {third})', 6)} AS c1,
+               {g.round2(f'{pctl}(avg_nll, {two_thirds})', 6)} AS c2
+        FROM doc
+    )
+    SELECT doc.doc_id, doc.n_tokens, doc.avg_nll,
+           CASE WHEN doc.avg_nll <= cut.c1 THEN 'head'
+                WHEN doc.avg_nll <= cut.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM doc CROSS JOIN cut
+    ORDER BY doc.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # dedup_boilerplate: corpus-frequency span removal (CCNet-style boilerplate
 # stripping re-expressed at k-gram granularity -- the testdata documents are
@@ -1662,6 +1714,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "split_leakage_check": (sql_split_leakage_check, ("documents",)),
     "dedup_boilerplate": (sql_dedup_boilerplate, ("documents",)),
     "corpus_ngram_novelty": (sql_corpus_ngram_novelty, ("documents",)),
+    "text_ccnet_buckets": (sql_text_ccnet_buckets, ("documents",)),
 }
 
 
@@ -1841,10 +1894,14 @@ def _kmeans() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sequential numpy reference.
     from flatterer_spark.operators import kmeans as KM
 
+    from flatterer_spark.operators import semantic as SM
+
     return {
         "emb_kmeans": KM.emb_kmeans,
         "emb_pq_codes": KM.pq_codes,
         "sim_topk_ivfpq": KM.sim_topk_ivfpq,
+        "dedup_semantic": SM.dedup_semantic,
+        "emb_outliers": SM.emb_outliers,
     }
 
 
@@ -1858,11 +1915,15 @@ def _data_derived_oracle_builders() -> dict[str, Callable[[str], str]]:
     from flatterer_spark.operators import kmeans as KM
     from flatterer_spark.operators import pca as P
 
+    from flatterer_spark.operators import semantic as SM
+
     return {
         "emb_kmeans": lambda sf: KM.oracle_emb_kmeans(sf_dir=sf),
         "emb_pq_codes": lambda sf: KM.oracle_emb_pq_codes(sf_dir=sf),
         "emb_pca_project": lambda sf: P.oracle_emb_pca_project(sf_dir=sf),
         "sim_topk_ivfpq": lambda sf: KM.oracle_sim_topk_ivfpq(sf_dir=sf),
+        "dedup_semantic": lambda sf: SM.oracle_dedup_semantic(sf_dir=sf),
+        "emb_outliers": lambda sf: SM.oracle_emb_outliers(sf_dir=sf),
     }
 
 
@@ -1874,11 +1935,15 @@ EXT_ORACLE_BUILDERS: dict[str, Callable[[str], str]] = (
 def _kmeans_oracles() -> dict[str, str]:
     from flatterer_spark.operators import kmeans as KM
 
+    from flatterer_spark.operators import semantic as SM
+
     try:
         return {
             "emb_kmeans": KM.oracle_emb_kmeans(),
             "emb_pq_codes": KM.oracle_emb_pq_codes(),
             "sim_topk_ivfpq": KM.oracle_sim_topk_ivfpq(),
+            "dedup_semantic": SM.oracle_dedup_semantic(),
+            "emb_outliers": SM.oracle_emb_outliers(),
         }
     except OSError:
         # testdata absent (e.g. bare checkout): these degrade to the

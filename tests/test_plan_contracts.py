@@ -236,6 +236,19 @@ def test_text_entropy_partial_agg_no_join(spark, sf_dir):
     assert "Generate" in plan  # map-side explode
 
 
+def test_text_ccnet_buckets_no_global_sort_window(spark, sf_dir):
+    """Tercile bucketing must come from a 2-value cutpoint aggregate
+    broadcast back onto the docs (map-side CASE), never an NTILE window
+    over a single global sort -- the shape that dies first at 100 TB."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["text_ccnet_buckets"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "ntile(" not in plan.lower().replace("percentile(", "")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cutpoints broadcast
+    assert "CartesianProduct" not in plan
+
+
 def test_mix_upsample_explodes_map_side(spark, sf_dir):
     """Epoch replication must happen in a Generate (explode) node -- row
     multiplication map-side, never via a join against a generated epochs
