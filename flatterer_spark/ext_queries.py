@@ -1673,6 +1673,203 @@ def sql_corpus_ngram_novelty(g: Gen, k: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# sample_dsir: Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def sql_sample_dsir(g: Gen, n_buckets: int = 512, target_lang: str = "en") -> str:
+    """DSIR importance scoring: rank raw documents by how target-like their
+    hashed-n-gram feature distribution is, the standard pretraining-corpus
+    selection method (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling").
+
+    Features are hashed unigram buckets (md5 % n_buckets) -- hashing bounds
+    the model at ``n_buckets`` counts regardless of vocabulary size, which
+    is the whole trick that makes the method 100 TB-viable: the target and
+    raw bucket-count tables are each one partial+final agg over the exploded
+    token stream, the smoothed log-ratio table is ``n_buckets`` rows
+    (broadcast), and per-doc scoring is one more agg.  The token->bucket
+    join key is Zipf-skewed like every word-frequency join here; AQE skew
+    split handles it (session.py).
+
+    Target distribution = documents with ``lang = target_lang`` (select
+    raw-corpus docs that look like the curated English slice).  Laplace
+    +1 smoothing keeps every bucket finite.  Per-doc score = mean over
+    tokens of ln(p_target(bucket)/p_raw(bucket)), rounded to 6 decimals
+    BEFORE selection so the keep flag derives from values both engines
+    already agree on.  ``keep`` = top quartile by (score DESC, doc_id) --
+    rank-based selection is the actual DSIR resampling step and is exactly
+    deterministic; the global sort it implies is how the small-scale spec
+    reads, while at 100 TB production thresholds on an approximate score
+    quantile instead (one scalar agg, no global sort).
+    """
+    w = g.explode(g.tokens("text"), "word")
+    nb = g.d(float(n_buckets))
+    logratio = (
+        f"ln((CAST(COALESCE(tc.c, 0) AS DOUBLE) + {g.d(1.0)})"
+        f" / (CAST(tn.n AS DOUBLE) + {nb}))"
+        f" - ln((CAST(rc.c AS DOUBLE) + {g.d(1.0)})"
+        f" / (CAST(rn.n AS DOUBLE) + {nb}))"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, lang, {g.md5_32('word')} % {n_buckets} AS b
+               FROM (SELECT doc_id, lang, {w} FROM documents)),
+    rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY b),
+    tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM w
+           WHERE lang = '{target_lang}' GROUP BY b),
+    rn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+    tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w
+           WHERE lang = '{target_lang}'),
+    lr AS (SELECT rc.b, {logratio} AS lr
+           FROM rc LEFT JOIN tc ON rc.b = tc.b
+           CROSS JOIN rn CROSS JOIN tn),
+    s AS (SELECT {g.bc_hint('lr')}w.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 {g.round2('AVG(lr.lr)', 6)} AS dsir_score
+          FROM w JOIN lr ON w.b = lr.b
+          GROUP BY w.doc_id)
+    SELECT doc_id, n_tokens, dsir_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
+                <= {g.idiv('(COUNT(*) OVER () + 3)', '4')} AS BOOLEAN) AS keep
+    FROM s ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# mix_token_budget: UniMax-style epoch-capped waterfill allocation
+# ---------------------------------------------------------------------------
+
+
+def sql_mix_token_budget(g: Gen, epoch_cap: int = 2) -> str:
+    """Allocate a total training-token budget across sources with a
+    per-source repeat cap -- the UniMax mixing rule (Chung et al. 2023):
+    spread the budget as uniformly as possible, but never take more than
+    ``epoch_cap`` epochs of any source.
+
+    The sequential spec ("give each remaining source an equal share;
+    sources whose cap is below their share are frozen at the cap and the
+    leftover is re-spread") collapses to a closed form because caps sorted
+    ascending freeze as a PREFIX: source i (1-based, cap ascending) is
+    capped iff cap_i * (n - i + 1) + cumcap_{i-1} <= budget, and that
+    predicate is monotone non-increasing in i (if it fails at i it fails at
+    every j > i since cap_j >= cap_i).  Everything up to the final division
+    is BIGINT window math -- cross-engine exact; only the uncapped share is
+    a rounded double.
+
+    Scale: one partial+final agg to ~n_sources rows, then window functions
+    over that metadata-scale table -- a single-partition sort of a few
+    hundred rows even at 100 TB.  Budget = half the corpus (integer floor),
+    so the query is self-contained and scale-free."""
+    toks = g.tokens("text")
+    uncapped_share = (
+        "CAST(budget - capped_sum AS DOUBLE) / CAST(n_uncapped AS DOUBLE)"
+    )
+    alloc = (
+        f"CASE WHEN capped = 1 THEN CAST(cap AS DOUBLE)"
+        f" ELSE {uncapped_share} END"
+    )
+    epochs = (
+        f"CASE WHEN capped = 1 THEN CAST({epoch_cap} AS DOUBLE)"
+        f" ELSE {uncapped_share} / CAST(n_tok AS DOUBLE) END"
+    )
+    return f"""
+    WITH src AS (
+        SELECT source, CAST(SUM({g.size(toks)}) AS BIGINT) AS n_tok
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST({g.idiv('SUM(n_tok)', '2')} AS BIGINT) AS budget,
+                   CAST(COUNT(*) AS BIGINT) AS n_src
+            FROM src),
+    ranked AS (
+        SELECT source, n_tok, n_tok * {epoch_cap} AS cap,
+               ROW_NUMBER() OVER (ORDER BY n_tok * {epoch_cap}, source) AS i,
+               SUM(n_tok * {epoch_cap}) OVER (
+                   ORDER BY n_tok * {epoch_cap}, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS cumcap_prev
+        FROM src
+    ),
+    flagged AS (
+        SELECT r.source, r.n_tok, r.cap,
+               CASE WHEN r.cap * (t.n_src - r.i + 1)
+                         + COALESCE(r.cumcap_prev, 0) <= t.budget
+                    THEN 1 ELSE 0 END AS capped,
+               t.budget, t.n_src
+        FROM ranked r CROSS JOIN tot t
+    ),
+    solved AS (
+        SELECT source, n_tok, cap, capped, budget,
+               SUM(capped * cap) OVER () AS capped_sum,
+               SUM(1 - capped) OVER () AS n_uncapped
+        FROM flagged
+    )
+    SELECT source,
+           n_tok AS n_tokens,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(capped AS BOOLEAN) AS capped,
+           {g.round2(alloc)} AS alloc_tokens,
+           {g.round2(epochs, 4)} AS epochs
+    FROM solved
+    ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# events_ewma: per-user exponentially-weighted moving average
+# ---------------------------------------------------------------------------
+
+
+def sql_events_ewma(g: Gen, alpha: float = 0.3) -> str:
+    """Per-user EWMA of event values in timestamp order -- the classic
+    recursive time-series feature (ewma_i = a*v_i + (1-a)*ewma_{i-1},
+    seeded at the first value) that neither engine has as a built-in
+    aggregate because it is order-dependent and non-associative in its
+    naive form.
+
+    Re-expressed as collect-sorted-fold: events are grouped per user, the
+    (ts, event_id, value) structs sorted (event_id breaks ts ties, so the
+    order is total), and the recurrence evaluated by a left fold -- the
+    identical sequential IEEE op sequence on both engines, so results match
+    bit-for-bit before the 6-decimal display rounding.
+
+    Scale: one shuffle on user_id with partial collect; per-key state is
+    that user's event list, bounded by per-user activity (the same bound
+    the streaming sessionizer carries).  For unbounded histories the
+    recurrence is segment-associative -- a segment folds to (decay, partial)
+    = ((1-a)^len, ewma-contribution) and segments combine as
+    (d1*d2, p2 + d2*p1) -- so a two-level treeAggregate fold covers the
+    pathological key; the grouped fold is the right default."""
+    a, one_m = g.d(alpha), g.d(1.0 - alpha)
+    if g.spark:
+        ordered = (
+            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            " s -> s.value)"
+        )
+    else:
+        ordered = "list(value ORDER BY ts, event_id)"
+    fold = (
+        f"aggregate({ordered}, CAST(NULL AS DOUBLE), "
+        f"(acc, x) -> CASE WHEN acc IS NULL THEN x "
+        f"ELSE {a} * x + {one_m} * acc END)"
+        if g.spark
+        else (
+            f"list_reduce(list_prepend(CAST(NULL AS DOUBLE), {ordered}), "
+            f"(acc, x) -> CASE WHEN acc IS NULL THEN x "
+            f"ELSE {a} * x + {one_m} * acc END)"
+        )
+    )
+    return f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_ts,
+           {g.round2(fold, 6)} AS ewma6
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
 
@@ -1715,6 +1912,9 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "dedup_boilerplate": (sql_dedup_boilerplate, ("documents",)),
     "corpus_ngram_novelty": (sql_corpus_ngram_novelty, ("documents",)),
     "text_ccnet_buckets": (sql_text_ccnet_buckets, ("documents",)),
+    "sample_dsir": (sql_sample_dsir, ("documents",)),
+    "mix_token_budget": (sql_mix_token_budget, ("documents",)),
+    "events_ewma": (sql_events_ewma, ("events",)),
 }
 
 

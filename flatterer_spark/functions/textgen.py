@@ -194,6 +194,17 @@ class Gen:
             n = int(env) if env and env.isdigit() else 32
         return f"/*+ REPARTITION({n}) */ "
 
+    def bc_hint(self, *names: str) -> str:
+        """Spark-only BROADCAST hint for relations whose size is bounded BY
+        CONSTRUCTION (e.g. a hashed-feature table capped at n_buckets rows).
+        Catalyst's pre-AQE size estimate can pick the wrong build side for
+        generator-fed subtrees; the hint pins the provably-small one.
+        DuckDB output is empty (its optimizer takes no hints; the comment
+        form would be legal but dead weight)."""
+        if not self.spark:
+            return ""
+        return f"/*+ BROADCAST({', '.join(names)}) */ "
+
     def str_cast(self, x: str) -> str:
         return f"CAST({x} AS {'STRING' if self.spark else 'VARCHAR'})"
 

@@ -329,3 +329,80 @@ def test_sim_ops_survive_zero_vector(spark, tmp_path):
     # the zero vector scores ~0 cosine against every neighbor
     zero_rows = [r for r in got if r[0] == 0]
     assert zero_rows and all(abs(r[3]) < 1e-9 for r in zero_rows)
+
+
+def test_mix_token_budget_matches_sequential_waterfill(spark, sf_dir, con):
+    """The closed-form window formulation must reproduce the sequential
+    UniMax spec (freeze sources whose cap falls below the current equal
+    share, re-spread the remainder, repeat), and satisfy the allocation
+    invariants: alloc <= cap everywhere, total alloc == budget whenever
+    any source is uncapped."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    got = {r["source"]: r for r in
+           EXT_QUERIES["mix_token_budget"](spark, sf_dir).collect()}
+    toks = dict(con.sql(
+        "SELECT source, SUM(len(string_split(text, ' ')))"
+        " FROM documents GROUP BY source").fetchall())
+    budget = sum(toks.values()) // 2
+    live = {s: 2 * t for s, t in toks.items()}
+    alloc: dict[str, float] = {}
+    remaining = float(budget)
+    while live:
+        share = remaining / len(live)
+        frozen = {s: c for s, c in live.items() if c <= share}
+        if not frozen:
+            alloc.update({s: share for s in live})
+            live = {}
+            break
+        for s, c in frozen.items():
+            alloc[s] = float(c)
+            remaining -= c
+            del live[s]
+    assert set(got) == set(alloc)
+    for s, r in got.items():
+        assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-9
+        assert abs(r["alloc_tokens"] - alloc[s]) < 0.011, s
+        assert r["capped"] == (alloc[s] == 2.0 * toks[s])
+    if any(not r["capped"] for r in got.values()):
+        total = sum(r["alloc_tokens"] for r in got.values())
+        assert abs(total - budget) < 0.01 * len(got) + 1e-6
+
+
+def test_events_ewma_matches_pandas(spark, sf_dir, con):
+    """The sorted-fold recurrence must agree with pandas' reference EWMA
+    (adjust=False, seeded at the first value) for every user."""
+    import math
+
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    got = EXT_QUERIES["events_ewma"](spark, sf_dir).toPandas() \
+        .set_index("user_id")
+    ev = con.sql(
+        "SELECT user_id, value FROM events ORDER BY user_id, ts, event_id"
+    ).df()
+    ref = ev.groupby("user_id")["value"].apply(
+        lambda s: s.ewm(alpha=0.3, adjust=False).mean().iloc[-1])
+    assert set(ref.index) == set(got.index)
+    for uid, want in ref.items():
+        want6 = math.floor(want * 1e6 + 0.5) / 1e6
+        assert abs(got.loc[uid, "ewma6"] - want6) < 2e-6, uid
+
+
+def test_sample_dsir_prefers_target_language(spark, sf_dir, con):
+    """DSIR's importance weight is a target/raw log-likelihood ratio, so
+    target-language documents must score higher on average (per-token
+    expectation under the target distribution is KL(p_t || p_r) >= 0),
+    and the keep flag must select exactly the top quartile."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    df = EXT_QUERIES["sample_dsir"](spark, sf_dir).toPandas()
+    langs = con.sql("SELECT doc_id, lang FROM documents").df()
+    m = df.merge(langs, on="doc_id")
+    en, rest = m[m.lang == "en"], m[m.lang != "en"]
+    assert en.dsir_score.mean() > rest.dsir_score.mean()
+    assert int(m.keep.sum()) == (len(m) + 3) // 4
+    # the selected set is exactly the score-ranked prefix
+    kept_min = m[m.keep].dsir_score.min()
+    dropped_max = m[~m.keep].dsir_score.max()
+    assert kept_min >= dropped_max - 1e-12

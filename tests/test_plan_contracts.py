@@ -497,3 +497,40 @@ def test_stream_dedup_minhash_stateless_segment_is_jvm(spark, sf_dir):
     assert "Cartesian" not in plan
     # exactly one Python-evaluated operator: the stateful band index
     assert plan.count("InPandas") == 1, plan.count("InPandas")
+
+
+def test_sample_dsir_lr_table_broadcast(spark, sf_dir):
+    """The 512-row smoothed log-ratio table must be the broadcast build
+    side of the scoring join (Gen.bc_hint pins it -- Catalyst's pre-AQE
+    estimate picked the exploded token stream), the lang filter must reach
+    the parquet scan, and every bucket count must aggregate partial+final."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["sample_dsir"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(lang,en)" in plan  # pushed target filter
+    assert plan.count("HashAggregate") >= 4  # partial+final per count
+
+
+def test_mix_token_budget_single_source_agg(spark, sf_dir):
+    """One partial+final agg to n_sources rows; the waterfill windows run
+    over that metadata-scale table -- no join back to the corpus, no
+    second documents scan beyond the two scalar/agg branches."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["mix_token_budget"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_ewma_single_shuffle_fold(spark, sf_dir):
+    """The per-user fold is ONE grouped aggregation: a single exchange on
+    user_id (plus the output sort), no join, no window over raw events."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["events_ewma"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(") == 1
