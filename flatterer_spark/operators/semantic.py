@@ -139,15 +139,28 @@ def sql_dedup_semantic(
 ) -> str:
     """One row per vector: cluster, #lower-id close neighbors, max cosine
     to any of them, and the SemDeDup drop flag (``is_dup`` = has at least
-    one lower-id neighbor at cosine >= threshold in the same cluster)."""
+    one lower-id neighbor at cosine >= threshold in the same cluster).
+
+    Plan shape: the within-cluster self-join has only k distinct join
+    keys, so a shuffled join caps parallelism at k tasks -- and AQE then
+    coalesces the few-MB/high-CPU pair stage to ONE task (measured 6.0 s
+    at sf0.1).  The fix is the repo's standard pair-stage pinning: the
+    probe side is REPARTITION-pinned (``rep``) and the build side
+    broadcast (asg is n_vectors x (d+2) doubles -- broadcastable far
+    beyond gate scale), so the cosine folds run at full width (1.4 s).
+    At true 100 TB scale the broadcast stops fitting and SemDeDup becomes
+    the cluster-partitioned block-pair shape of ``dedup_embedding``
+    (salt the cluster key, block the pairs); the k-key skew fact is the
+    same, only the pairing mechanism changes."""
     from flatterer_spark.ext_queries import _sql_dot
 
     cos = g.round2(f"{_sql_dot(g, 'a.e', 'b.e')} / (a.nrm * b.nrm)", 6)
     return f"""
     WITH {_assign_ctes(g, cents)},
+    rep AS (SELECT {g.par_hint()}* FROM asg),
     pairs AS (
-        SELECT a.vec_id AS id_hi, {cos} AS cos
-        FROM asg a JOIN asg b
+        SELECT {g.bc_hint('b')}a.vec_id AS id_hi, {cos} AS cos
+        FROM rep a JOIN asg b
           ON a.cluster = b.cluster AND b.vec_id < a.vec_id
     ),
     close AS (

@@ -468,7 +468,65 @@ def _oracle_stream_dedup_minhash() -> str:
     """
 
 
+def stream_ewma_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EWMA (``stream_flatten.ewma_stream``) as a
+    driver-gate query: the O(1)-state recursive feature, drained with
+    availableNow and reduced to the LAST emission per user (highest
+    n_events -- on an unbounded stream the sink holds the running feature
+    and consumers read the latest row).  The oracle is the batch
+    ``events_ewma`` SQL: the streaming fold must reproduce the batch
+    collect-sorted-fold value-for-value, including the 6-decimal rounding
+    applied AFTER the drain on the JVM side (same floor expression)."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import (
+        ewma_stream,
+        run_available_now,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    stream = stream.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    res = run_available_now(
+        ewma_stream(stream), f"stream_ewma_{_view_suffix(sf_dir)}"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+            F.expr("CAST(FLOOR(ewma * 1000000 + 0.5) AS DOUBLE) / 1000000")
+            .alias("ewma6"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _oracle_stream_ewma() -> str:
+    from flatterer_spark.ext_queries import sql_events_ewma
+    from flatterer_spark.functions.textgen import Gen
+
+    return sql_events_ewma(Gen(spark=False))
+
+
 STREAM_GATE_QUERIES = {
+    "stream_ewma": stream_ewma_query,
     "stream_dedup_minhash": stream_dedup_minhash_query,
     "stream_windowed_stats": stream_windowed_stats_query,
     "stream_dedup_exact": stream_dedup_exact_query,
@@ -481,6 +539,7 @@ STREAM_GATE_QUERIES = {
 }
 
 STREAM_GATE_ORACLE = {
+    "stream_ewma": _oracle_stream_ewma(),
     "stream_dedup_minhash": _oracle_stream_dedup_minhash(),
     "stream_topk_per_window": """
         WITH c AS (

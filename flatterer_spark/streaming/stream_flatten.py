@@ -344,3 +344,73 @@ def minhash_band_dup_stream(bands: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUT_SCHEMA = "user_id long, n_events long, last_ts timestamp, ewma double"
+EWMA_STATE_SCHEMA = "ewma double, n long, last_us long"
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming per-user EWMA: the O(1)-state counterpart of the batch
+    ``events_ewma`` operator.  State per user is (ewma, n, last_ts) -- three
+    scalars, NOT the event history -- because the recurrence only ever needs
+    the previous value: each batch folds its (ts, event_id)-sorted values
+    into the carried ewma and emits the updated running feature.  This is
+    the bounded-state shape a 100 TB/day feature pipeline needs (contrast
+    the sessionizer, whose state is an open interval, or a naive
+    rank-feature, which would need the full history).
+
+    Ordering contract: the recurrence is order-dependent, so the operator
+    assumes per-key event-time order ACROSS micro-batches (in-order
+    arrival beyond the watermark horizon -- the standard feature-pipeline
+    assumption); within a batch it sorts, so any intra-batch shuffle order
+    is fine.  Under the gate's bounded availableNow drain of one parquet
+    file the contract holds trivially and the final emission per user
+    equals the batch operator bit-for-bit (identical IEEE fold: Python
+    floats here, the SQL lambda fold in the batch op, same op sequence).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+    one_m = 1.0 - a
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows: list[tuple[int, int, float]] = []
+        for pdf in pdfs:
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
+            rows.extend(
+                zip(
+                    (int(t) for t in ts_us),
+                    (int(e) for e in pdf["event_id"]),
+                    (float(v) for v in pdf["value"]),
+                )
+            )
+        rows.sort()
+        if state.exists:
+            ewma, n, last_us = state.get
+            ewma, n = float(ewma), int(n)
+        else:
+            ewma, n, last_us = None, 0, 0
+        for t, _eid, v in rows:
+            ewma = v if ewma is None else a * v + one_m * ewma
+            n += 1
+            last_us = max(last_us, t)
+        state.update((ewma, n, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "ewma": [ewma],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

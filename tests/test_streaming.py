@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import shutil
 
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -312,3 +313,52 @@ def test_minhash_band_state_persists_across_batches(spark, tmp_path):
     assert flags[11] is True, "band owner from batch 1 not retained in state"
     assert flags[12] is False
     assert flags[1] is False
+
+
+def test_ewma_state_carries_across_batches(spark, tmp_path):
+    """The O(1) EWMA state must be cumulative: a later micro-batch folds
+    into the carried (ewma, n) rather than restarting the recurrence
+    (maxFilesPerTrigger=1 forces one batch per file; mtimes pin file
+    order).  Two emissions for the user prove two batches actually ran."""
+    import os
+    import time
+
+    from flatterer_spark.streaming.stream_flatten import (
+        ewma_stream,
+        run_available_now,
+    )
+
+    d = tmp_path / "ev_in"
+    d.mkdir()
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+
+    def mk(path, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    mk(str(d / "b1"), [(7, 1, t0, 1.0),
+                       (7, 2, t0 + timedelta(minutes=1), 2.0)])
+    time.sleep(0.05)
+    mk(str(d / "b2"), [(7, 3, t0 + timedelta(minutes=2), 3.0),
+                       (7, 4, t0 + timedelta(minutes=3), 4.0)])
+    now = time.time()
+    for sub, mtime in (("b1", now - 60), ("b2", now)):
+        for f in os.listdir(d / sub):
+            os.utime(d / sub / f, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    res = run_available_now(ewma_stream(stream), "ewma_state_test").collect()
+    assert len(res) == 2, "expected one emission per micro-batch"
+    final = max(res, key=lambda r: r.n_events)
+    assert final.n_events == 4
+    # fold of 1,2,3,4: 1 -> 1.3 -> 1.81 -> 2.467
+    assert abs(final.ewma - 2.467) < 1e-12
+    first = min(res, key=lambda r: r.n_events)
+    assert first.n_events == 2 and abs(first.ewma - 1.3) < 1e-12
