@@ -1740,7 +1740,12 @@ def sql_sample_dsir(g: Gen, n_buckets: int = 512, target_lang: str = "en") -> st
 # ---------------------------------------------------------------------------
 
 
-def sql_mix_token_budget(g: Gen, epoch_cap: int = 2) -> str:
+def sql_mix_token_budget(
+    g: Gen,
+    epoch_cap: int = 2,
+    src_rows: list[tuple[str, int]] | None = None,
+    budget: int | None = None,
+) -> str:
     """Allocate a total training-token budget across sources with a
     per-source repeat cap -- the UniMax mixing rule (Chung et al. 2023):
     spread the budget as uniformly as possible, but never take more than
@@ -1759,8 +1764,30 @@ def sql_mix_token_budget(g: Gen, epoch_cap: int = 2) -> str:
     Scale: one partial+final agg to ~n_sources rows, then window functions
     over that metadata-scale table -- a single-partition sort of a few
     hundred rows even at 100 TB.  Budget = half the corpus (integer floor),
-    so the query is self-contained and scale-free."""
+    so the query is self-contained and scale-free.
+
+    ``src_rows``/``budget`` replace the documents-derived source table and
+    the half-corpus budget with explicit literals -- the hypothesis fuzz
+    harness uses them to drive the closed form over arbitrary (source,
+    n_tok) distributions (tests/test_waterfill_property.py)."""
     toks = g.tokens("text")
+    if src_rows is not None:
+        vals = ", ".join(f"('{s}', CAST({n} AS BIGINT))" for s, n in src_rows)
+        src_sql = (
+            f"SELECT * FROM (VALUES {vals}) AS t(source, n_tok)"
+            if not g.spark
+            else f"SELECT * FROM VALUES {vals} AS t(source, n_tok)"
+        )
+    else:
+        src_sql = (
+            f"SELECT source, CAST(SUM({g.size(toks)}) AS BIGINT) AS n_tok\n"
+            f"        FROM documents GROUP BY source"
+        )
+    budget_sql = (
+        f"CAST({budget} AS BIGINT)"
+        if budget is not None
+        else f"CAST({g.idiv('SUM(n_tok)', '2')} AS BIGINT)"
+    )
     uncapped_share = (
         "CAST(budget - capped_sum AS DOUBLE) / CAST(n_uncapped AS DOUBLE)"
     )
@@ -1774,10 +1801,9 @@ def sql_mix_token_budget(g: Gen, epoch_cap: int = 2) -> str:
     )
     return f"""
     WITH src AS (
-        SELECT source, CAST(SUM({g.size(toks)}) AS BIGINT) AS n_tok
-        FROM documents GROUP BY source
+        {src_sql}
     ),
-    tot AS (SELECT CAST({g.idiv('SUM(n_tok)', '2')} AS BIGINT) AS budget,
+    tot AS (SELECT {budget_sql} AS budget,
                    CAST(COUNT(*) AS BIGINT) AS n_src
             FROM src),
     ranked AS (
@@ -1811,6 +1837,152 @@ def sql_mix_token_budget(g: Gen, epoch_cap: int = 2) -> str:
            {g.round2(epochs, 4)} AS epochs
     FROM solved
     ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus_kmv_cardinality: k-minimum-values distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def sql_corpus_kmv_cardinality(g: Gen, k: int = 256) -> str:
+    """Distinct 3-gram cardinality estimate via the KMV (k-minimum-values)
+    sketch (Bar-Yossef et al. 2002): hash every distinct shingle to a
+    uniform 32-bit value, keep the k smallest, estimate
+    distinct = (k-1) * 2^32 / h_(k).  Output is one row: the estimate next
+    to the exact count and the relative error, so the sketch's accuracy
+    claim (~1/sqrt(k) = ~6% at k=256) is itself part of the checked
+    result.  3-gram shingles, not words: the synthetic corpus has ~31
+    distinct words, which would only ever exercise the small-set branch,
+    while its ~16k distinct shingles at sf0.01 drive the real estimator.
+
+    Unlike engine-native approx_count_distinct (whose HLL internals differ
+    per engine and can never hash-match an oracle), KMV built from md5 is
+    DETERMINISTIC and engine-independent -- the same sketch a 100 TB
+    cardinality pass would compute: one distinct-agg shuffle, then a
+    global smallest-k (TakeOrderedAndProject, k rows to the driver-side
+    reduce -- the sketch itself is the only thing that leaves the
+    executors, which is the entire point of sketching at scale).  Fewer
+    than k distinct values -> the sketch holds them all and is exact (the
+    KMV small-set convention)."""
+    est = (
+        f"CAST({k} - 1 AS DOUBLE) * {g.d(4294967296.0)}"
+        f" / CAST(kth.h AS DOUBLE)"
+    )
+    return f"""
+    WITH sh AS ({sql_shingle_cte(g)}),
+    h AS (SELECT DISTINCT {g.md5_32('gram')} AS h
+          FROM (SELECT {_explode(g, 's', 'gram')} FROM sh)),
+    exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
+    mins AS (SELECT h FROM h ORDER BY h LIMIT {k}),
+    kth AS (SELECT MAX(h) AS h, CAST(COUNT(*) AS BIGINT) AS n_in
+            FROM mins)
+    SELECT exact.n AS n_distinct_exact,
+           CAST({k} AS BIGINT) AS k,
+           kth.h AS kth_hash,
+           {g.round2(f"CASE WHEN kth.n_in < {k} THEN CAST(kth.n_in AS DOUBLE) ELSE {est} END")}
+               AS est_distinct,
+           {g.round2(f"(CASE WHEN kth.n_in < {k} THEN CAST(kth.n_in AS DOUBLE) ELSE {est} END - CAST(exact.n AS DOUBLE)) / CAST(exact.n AS DOUBLE)", 4)}
+               AS rel_err
+    FROM exact CROSS JOIN kth
+    """
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom: Bloom-filter membership sketch for batch-vs-corpus dedup
+# ---------------------------------------------------------------------------
+
+
+def sql_dedup_bloom(
+    g: Gen,
+    w: int = SUBSTR_W,
+    batch_mod: int = 10,
+    m_bits: int = 8388608,
+    n_hashes: int = 3,
+) -> str:
+    """Batch-vs-corpus shared-span detection through a Bloom filter: the
+    corpus's W-token span fingerprints (the same stride-1 ``md5_60``
+    windows as ``dedup_substring``) are compressed into an ``m_bits``
+    bitmap -- ceil(m/63) BIGINT words built by ONE bit_or aggregation --
+    and every span of tonight's batch (``doc_id % batch_mod`` slice,
+    mirroring ``dedup_incremental``) probes its ``n_hashes`` positions.
+    A span is a Bloom hit when all probed bits are set; a document is
+    ``maybe_dup`` when any of its spans hits.
+
+    The exact span join (``n_exact_hits`` / ``actual_dup``) sits next to
+    the sketch verdict in the output, so the Bloom contract -- NO false
+    negatives, bounded false positives -- is part of the hash-checked
+    result; tests/test_ext_queries.py pins no-FN and the FP budget.  At
+    production scale the exact columns are dropped: the ~130k-word bitmap
+    (1 MB at m=2^23) is the ONLY corpus derivative the probe touches, so
+    membership is a broadcast map-side check -- no span-level join, no
+    shuffle of the corpus.  Sizing: fill = k*n_spans/m; the FP rate per
+    span is fill^k, compounded over ~n_tokens spans per document (m=2^23
+    holds per-span FP under 4e-4 at sf0.1's ~200k corpus spans; a 10^12-
+    span corpus shards the bitmap by fingerprint prefix and co-partitions
+    probes -- the per-shard shape is exactly this query).  Bits use
+    63-bit words: DuckDB raises on a shift into the BIGINT sign bit where
+    Spark wraps.  Positions come from slot-salted md5 -- deterministic on
+    both engines, so even the FPs hash-match the oracle."""
+    toks = g.tokens("text")
+    n = g.size("toks")
+    windows = g.transform(
+        g.seq("1", f"{n} - {w - 1}"),
+        "i",
+        g.join(g.slice("toks", "i", w), " "),
+    )
+    is_new = f"doc_id % {batch_mod} = {batch_mod - 1}"
+    slot_key = f"{g.str_cast('slot')} || ':' || {g.str_cast('sfp')}"
+    pos = f"{g.md5_32(slot_key)} % {m_bits}"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    wins AS (
+        SELECT doc_id, {_explode(g, windows, "win")}
+        FROM t WHERE {n} >= {w}
+    ),
+    spans AS (SELECT DISTINCT doc_id, {g.md5_60('win')} AS sfp FROM wins),
+    cspan AS (SELECT DISTINCT sfp FROM spans WHERE NOT ({is_new})),
+    cpos AS (
+        SELECT {pos} AS pos
+        FROM (SELECT sfp, {g.explode_seq('1', str(n_hashes), 'slot')}
+              FROM cspan) c
+    ),
+    bm AS (
+        SELECT {g.idiv('pos', '63')} AS w,
+               bit_or({g.shl1('pos % 63')}) AS bits
+        FROM cpos GROUP BY 1
+    ),
+    npos AS (
+        SELECT doc_id, sfp, {pos} AS pos
+        FROM (SELECT doc_id, sfp, {g.explode_seq('1', str(n_hashes), 'slot')}
+              FROM spans WHERE {is_new}) b
+    ),
+    probe AS (
+        SELECT {g.bc_hint('bm')}n.doc_id, n.sfp,
+               CASE WHEN bm.bits IS NOT NULL
+                         AND (bm.bits & {g.shl1('n.pos % 63')}) <> 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM npos n LEFT JOIN bm ON {g.idiv('n.pos', '63')} = bm.w
+    ),
+    span_verdict AS (
+        SELECT doc_id, sfp,
+               CASE WHEN SUM(hit) = {n_hashes} THEN 1 ELSE 0 END AS bloom_hit
+        FROM probe GROUP BY doc_id, sfp
+    ),
+    doc_verdict AS (
+        SELECT {g.bc_hint('c')}v.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(v.bloom_hit) AS BIGINT) AS n_bloom_hits,
+               CAST(SUM(CASE WHEN c.sfp IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_hits
+        FROM span_verdict v LEFT JOIN cspan c ON c.sfp = v.sfp
+        GROUP BY v.doc_id
+    )
+    SELECT doc_id, n_spans, n_bloom_hits, n_exact_hits,
+           CAST(n_bloom_hits > 0 AS BOOLEAN) AS maybe_dup,
+           CAST(n_exact_hits > 0 AS BOOLEAN) AS actual_dup
+    FROM doc_verdict
+    ORDER BY doc_id
     """
 
 
@@ -1915,6 +2087,8 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "sample_dsir": (sql_sample_dsir, ("documents",)),
     "mix_token_budget": (sql_mix_token_budget, ("documents",)),
     "events_ewma": (sql_events_ewma, ("events",)),
+    "corpus_kmv_cardinality": (sql_corpus_kmv_cardinality, ("documents",)),
+    "dedup_bloom": (sql_dedup_bloom, ("documents",)),
 }
 
 

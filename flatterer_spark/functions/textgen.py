@@ -167,6 +167,13 @@ class Gen:
     def shr(self, h: str, b: int) -> str:
         return f"shiftright({h}, {b})" if self.spark else f"({h} >> {b})"
 
+    def shl1(self, b: str) -> str:
+        """BIGINT 1 << b.  Callers must keep b in [0, 62]: DuckDB raises on
+        a shift into the sign bit where Spark silently wraps."""
+        if self.spark:
+            return f"shiftleft(CAST(1 AS BIGINT), {b})"
+        return f"(CAST(1 AS BIGINT) << ({b}))"
+
     def bit(self, h: str, b: int) -> str:
         return f"({self.shr(h, b)} & 1)"
 

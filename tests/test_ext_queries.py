@@ -406,3 +406,34 @@ def test_sample_dsir_prefers_target_language(spark, sf_dir, con):
     kept_min = m[m.keep].dsir_score.min()
     dropped_max = m[~m.keep].dsir_score.max()
     assert kept_min >= dropped_max - 1e-12
+
+
+def test_dedup_bloom_no_false_negatives_bounded_fp(spark, sf_dir):
+    """The Bloom contract: every document actually sharing a span with the
+    corpus MUST be flagged (no false negatives -- a Bloom filter cannot
+    miss a present key), and the span-level false-positive mass must stay
+    within the sizing budget (fill^k compounded per span; the m=2^23
+    filter holds it far under 1%)."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    df = EXT_QUERIES["dedup_bloom"](spark, sf_dir).toPandas()
+    assert len(df) > 0
+    fn = df[df.actual_dup & ~df.maybe_dup]
+    assert fn.empty, f"Bloom false negatives: {fn.doc_id.tolist()}"
+    assert (df.n_bloom_hits >= df.n_exact_hits).all()
+    fp_spans = int((df.n_bloom_hits - df.n_exact_hits).sum())
+    assert fp_spans <= 0.01 * int(df.n_spans.sum())
+
+
+def test_corpus_kmv_estimate_within_bound(spark, sf_dir):
+    """KMV accuracy: the estimator's standard error is ~1/sqrt(k); with
+    k=256 a 3-sigma bound is ~19%.  Also pin the small-set convention:
+    est == exact when fewer than k distinct values exist."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    row = EXT_QUERIES["corpus_kmv_cardinality"](spark, sf_dir).collect()[0]
+    assert row.n_distinct_exact > 0
+    if row.n_distinct_exact < row.k:
+        assert row.est_distinct == float(row.n_distinct_exact)
+    else:
+        assert abs(row.rel_err) <= 0.19, row.rel_err

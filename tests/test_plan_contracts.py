@@ -547,3 +547,27 @@ def test_dedup_semantic_pair_stage_wide_and_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+
+
+def test_kmv_is_take_ordered_k(spark, sf_dir):
+    """The k smallest hashes must plan as TakeOrderedAndProject (the only
+    corpus derivative leaving the executors is the k-row sketch), never a
+    global sort of all distinct hashes."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["corpus_kmv_cardinality"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_bloom_bitmap_broadcast_partial_bitor(spark, sf_dir):
+    """The ~130k-word bitmap must be the broadcast build side of the probe
+    join (membership is map-side -- the corpus never joins the batch at
+    span level except in the demo exact-check columns, also broadcast),
+    and the bitmap itself must build as a partial+final bit_or."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["dedup_bloom"](spark, sf_dir))
+    assert "partial_bit_or" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
