@@ -1845,7 +1845,9 @@ def sql_mix_token_budget(
 # ---------------------------------------------------------------------------
 
 
-def sql_corpus_kmv_cardinality(g: Gen, k: int = 256) -> str:
+def sql_corpus_kmv_cardinality(
+    g: Gen, k: int = 256, sh_table: str | None = None
+) -> str:
     """Distinct 3-gram cardinality estimate via the KMV (k-minimum-values)
     sketch (Bar-Yossef et al. 2002): hash every distinct shingle to a
     uniform 32-bit value, keep the k smallest, estimate
@@ -1869,10 +1871,12 @@ def sql_corpus_kmv_cardinality(g: Gen, k: int = 256) -> str:
         f"CAST({k} - 1 AS DOUBLE) * {g.d(4294967296.0)}"
         f" / CAST(kth.h AS DOUBLE)"
     )
+    sh = sh_table or "sh"
+    sh_cte = f"sh AS ({sql_shingle_cte(g)})," if not sh_table else ""
     return f"""
-    WITH sh AS ({sql_shingle_cte(g)}),
+    WITH {sh_cte}
     h AS (SELECT DISTINCT {g.md5_32('gram')} AS h
-          FROM (SELECT {_explode(g, 's', 'gram')} FROM sh)),
+          FROM (SELECT {_explode(g, 's', 'gram')} FROM {sh})),
     exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h),
     mins AS (SELECT h FROM h ORDER BY h LIMIT {k}),
     kth AS (SELECT MAX(h) AS h, CAST(COUNT(*) AS BIGINT) AS n_in
@@ -1899,6 +1903,7 @@ def sql_dedup_bloom(
     batch_mod: int = 10,
     m_bits: int = 8388608,
     n_hashes: int = 3,
+    span_table: str | None = None,
 ) -> str:
     """Batch-vs-corpus shared-span detection through a Bloom filter: the
     corpus's W-token span fingerprints (the same stride-1 ``md5_60``
@@ -1934,13 +1939,22 @@ def sql_dedup_bloom(
     is_new = f"doc_id % {batch_mod} = {batch_mod - 1}"
     slot_key = f"{g.str_cast('slot')} || ':' || {g.str_cast('sfp')}"
     pos = f"{g.md5_32(slot_key)} % {m_bits}"
-    return f"""
-    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    # Spark inlines WITH-CTEs, so the stride-1 window computation -- the
+    # operator's dominant cost -- would run once per reference (3x: corpus
+    # bitmap, batch probes, exact check).  span_table points at the
+    # persisted (doc_id, sfp) staging view (_span_view), the same
+    # compute-once pattern as the shingle/signature views.
+    if span_table:
+        spans_cte = f"spans AS (SELECT doc_id, sfp FROM {span_table}),"
+    else:
+        spans_cte = f"""t AS (SELECT doc_id, {toks} AS toks FROM documents),
     wins AS (
         SELECT doc_id, {_explode(g, windows, "win")}
         FROM t WHERE {n} >= {w}
     ),
-    spans AS (SELECT DISTINCT doc_id, {g.md5_60('win')} AS sfp FROM wins),
+    spans AS (SELECT DISTINCT doc_id, {g.md5_60('win')} AS sfp FROM wins),"""
+    return f"""
+    WITH {spans_cte}
     cspan AS (SELECT DISTINCT sfp FROM spans WHERE NOT ({is_new})),
     cpos AS (
         SELECT {pos} AS pos
@@ -2147,6 +2161,49 @@ def _make_sh_query(builder):
     return run
 
 
+_span_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _span_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the stride-1 W-token span fingerprints (doc_id, sfp)
+    once per (session, sf_dir) -- dedup_bloom references them three times
+    (corpus bitmap, batch probes, exact check) and Spark inlines CTEs."""
+    from flatterer_spark.queries import T
+
+    key = (id(spark), sf_dir)
+    name = f"span_materialized_{_view_suffix(sf_dir)}"
+    if key not in _span_cache:
+        g = Gen(spark=True)
+        toks = g.tokens("text")
+        n = g.size("toks")
+        windows = g.transform(
+            g.seq("1", f"{n} - {SUBSTR_W - 1}"),
+            "i",
+            g.join(g.slice("toks", "i", SUBSTR_W), " "),
+        )
+        T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        df = spark.sql(f"""
+            SELECT DISTINCT doc_id, {g.md5_60('win')} AS sfp
+            FROM (SELECT doc_id, {_explode(g, windows, 'win')}
+                  FROM (SELECT doc_id, {toks} AS toks FROM documents) t
+                  WHERE {n} >= {SUBSTR_W})
+        """).persist()
+        df.createOrReplaceTempView(name)
+        _span_cache[key] = df
+    return name
+
+
+def _make_span_query(builder):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flatterer_spark.queries import T
+
+        view = _span_view(spark, sf_dir)
+        T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        return spark.sql(builder(Gen(spark=True), span_table=view))
+
+    return run
+
+
 _en_cache: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -2225,6 +2282,8 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _make_sh_query(sql_dedup_incremental),
         "split_leakage_check": _make_sh_query(sql_split_leakage_check),
         "ngram_topk": _make_sh_query(sql_ngram_topk),
+        "corpus_kmv_cardinality": _make_sh_query(sql_corpus_kmv_cardinality),
+        "dedup_bloom": _make_span_query(sql_dedup_bloom),
         "dedup_embedding_lsh": _make_emb_lsh_query(sql_dedup_embedding_lsh),
         "sim_topk_bruteforce": _make_en_query(sql_sim_topk),
         "sim_topk_lsh": _make_en_query(sql_sim_topk_lsh),
