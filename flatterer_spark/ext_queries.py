@@ -1886,7 +1886,7 @@ def sql_corpus_kmv_cardinality(
            kth.h AS kth_hash,
            {g.round2(f"CASE WHEN kth.n_in < {k} THEN CAST(kth.n_in AS DOUBLE) ELSE {est} END")}
                AS est_distinct,
-           {g.round2(f"(CASE WHEN kth.n_in < {k} THEN CAST(kth.n_in AS DOUBLE) ELSE {est} END - CAST(exact.n AS DOUBLE)) / CAST(exact.n AS DOUBLE)", 4)}
+           {g.round2(f"(CASE WHEN kth.n_in < {k} THEN CAST(kth.n_in AS DOUBLE) ELSE {est} END - CAST(exact.n AS DOUBLE)) / CASE WHEN exact.n = 0 THEN {g.d(1.0)} ELSE CAST(exact.n AS DOUBLE) END", 4)}
                AS rel_err
     FROM exact CROSS JOIN kth
     """
