@@ -2056,6 +2056,289 @@ def sql_events_ewma(g: Gen, alpha: float = 0.3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# corpus_bm25_topk: BM25 ranked retrieval for a fixed query term set
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("dup", "merge", "window")
+
+
+def sql_corpus_bm25_topk(
+    g: Gen, k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """BM25 (Robertson-Sparck Jones) ranked retrieval over the corpus for a
+    fixed query-term set -- the quality-retrieval sibling of
+    ``corpus_tfidf_topk`` (TF-IDF weights terms; BM25 additionally
+    saturates term frequency and normalizes by document length, the form
+    every search/retrieval-curation stack actually ranks with).
+
+    Shape: tokenize -> filter to the |Q| query terms BEFORE the (doc, term)
+    agg (the filter prunes ~|Q|/|V| of the exploded token stream map-side)
+    -> per-term document frequency (|Q| rows, broadcast) -> per-doc length +
+    global avgdl (exact integer sums, so the double division is
+    deterministic) -> per-(doc, term) partial score -> per-doc sum ->
+    top-k.  At 100 TB: one shuffle on (doc_id, term) for tf, one tiny df
+    agg, broadcast joins for df/avgdl -- the same partial+final shape as
+    tfidf with |Q| bounding every small side.
+
+    Determinism: tf/df/dl/N are exact integers; ``ln`` is the only libm
+    call and may differ in the last ulp between engines, so each
+    per-term score is ROUNDED to 9 decimals before the per-doc sum, and
+    the sum itself is an ordered fold over the sorted per-term scores
+    (SUM() aggregation order is engine-dependent; 3 rounded doubles summed
+    in sorted order are bit-identical).  Final score rounds to 6 with
+    doc_id as the rank tie-break."""
+    terms = g.strlist(BM25_QUERY_TERMS)
+    idf = "ln((CAST(n.n_docs - df.df AS DOUBLE) + {h}) / (CAST(df.df AS DOUBLE) + {h}) + {one})".format(
+        h=g.d(0.5), one=g.d(1.0)
+    )
+    tf_part = (
+        f"CAST(tf.tf AS DOUBLE) * {g.d(k1 + 1.0)} / "
+        f"(CAST(tf.tf AS DOUBLE) + {g.d(k1)} * ({g.d(1.0 - b)} + {g.d(b)}"
+        f" * CAST(dl.dl AS DOUBLE) / n.avgdl))"
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {g.explode(g.tokens('text'), 't')} FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE t IN {terms} GROUP BY doc_id, t
+    ),
+    df AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t
+    ),
+    dl AS (
+        SELECT doc_id, CAST({g.size(g.tokens('text'))} AS BIGINT) AS dl
+        FROM documents
+    ),
+    n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS avgdl
+        FROM dl
+    ),
+    part AS (
+        SELECT tf.doc_id,
+               {g.round2(f'({idf}) * ({tf_part})', 9)} AS s
+        FROM tf
+        JOIN df ON tf.t = df.t
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN n
+    ),
+    scored AS (
+        SELECT doc_id,
+               {g.round2(g.fold_sum(g.sorted_list_agg('s')), 6)} AS bm25
+        FROM part GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, bm25
+    FROM ranked WHERE rnk <= {k}
+    ORDER BY rnk
+    """
+
+
+# ---------------------------------------------------------------------------
+# sim_topk_hamming: binary-sign embedding compression + Hamming top-k
+# ---------------------------------------------------------------------------
+
+
+def sql_sim_topk_hamming(
+    g: Gen, n_queries: int = 10, k: int = 5
+) -> str:
+    """Binary-quantized ANN: pack each embedding's SIGN BITS into two
+    BIGINT words (bit j of word w = 1 iff embedding[32w + j] >= 0), then
+    rank neighbors by Hamming distance -- popcount of XOR -- between the
+    packed signatures.  Sign-bit (a.k.a. binary / "Hamming") embeddings
+    are the standard 32x memory compression for billion-scale retrieval:
+    for unit-norm vectors the expected angle relates monotonically to the
+    sign-agreement rate (Goemans-Williamson), so Hamming rank approximates
+    cosine rank at 1 bit per dimension.
+
+    Scale shape: the signature table is 16 bytes/row (vs 256B of floats) --
+    at 100 TB of embeddings the packed table is ~6 GB/billion rows and the
+    whole scoring pass is two XORs + two POPCNTs per pair inside
+    whole-stage codegen; the query side (n_queries rows) broadcasts, so
+    brute-force scan IS the production baseline at this width.  Sub-linear
+    variants band the 64 bits into 16-bit chunks (exact-match buckets
+    catch all pairs at hamming <= 3 by pigeonhole) -- the same banding
+    already proven by ``dedup_simhash``; this op is the dense-retrieval
+    form of that signature.
+
+    Integer-only end to end (pack, xor, popcount, rank): bit-identical
+    across engines with no rounding discipline needed."""
+
+    def pack(word: int) -> str:
+        body = (
+            f"CASE WHEN CAST({g.at('e', f'({word * 32} + i + 1)')} AS DOUBLE)"
+            f" >= {g.d(0.0)} THEN {g.shl1('i')} ELSE CAST(0 AS BIGINT) END"
+        )
+        return g.fold_sum_long(g.transform(g.seq("0", "31"), "i", body))
+
+    ham = (
+        f"CAST(bit_count({_xor(g, 'q.b0', 'c.b0')}) AS BIGINT)"
+        f" + CAST(bit_count({_xor(g, 'q.b1', 'c.b1')}) AS BIGINT)"
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, {pack(0)} AS b0, {pack(1)} AS b1
+        FROM (SELECT vec_id, embedding AS e FROM embeddings) t
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {ham} AS ham
+        FROM sig q JOIN sig c
+          ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, ham,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ham, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, ham AS hamming
+    FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus_source_overlap: cross-source duplicate-overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def sql_corpus_source_overlap(
+    g: Gen, sh_table: str | None = None, top_pairs: int = 40
+) -> str:
+    """Pairwise source-overlap audit: for every source pair (a < b), how
+    many distinct 3-gram shingle fingerprints appear in BOTH, plus the
+    Jaccard over the per-source shingle SETS -- the standard pre-mixing
+    diagnostic for a multi-source corpus (a crawl snapshot that
+    86%-overlaps last month's makes per-source dedup priorities and mixing
+    weights wrong unless measured first).  N-gram-level, not whole-doc
+    fingerprints: sources rarely share byte-exact documents but share
+    phrasing heavily, which is what contaminates mixing weights.
+
+    Shape: the staged shingle view (compute-once, shared with the
+    minhash/jaccard dedup family) -> one (shingle-fp, source) distinct agg
+    (shuffle key = the 64-bit fingerprint, uniform by construction) -> a
+    fingerprint equi-self-join producing at most |sources|^2 rows per
+    fingerprint (bounded by the source count, not the data) -> a group-by
+    on the source pair whose output is the tiny pair matrix; per-source
+    set sizes broadcast back on.  Top pairs by (jaccard, pair) keeps the
+    output the report-sized artifact a 100 TB audit would actually emit."""
+    sh = sh_table or "sh"
+    sh_cte = f"sh AS ({sql_shingle_cte(g)})," if not sh_table else ""
+    fp = g.md5_60("gram")
+    return f"""
+    WITH {sh_cte}
+    d AS (
+        SELECT DISTINCT {fp} AS fp, source
+        FROM (SELECT doc_id, {_explode(g, 's', 'gram')} FROM {sh}) x
+        JOIN documents USING (doc_id)
+    ),
+    sz AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    scored AS (
+        SELECT p.src_a, p.src_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+               {g.round2('CAST(p.n_shared AS DOUBLE) / CAST(sa.n + sb.n - p.n_shared AS DOUBLE)', 6)}
+                   AS jaccard
+        FROM pairs p
+        JOIN sz sa ON p.src_a = sa.source
+        JOIN sz sb ON p.src_b = sb.source
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, src_a, src_b)
+                      AS rnk
+        FROM scored
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, src_a, src_b, n_shared, n_a, n_b,
+           jaccard
+    FROM ranked WHERE rnk <= {top_pairs}
+    ORDER BY rnk
+    """
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_slope: per-language Zipf exponent via deterministic regression
+# ---------------------------------------------------------------------------
+
+
+def sql_text_zipf_slope(g: Gen, top_r: int = 30) -> str:
+    """Per-language Zipf slope: least-squares slope of ln(freq) against
+    ln(rank) over the top ``top_r`` tokens -- the classic corpus-health
+    diagnostic (natural language sits near -1; generated/templated text
+    flattens toward 0, boilerplate floods steepen it).  A slope far from
+    the corpus norm flags a language slice worth auditing before training.
+
+    Determinism: engine-native ``regr_slope`` accumulates float sums in
+    partition order (never cross-engine comparable), so the regression is
+    computed from closed-form sums over ORDERED lists instead: per lang,
+    collect the top-R frequencies, sort the rounded ln(freq) values
+    ascending (ties carry equal values, so tie order cannot change any
+    sum), pair rank descending against them (freq ascending <=> rank
+    descending), and fold the four sums in list order.  Every float op is
+    then a fixed-order expression over exact integer inputs with each
+    ``ln`` rounded to 9 decimals first -- bit-identical on both engines.
+
+    Shape: token-frequency agg (one shuffle), per-lang top-R
+    (ROW_NUMBER window over ~|V| rows per lang), then a per-lang fold over
+    a <=R-element list -- output is one row per language."""
+    n = "CAST(n_terms AS DOUBLE)"
+    # ys: ln(freq) ascending; xs pair rank descending: x_i = ln(n + 1 - i)
+    x_i = g.round2("ln(CAST(n_terms + 1 - i AS DOUBLE))", 9)
+    # CAST: Spark's element_at demands an INT index while sequence() yields
+    # BIGINT lambda vars; DuckDB indexes lists with either.
+    y_i = g.at("ys", "CAST(i AS INT)")
+    sxy = g.fold_sum(g.transform(g.seq("1", "n_terms"), "i", f"{x_i} * {y_i}"))
+    sx = g.fold_sum(g.transform(g.seq("1", "n_terms"), "i", x_i))
+    sxx = g.fold_sum(g.transform(g.seq("1", "n_terms"), "i", f"{x_i} * {x_i}"))
+    sy = g.fold_sum("ys")
+    slope = (
+        f"CASE WHEN n_terms <= 1 THEN {g.d(0.0)} ELSE "
+        f"({n} * sxy - sx * sy) / ({n} * sxx - sx * sx) END"
+    )
+    return f"""
+    WITH tok AS (
+        SELECT lang, {g.explode(g.tokens('text'), 't')} FROM documents
+    ),
+    freq AS (
+        SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY lang, t
+    ),
+    topr AS (
+        SELECT lang, f,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY f DESC, t) AS rnk
+        FROM freq
+    ),
+    coll AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               {g.sorted_list_agg(g.round2('ln(CAST(f AS DOUBLE))', 9))} AS ys
+        FROM topr WHERE rnk <= {top_r}
+        GROUP BY lang
+    ),
+    sums AS (
+        SELECT lang, n_terms,
+               {sxy} AS sxy, {sx} AS sx, {sxx} AS sxx, {sy} AS sy
+        FROM coll
+    )
+    SELECT lang, n_terms, {g.round2(slope, 6)} AS zipf_slope
+    FROM sums
+    ORDER BY lang
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
 
@@ -2103,6 +2386,10 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "events_ewma": (sql_events_ewma, ("events",)),
     "corpus_kmv_cardinality": (sql_corpus_kmv_cardinality, ("documents",)),
     "dedup_bloom": (sql_dedup_bloom, ("documents",)),
+    "corpus_bm25_topk": (sql_corpus_bm25_topk, ("documents",)),
+    "sim_topk_hamming": (sql_sim_topk_hamming, ("embeddings",)),
+    "corpus_source_overlap": (sql_corpus_source_overlap, ("documents",)),
+    "text_zipf_slope": (sql_text_zipf_slope, ("documents",)),
 }
 
 
@@ -2283,6 +2570,7 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_check": _make_sh_query(sql_split_leakage_check),
         "ngram_topk": _make_sh_query(sql_ngram_topk),
         "corpus_kmv_cardinality": _make_sh_query(sql_corpus_kmv_cardinality),
+        "corpus_source_overlap": _make_sh_query(sql_corpus_source_overlap),
         "dedup_bloom": _make_span_query(sql_dedup_bloom),
         "dedup_embedding_lsh": _make_emb_lsh_query(sql_dedup_embedding_lsh),
         "sim_topk_bruteforce": _make_en_query(sql_sim_topk),

@@ -437,3 +437,151 @@ def test_corpus_kmv_estimate_within_bound(spark, sf_dir):
         assert row.est_distinct == float(row.n_distinct_exact)
     else:
         assert abs(row.rel_err) <= 0.19, row.rel_err
+
+
+def test_sim_topk_hamming_matches_numpy_signs(spark, sf_dir):
+    """The packed-XOR-popcount pipeline must reproduce EXACTLY the top-k a
+    direct numpy sign-bit comparison produces (pack -> xor -> bit_count is
+    pure integer logic; any drift is a packing bug, not float noise)."""
+    import numpy as np
+    import pandas as pd
+
+    from flatterer_spark.ext_queries import EXT_QUERIES
+    from flatterer_spark.queries import T
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    bits = (X >= 0.0)  # sign bits, same >= convention as the SQL
+
+    expect = []
+    for q in range(10):
+        qi = np.where(ids == q)[0]
+        if len(qi) == 0:
+            continue
+        ham = (bits ^ bits[qi[0]]).sum(axis=1)
+        order = sorted(
+            (int(h), int(i)) for h, i in zip(ham, ids) if i != q
+        )[:5]
+        expect += [(q, r + 1, nid, h) for r, (h, nid) in enumerate(order)]
+
+    got = [
+        (r.query_id, r.rnk, r.neighbor_id, r.hamming)
+        for r in EXT_QUERIES["sim_topk_hamming"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+
+
+def test_corpus_bm25_matches_numpy(spark, sf_dir):
+    """Independent BM25 re-implementation (pandas tf/df/dl + the same
+    rounding discipline) must reproduce the ranked result exactly."""
+    import math
+
+    import numpy as np
+
+    from flatterer_spark.ext_queries import BM25_QUERY_TERMS, EXT_QUERIES
+    from flatterer_spark.queries import T
+
+    def r(x, s):
+        return math.floor(x * 10**s + 0.5) / 10**s
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    toks = {int(d.doc_id): d.text.split(" ") for d in docs.itertuples()}
+    n_docs = len(toks)
+    dl = {i: len(t) for i, t in toks.items()}
+    avgdl = sum(dl.values()) / n_docs
+    k1, b = 1.2, 0.75
+    df = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in BM25_QUERY_TERMS
+    }
+    scores = {}
+    for i, tk in toks.items():
+        parts = []
+        for t in BM25_QUERY_TERMS:
+            tf = tk.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            w = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl[i] / avgdl))
+            parts.append(r(idf * w, 9))
+        if parts:
+            scores[i] = r(sum(sorted(parts)), 6)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = [(r_ + 1, i, s) for r_, (i, s) in enumerate(expect)]
+
+    got = [
+        (row.rnk, row.doc_id, row.bm25)
+        for row in EXT_QUERIES["corpus_bm25_topk"](spark, sf_dir).collect()
+    ]
+    assert got == expect
+    assert got, "degenerate: no query term present at this sf"
+
+
+def test_corpus_source_overlap_pair_recount(spark, sf_dir):
+    """Recount the top pair's shared-shingle set directly in pandas and
+    check the Jaccard identity on every returned row."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+    from flatterer_spark.queries import T
+
+    out = EXT_QUERIES["corpus_source_overlap"](spark, sf_dir).toPandas()
+    assert len(out) > 0
+    for row in out.itertuples():
+        jac = row.n_shared / (row.n_a + row.n_b - row.n_shared)
+        import math
+
+        assert abs(row.jaccard - math.floor(jac * 1e6 + 0.5) / 1e6) < 1e-12
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    ).toPandas()
+
+    def shingles(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    top = out.iloc[0]
+    sets = {}
+    for s in (top.src_a, top.src_b):
+        rows = docs[docs.source == s]
+        acc = set()
+        for t in rows.text:
+            acc |= shingles(t)
+        sets[s] = acc
+    assert top.n_a == len(sets[top.src_a])
+    assert top.n_b == len(sets[top.src_b])
+    assert top.n_shared == len(sets[top.src_a] & sets[top.src_b])
+
+
+def test_text_zipf_slope_matches_numpy_lstsq(spark, sf_dir):
+    """The fold-based closed-form regression must agree with numpy's
+    least-squares fit over the same (ln rank, ln freq) points to ~1e-6
+    (the rounding discipline quantizes each ln at 1e-9 and the slope at
+    1e-6; lstsq accumulates in a different order)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from flatterer_spark.ext_queries import EXT_QUERIES
+    from flatterer_spark.queries import T
+
+    docs = T(spark, sf_dir, "documents").select("lang", "text").toPandas()
+    got = {
+        r.lang: (r.n_terms, r.zipf_slope)
+        for r in EXT_QUERIES["text_zipf_slope"](spark, sf_dir).collect()
+    }
+    assert got
+    for lang, grp in docs.groupby("lang"):
+        freq = Counter()
+        for t in grp.text:
+            freq.update(t.split(" "))
+        top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+        n = len(top)
+        assert got[lang][0] == n
+        if n <= 1:
+            assert got[lang][1] == 0.0
+            continue
+        x = np.log(np.arange(1, n + 1, dtype=float))
+        y = np.log(np.array([f for _, f in top], dtype=float))
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(got[lang][1] - slope) < 1e-5, (lang, got[lang][1], slope)
