@@ -571,3 +571,52 @@ def test_dedup_bloom_bitmap_broadcast_partial_bitor(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_small_sides_broadcast_and_topk(spark, sf_dir):
+    """BM25's df / dl / avgdl relations are bounded (|Q| rows, doc-count
+    rows, 1 row): all three must broadcast back onto the (doc, term) tf
+    side -- a SortMergeJoin here would shuffle the fact stream for a
+    3-row lookup.  The final global top-k must not be a full sort."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["corpus_bm25_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3
+
+
+def test_sim_topk_hamming_no_cartesian_int_only(spark, sf_dir):
+    """The packed-signature self-join must stay a hash/broadcast join on
+    the filtered query side (never a CartesianProduct over the corpus),
+    and scoring must be XOR+popcount -- no float ops in the rank key."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["sim_topk_hamming"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan
+
+
+def test_corpus_source_overlap_fp_equi_join(spark, sf_dir):
+    """The overlap matrix must come from an equi-join on the 64-bit shingle
+    fingerprint (uniform shuffle key), never a cartesian pairing of
+    sources; the per-source size table (|sources| rows) must broadcast."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["corpus_source_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_text_zipf_slope_partial_agg_no_join(spark, sf_dir):
+    """Zipf fitting is agg-only: token-frequency agg (partial+final), a
+    per-lang window over the tiny frequency table, one per-lang list agg
+    -- no join anywhere in the plan."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["text_zipf_slope"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
