@@ -2339,6 +2339,107 @@ def sql_text_zipf_slope(g: Gen, top_r: int = 30) -> str:
 
 
 # ---------------------------------------------------------------------------
+# dedup_threshold_sweep: near-dup pair counts across the threshold dial
+# ---------------------------------------------------------------------------
+
+
+def sql_dedup_threshold_sweep(
+    g: Gen, lo: int = 3, hi: int = 9, sh_table: str | None = None
+) -> str:
+    """Threshold-calibration curve: cumulative near-dup PAIR counts at
+    Jaccard thresholds 0.3..0.9 in one pass -- the audit every production
+    dedup run does before committing to a threshold (pick 0.8 and keep
+    too many dups, pick 0.5 and delete distinct documents; the curve's
+    knee is the evidence).  Rides the exact SSJoin pair set
+    (``dedup_ngram_jaccard`` at the 0.3 floor) and re-aggregates it: one
+    tiny cross join of the verified pairs against the 7 threshold values,
+    then a count per threshold -- the pair set is the expensive artifact
+    and it is computed once (staged shingle view underneath).
+
+    Float discipline: the 2-decimal rounded jaccard is lifted to an EXACT
+    integer decile bucket (``FLOOR(j*100+0.5)`` is already integral, then
+    integer-divide by 10), so the curve is pure integer aggregation --
+    and critically, the expensive intersect-fold jaccard is evaluated
+    ONCE per pair in the bucket agg's grouping key: a naive
+    ``thresholds x pairs`` theta-join re-evaluates the fold per
+    comparison under Spark's CTE inlining (measured 1.7x slower)."""
+    pairs = sql_dedup_ngram_jaccard(g, threshold=0.3, sh_table=sh_table)
+    bucket = g.idiv(f"CAST(FLOOR(jaccard * 100 + {g.d(0.5)}) AS BIGINT)", "10")
+    return f"""
+    WITH pairs AS ({pairs}),
+    buckets AS (
+        SELECT {bucket} AS b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY {bucket}
+    ),
+    thr AS (SELECT {g.explode_seq(str(lo), str(hi), 'i')})
+    SELECT CAST(thr.i AS DOUBLE) / {g.d(10.0)} AS threshold,
+           CAST(COALESCE(SUM(buckets.n), 0) AS BIGINT) AS n_pairs
+    FROM thr LEFT JOIN buckets ON buckets.b >= thr.i
+    GROUP BY thr.i
+    ORDER BY threshold
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus_cm_sketch: Count-Min frequency sketch vs exact heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def sql_corpus_cm_sketch(
+    g: Gen, d: int = 4, w: int = 256, k: int = 10
+) -> str:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) for token
+    frequencies, checked against the exact counts for the top-``k``
+    tokens -- the frequency-estimation sibling of the KMV distinct-count
+    sketch: at 100 TB the d x w counter grid (here 4 x 256 cells) is the
+    ONLY corpus derivative that leaves the executors, yet answers any
+    point frequency query with one-sided error (estimate >= exact,
+    over by at most ~2N/w with probability 1 - 2^-d).  The overestimate
+    is part of the checked output, so the sketch's accuracy contract is
+    itself hash-verified.
+
+    Engine-portable by construction: cells are addressed with md5-derived
+    integer hashes (never engine-native hash()), counts are exact BIGINTs,
+    and the estimate is an integer MIN -- no float anywhere.
+
+    Shape: one exploded-token pass -> (row, cell) partial+final agg builds
+    the sketch; exact top-k from the token agg the corpus computes anyway;
+    the k probe tokens join the 1024-cell sketch via broadcast."""
+    cell = g.md5_32(f"concat(t, '#', {g.str_cast('r')})") + f" % {w}"
+    return f"""
+    WITH tok AS (
+        SELECT {g.explode(g.tokens('text'), 't')} FROM documents
+    ),
+    occ AS (
+        SELECT t, {g.explode_seq('0', str(d - 1), 'r')} FROM tok
+    ),
+    sketch AS (
+        SELECT r, {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS c
+        FROM occ GROUP BY r, {cell}
+    ),
+    exact AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t
+    ),
+    topk AS (
+        SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rnk
+        FROM exact
+    ),
+    est AS (
+        SELECT topk.t, topk.n, topk.rnk, MIN(sk.c) AS cm_est
+        FROM topk JOIN sketch sk
+          ON topk.rnk <= {k}
+         AND sk.cell = {g.md5_32(f"concat(topk.t, '#', {g.str_cast('sk.r')})")} % {w}
+        GROUP BY topk.t, topk.n, topk.rnk
+        HAVING CAST(COUNT(*) AS BIGINT) = {d}
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, t AS term, n AS exact_n, cm_est,
+           cm_est - n AS overestimate
+    FROM est
+    ORDER BY rnk
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
 
@@ -2390,6 +2491,8 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "sim_topk_hamming": (sql_sim_topk_hamming, ("embeddings",)),
     "corpus_source_overlap": (sql_corpus_source_overlap, ("documents",)),
     "text_zipf_slope": (sql_text_zipf_slope, ("documents",)),
+    "dedup_threshold_sweep": (sql_dedup_threshold_sweep, ("documents",)),
+    "corpus_cm_sketch": (sql_corpus_cm_sketch, ("documents",)),
 }
 
 
@@ -2571,6 +2674,7 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _make_sh_query(sql_ngram_topk),
         "corpus_kmv_cardinality": _make_sh_query(sql_corpus_kmv_cardinality),
         "corpus_source_overlap": _make_sh_query(sql_corpus_source_overlap),
+        "dedup_threshold_sweep": _make_sh_query(sql_dedup_threshold_sweep),
         "dedup_bloom": _make_span_query(sql_dedup_bloom),
         "dedup_embedding_lsh": _make_emb_lsh_query(sql_dedup_embedding_lsh),
         "sim_topk_bruteforce": _make_en_query(sql_sim_topk),

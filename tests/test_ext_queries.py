@@ -585,3 +585,59 @@ def test_text_zipf_slope_matches_numpy_lstsq(spark, sf_dir):
         y = np.log(np.array([f for _, f in top], dtype=float))
         slope = np.polyfit(x, y, 1)[0]
         assert abs(got[lang][1] - slope) < 1e-5, (lang, got[lang][1], slope)
+
+
+def test_dedup_threshold_sweep_consistent_with_pair_set(spark, sf_dir):
+    """The sweep must be the cumulative histogram of the exact
+    dedup_ngram_jaccard pair set: monotone non-increasing, and equal at
+    every threshold to a direct recount of the pairs."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    pairs = EXT_QUERIES["dedup_ngram_jaccard"](spark, sf_dir).toPandas()
+    sweep = EXT_QUERIES["dedup_threshold_sweep"](spark, sf_dir).toPandas()
+    assert len(sweep) == 7
+    counts = list(sweep.n_pairs)
+    assert counts == sorted(counts, reverse=True)
+    for row in sweep.itertuples():
+        assert row.n_pairs == int((pairs.jaccard >= row.threshold).sum()), (
+            row.threshold
+        )
+    assert counts[0] > 0, "degenerate: no pairs at the 0.3 floor"
+
+
+def test_corpus_cm_sketch_matches_python_replica(spark, sf_dir):
+    """Exact replica of the deterministic md5-cell sketch in Python: the
+    estimates must match bit-for-bit, and the Count-Min one-sided-error
+    contract (estimate >= exact, always) must hold."""
+    import hashlib
+    from collections import Counter
+
+    from flatterer_spark.ext_queries import EXT_QUERIES
+    from flatterer_spark.queries import T
+
+    d, w = 4, 256
+
+    def cell(t, r):
+        return int(hashlib.md5(f"{t}#{r}".encode()).hexdigest()[:8], 16) % w
+
+    docs = T(spark, sf_dir, "documents").select("text").toPandas()
+    freq = Counter()
+    for t in docs.text:
+        freq.update(t.split(" "))
+    sketch = Counter()
+    for t, n in freq.items():
+        for r in range(d):
+            sketch[(r, cell(t, r))] += n
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = [
+        (r_ + 1, t, n, min(sketch[(r, cell(t, r))] for r in range(d)))
+        for r_, (t, n) in enumerate(top)
+    ]
+
+    got = [
+        (row.rnk, row.term, row.exact_n, row.cm_est)
+        for row in EXT_QUERIES["corpus_cm_sketch"](spark, sf_dir).collect()
+    ]
+    assert got == expect
+    for _, _, n, est in got:
+        assert est >= n  # Count-Min never underestimates

@@ -620,3 +620,26 @@ def test_text_zipf_slope_partial_agg_no_join(spark, sf_dir):
     plan = _plan(EXT_QUERIES["text_zipf_slope"](spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_threshold_sweep_reuses_pair_set_no_cartesian_blowup(spark, sf_dir):
+    """The sweep's only non-equi join is the 7-threshold broadcast against
+    the verified pair set; the underlying candidate generation must keep
+    the SSJoin equi-join shape (no corpus-sized cartesian)."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["dedup_threshold_sweep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_cm_sketch_partial_agg_and_tiny_probe_join(spark, sf_dir):
+    """Sketch construction must be partial+final aggregation over the
+    exploded stream (the d x w grid is the shuffle payload), and the
+    top-k probe joins the 1024-cell sketch via broadcast -- no shuffle of
+    anything data-sized on the estimate path."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["corpus_cm_sketch"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
