@@ -89,7 +89,7 @@ def main() -> None:
         n for n in sorted(registry)
         if n.startswith(("dedup_", "sim_", "text_", "emb_", "corpus_",
                          "sample_", "pack_", "split_", "mix_", "decontaminate",
-                         "stream_", "curate_", "ngram_", "events_"))
+                         "stream_", "curate_", "ngram_", "events_", "mm_"))
     ]
 
     # Warm-up: one untimed full-plan run absorbs JVM/codegen startup, and a

@@ -2440,6 +2440,244 @@ def sql_corpus_cm_sketch(
 
 
 # ---------------------------------------------------------------------------
+# events_quantile_sketch: mergeable histogram quantiles vs exact ranks
+# ---------------------------------------------------------------------------
+
+
+def sql_events_quantile_sketch(g: Gen, width: float = 4.0) -> str:
+    """Mergeable equi-width histogram quantile sketch over ``events.value``,
+    audited against the exact rank statistics -- the quantile member of the
+    sketch family (KMV = distinct count, Count-Min = frequency, Bloom =
+    membership).  At 100 TB the per-bin counts are the ONLY corpus
+    derivative that leaves the executors (one partial+final agg, ~|range|/w
+    cells), they merge across shards by plain addition, and any quantile
+    answers from the cumulative bin counts with error bounded by the bin
+    width -- that bound is part of the checked output (``within_bin``), so
+    the sketch's accuracy contract is itself hash-verified.
+
+    Exact side is the AUDIT, not the production path: it needs the distinct-
+    value multiset (a global cumulative window over ~|distinct| rows) and
+    exists so the gate can hash-check the error bound at test scale; at
+    100 TB you keep only the ``hist`` aggregation.
+
+    Determinism: bins are ``FLOOR(value / w)`` (one IEEE divide + floor,
+    identical on both engines; values are non-negative by data contract but
+    FLOOR -- not DIV -- keeps the map total on any domain); target ranks are
+    exact integers ``ceil(n * pct / 100)`` via integer arithmetic; the bin
+    upper edge is an exact small-int * literal product.  No accumulation-
+    order float anywhere -- even ``err`` is a single subtraction of two
+    deterministic doubles."""
+    pcts = "1, 5, 25, 50, 75, 90, 99"
+    arr = f"array({pcts})" if g.spark else f"list_value({pcts})"
+    bin_ = f"CAST(FLOOR(value / {g.d(width)}) AS BIGINT)"
+    rank = g.idiv("(tot.n * CAST(thr.p AS BIGINT) + 99)", "100")
+    edge = f"CAST(pick.bin + 1 AS DOUBLE) * {g.d(width)}"
+    return f"""
+    WITH hist AS (
+        SELECT {bin_} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY {bin_}
+    ),
+    cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cle FROM hist),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    thr AS (SELECT {g.explode(arr, 'p')}),
+    tgt AS (SELECT thr.p AS p, {rank} AS tr FROM thr CROSS JOIN tot),
+    pick AS (
+        SELECT tgt.p, tgt.tr, MIN(cum.bin) AS bin
+        FROM tgt JOIN cum ON cum.cle >= tgt.tr
+        GROUP BY tgt.p, tgt.tr
+    ),
+    vals AS (
+        SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY value
+    ),
+    vcum AS (SELECT value, SUM(c) OVER (ORDER BY value) AS cle FROM vals),
+    ex AS (
+        SELECT tgt.p, MIN(vcum.value) AS exact_value
+        FROM tgt JOIN vcum ON vcum.cle >= tgt.tr
+        GROUP BY tgt.p
+    )
+    SELECT CAST(pick.p AS BIGINT) AS pct,
+           pick.tr AS target_rank,
+           pick.bin AS bin,
+           {edge} AS est_upper,
+           ex.exact_value,
+           {g.round2(f'{edge} - ex.exact_value', 6)} AS err,
+           CAST(CASE WHEN {edge} - ex.exact_value > {g.d(0.0)}
+                      AND {edge} - ex.exact_value <= {g.d(width)}
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_bin
+    FROM pick JOIN ex ON ex.p = pick.p
+    ORDER BY pct
+    """
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_nll: interpolated bigram-LM perplexity per document
+# ---------------------------------------------------------------------------
+
+
+def sql_text_bigram_nll(g: Gen, lam: float = 0.75) -> str:
+    """Interpolated bigram-LM negative log-likelihood per document -- the
+    order-2 step up from ``text_unigram_nll``: score each transition with
+    ``p = lam * P(w2|w1) + (1-lam) * P(w2)`` (Jelinek-Mercer smoothing, the
+    workhorse of CCNet-style perplexity filtering when a word actually seen
+    after its predecessor should score far better than its global rate).
+    Documents whose TRANSITIONS are corpus-atypical -- shuffled text,
+    stitched boilerplate -- separate from fluent text much harder than
+    under the unigram model.
+
+    Plan: bigram occurrences explode map-side from the token array (no
+    self-join to form pairs); the bigram and unigram count tables are each
+    ONE partial+final agg over those streams; scoring joins every
+    occurrence back to three count relations plus the 1-row total.  At
+    100 TB all three join keys are Zipf-skewed -- AQE skew-split handles
+    the hot words (session.py), and the count tables prune/broadcast once
+    capped to a model vocabulary.  Documents under 2 tokens have no
+    transitions and drop out (the unigram query covers them).
+
+    Determinism: same discipline as text_unigram_nll -- the count ratios
+    are exact, ln/AVG carry ~1e-15 accumulation noise, and rounding avg_nll
+    to 6 decimals / ppl to 2 leaves 9 orders of magnitude of margin."""
+    toks = g.tokens("text")
+    n = "size(toks)" if g.spark else "len(toks)"
+    pos = g.filter(g.seq("1", n), "i", f"i <= {n} - 1")
+    p = (
+        f"{g.d(lam)} * (CAST(bc.c AS DOUBLE) / CAST(u1.c AS DOUBLE))"
+        f" + {g.d(1.0 - lam)} * (CAST(u2.c AS DOUBLE) / CAST(tot.n AS DOUBLE))"
+    )
+    nll = f"-ln({p})"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    pos AS (SELECT doc_id, toks, {g.explode(pos, 'i')} FROM t),
+    bg AS (
+        SELECT doc_id, {g.at('toks', 'i')} AS w1, {g.at('toks', 'i + 1')} AS w2
+        FROM pos
+    ),
+    w AS (SELECT {g.explode('toks', 'w')} FROM t),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {g.round2(f'AVG({nll})', 6)} AS avg_nll,
+           {g.round2(f'exp(AVG({nll}))', 2)} AS ppl
+    FROM bg
+    JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+    JOIN uni u1 ON u1.w = bg.w1
+    JOIN uni u2 ON u2.w = bg.w2
+    CROSS JOIN tot
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_dedup: banded Hamming near-dup over binary-payload fingerprints
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 48
+PHASH_BANDS = 4  # 4 x 12-bit bands: pigeonhole covers hamming <= 3
+
+
+def _sql_phash_sig(g: Gen) -> str:
+    """CTE chain computing (doc_id, phash): a 48-bit majority fingerprint
+    over the DISTINCT 4-byte grams of the media payload.  The testdata
+    payload is ``encode(text, 'utf-8')`` of pure-ASCII text (verified), so
+    byte 4-grams == char 4-grams and the fingerprint is SQL-expressible on
+    both engines; a real perceptual hash (pHash/aHash over decoded pixels)
+    plugs in at the same (doc_id, fingerprint) contract via the
+    ``mapInPandas`` stage in ``operators/multimodal.py::phash_signatures``.
+
+    Shape: explode distinct grams -> ONE partial+final agg with 48 per-bit
+    SUM columns (a 48-cell row per doc crosses the wire, never the gram
+    stream) -> closed-form majority assembly.  The per-bit-filter form the
+    token simhash uses would run 48 interpreted lambda passes over a
+    ~300-element gram list per doc -- the codegen'd agg shape wins ~10x on
+    byte grams (the text_entropy lesson)."""
+    length = "length(text)"
+    grams = g.distinct(
+        g.transform(
+            g.filter(g.seq("1", length), "i", f"i <= {length} - 3"),
+            "i",
+            "substring(text, i, 4)",
+        )
+    )
+    hs = g.transform("gs", "x", g.md5_48("x"))
+    sums = ",\n               ".join(
+        f"SUM({g.bit('h', b)}) AS c{b}" for b in range(PHASH_BITS)
+    )
+    majority = " + ".join(
+        f"(CASE WHEN 2 * c{b} > ng THEN {1 << b} ELSE 0 END)"
+        for b in range(PHASH_BITS)
+    )
+    return f"""
+    t AS (SELECT doc_id, {grams} AS gs FROM documents),
+    gh AS (SELECT doc_id, {_explode(g, hs, 'h')} FROM t),
+    sig0 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng,
+               {sums}
+        FROM gh GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, CAST({majority} AS BIGINT) AS phash FROM sig0)
+    """
+
+
+def sql_mm_phash_dedup(
+    g: Gen, max_dist: int = 3, sig_table: str | None = None
+) -> str:
+    """Multimodal near-dup pairs at Hamming <= 3 over the 48-bit payload
+    fingerprint -- image/audio near-dup dedup re-expressed for Spark: a
+    perceptual-hash-style fingerprint per media object, then banded
+    Hamming search instead of the O(n^2) scan.
+
+    Spark runs the banded plan ({PHASH_BANDS} bands of 12 bits; pigeonhole:
+    a pair within distance 3 agrees exactly on >= 1 band -> equi-join on
+    the band value) over signatures computed by the REAL multimodal stage
+    (Arrow ``mapInPandas`` over binary payloads,
+    ``operators/multimodal.py::phash_signatures``, passed in as
+    ``sig_table``); DuckDB runs the closed-form all-pairs filter over the
+    SQL-replica fingerprint, so the gate hash proves both the banded plan
+    lossless AND the Python byte path == the SQL spec.  At 100 TB the
+    fingerprint stage is one decode pass, signatures are ~n x 8 bytes, and
+    the only shuffle is the band equi-join -- the same posture as
+    dedup_simhash_pairs but over the binary-payload modality and a 48-bit
+    code."""
+    dist = f"CAST(bit_count({_xor(g, 'a.phash', 'b.phash')}) AS BIGINT)"
+    if g.spark:
+        sig_cte = f"{_sql_phash_sig(g)}," if sig_table is None else ""
+        sig = sig_table or "sig"
+        band_vals = ", ".join(
+            f"CAST({j * 4096} + ({g.shr('phash', 12 * j)} & 4095) AS BIGINT)"
+            for j in range(PHASH_BANDS)
+        )
+        return f"""
+        WITH {sig_cte}
+        bands AS (
+            SELECT doc_id, phash, explode(array({band_vals})) AS band
+            FROM {sig}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.doc_id < y.doc_id
+        )
+        SELECT cand.id1, cand.id2, {dist} AS hamming
+        FROM cand
+        JOIN {sig} a ON a.doc_id = cand.id1
+        JOIN {sig} b ON b.doc_id = cand.id2
+        WHERE bit_count({_xor(g, 'a.phash', 'b.phash')}) <= {max_dist}
+        ORDER BY id1, id2
+        """
+    return f"""
+    WITH {_sql_phash_sig(g)}
+    SELECT a.doc_id AS id1, b.doc_id AS id2, {dist} AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count({_xor(g, 'a.phash', 'b.phash')}) <= {max_dist}
+    ORDER BY id1, id2
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry wiring
 # ---------------------------------------------------------------------------
 
@@ -2493,6 +2731,9 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "text_zipf_slope": (sql_text_zipf_slope, ("documents",)),
     "dedup_threshold_sweep": (sql_dedup_threshold_sweep, ("documents",)),
     "corpus_cm_sketch": (sql_corpus_cm_sketch, ("documents",)),
+    "events_quantile_sketch": (sql_events_quantile_sketch, ("events",)),
+    "text_bigram_nll": (sql_text_bigram_nll, ("documents",)),
+    "mm_phash_dedup": (sql_mm_phash_dedup, ("documents",)),
 }
 
 
@@ -2658,6 +2899,33 @@ def _make_en_query(builder):
     return run
 
 
+_phash_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _phash_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (doc_id, phash) once per (session, sf_dir) via the real
+    multimodal Arrow stage -- the banded pairs query references the
+    signatures three times (band explode + both verify sides) and Spark
+    inlines CTEs, which would re-run the Python decode pass each time."""
+    from flatterer_spark.operators import multimodal as MM
+
+    key = (id(spark), sf_dir)
+    name = f"phash_materialized_{_view_suffix(sf_dir)}"
+    if key not in _phash_cache:
+        df = MM.phash_signatures(spark, sf_dir).persist()
+        df.createOrReplaceTempView(name)
+        _phash_cache[key] = df
+    return name
+
+
+def _make_phash_query(builder):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        view = _phash_view(spark, sf_dir)
+        return spark.sql(builder(Gen(spark=True), sig_table=view))
+
+    return run
+
+
 def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Scale-path Spark plans that produce byte-identical results to the
     declarative builders; the oracle SQL stays the spec."""
@@ -2675,6 +2943,7 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kmv_cardinality": _make_sh_query(sql_corpus_kmv_cardinality),
         "corpus_source_overlap": _make_sh_query(sql_corpus_source_overlap),
         "dedup_threshold_sweep": _make_sh_query(sql_dedup_threshold_sweep),
+        "mm_phash_dedup": _make_phash_query(sql_mm_phash_dedup),
         "dedup_bloom": _make_span_query(sql_dedup_bloom),
         "dedup_embedding_lsh": _make_emb_lsh_query(sql_dedup_embedding_lsh),
         "sim_topk_bruteforce": _make_en_query(sql_sim_topk),

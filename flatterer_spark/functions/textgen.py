@@ -152,6 +152,15 @@ class Gen:
     def md5_32(self, s: str) -> str:
         return self.hex2long(f"substring(md5({s}), 1, 8)")
 
+    def md5_48(self, s: str) -> str:
+        """First-12-hex-chars -> BIGINT in [0, 2^48): the fingerprint width
+        for banded Hamming dedup (48 bits split 4 x 12-bit bands; bit 47 is
+        far below the sign bit, so ``shl1`` stays legal on both engines)."""
+        hexpr = f"substring(md5({s}), 1, 12)"
+        if self.spark:
+            return f"CAST(conv({hexpr}, 16, 10) AS BIGINT)"
+        return f"CAST('0x' || {hexpr} AS BIGINT)"
+
     def md5_60(self, s: str) -> str:
         """First-15-hex-chars -> BIGINT in [0, 2^60): a 64-bit-class
         fingerprint that still fits SIGNED BIGINT on both engines (16 hex

@@ -221,3 +221,56 @@ EMBED_ORACLE = (
     )
     + " FROM documents ORDER BY doc_id"
 )
+
+
+def _make_phash_fp():
+    # Factory indirection: nested __qualname__ -> cloudpickle serializes BY
+    # VALUE (module docstring; executors can't import the package when the
+    # engine is loaded from a file path).
+    def fp(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        bits = np.arange(48, dtype=np.uint64)
+        for pdf in batches:
+            ids, phs = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                grams = {b[i : i + 4] for i in range(len(b) - 3)}
+                if not grams:
+                    continue  # <4-byte payload: no fingerprint (matches SQL)
+                hs = np.array(
+                    [
+                        int(hashlib.md5(gm).hexdigest()[:12], 16)
+                        for gm in grams
+                    ],
+                    dtype=np.uint64,
+                )
+                ones = ((hs[:, None] >> bits) & np.uint64(1)).sum(axis=0)
+                ph = int(
+                    (
+                        (2 * ones > len(grams)).astype(np.uint64) << bits
+                    ).sum(dtype=np.uint64)
+                )
+                ids.append(doc_id)
+                phs.append(ph)
+            yield pd.DataFrame({"doc_id": ids, "phash": phs})
+
+    return fp
+
+
+def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit perceptual-hash-style fingerprint per media payload, as the
+    REAL multimodal stage: Arrow ``mapInPandas`` over binary payloads,
+    numpy-vectorized bit-majority over the distinct 4-byte grams.  A true
+    pHash/aHash over decoded pixels replaces the gram hashing inside this
+    same stage (decode libs absent in this container -- module docstring);
+    the (doc_id, phash) contract and the downstream banded Hamming join
+    (``ext_queries.sql_mm_phash_dedup``) are unchanged.  Byte-exact to the
+    SQL-replica fingerprint (the DuckDB oracle), which the driver gate
+    hash-verifies end to end."""
+    return _payloads(spark, sf_dir).mapInPandas(
+        _make_phash_fp(), "doc_id long, phash long"
+    )

@@ -40,6 +40,10 @@ def test_every_query_survives_empty_tables(spark, empty_sf):
     fixture_backed = {
         "q19_flatten_child", "q20_flatten_fields", "stream_flatten_child",
     }
+    # constant-shape outputs: one row per member of a fixed dial/threshold
+    # set, all-zero on an empty corpus (the LEFT-JOIN curve IS the right
+    # answer for "no data"); anything larger is still fabrication
+    constant_shape = {"dedup_threshold_sweep": 7, "events_quantile_sketch": 7}
     clear_ivfpq_cache()  # don't serve a real-data model to the empty run
     failures = {}
     for name, fn in all_queries().items():
@@ -49,7 +53,7 @@ def test_every_query_survives_empty_tables(spark, empty_sf):
                 continue
             # results must be empty or tiny constant shapes (global aggs /
             # grand-total rollup rows), never data fabricated from nothing
-            assert len(rows) <= 4, (name, len(rows))
+            assert len(rows) <= constant_shape.get(name, 4), (name, len(rows))
         except Exception as e:  # noqa: BLE001
             failures[name] = str(e).splitlines()[0][:120]
     assert not failures, failures

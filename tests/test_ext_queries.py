@@ -641,3 +641,95 @@ def test_corpus_cm_sketch_matches_python_replica(spark, sf_dir):
     assert got == expect
     for _, _, n, est in got:
         assert est >= n  # Count-Min never underestimates
+
+
+def test_events_quantile_sketch_error_bound_and_exact_ranks(spark, sf_dir):
+    """The histogram estimate must sit within one bin width above the true
+    quantile (the sketch's accuracy contract), and the exact column must
+    equal the numpy rank statistic it claims to be."""
+    import math
+
+    import numpy as np
+
+    from flatterer_spark.ext_queries import EXT_QUERIES
+    from flatterer_spark.queries import T
+
+    vals = np.sort(
+        T(spark, sf_dir, "events").select("value").toPandas().value.to_numpy()
+    )
+    n = len(vals)
+    got = EXT_QUERIES["events_quantile_sketch"](spark, sf_dir).toPandas()
+    assert list(got.pct) == [1, 5, 25, 50, 75, 90, 99]
+    for row in got.itertuples():
+        r = math.ceil(n * row.pct / 100)
+        assert row.target_rank == r
+        assert row.exact_value == vals[r - 1], row.pct
+        assert row.within_bin == 1
+        assert 0 < row.est_upper - row.exact_value <= 4.0
+    # estimates are monotone in the quantile
+    ests = list(got.est_upper)
+    assert ests == sorted(ests)
+
+
+def test_text_bigram_nll_matches_python_replica(spark, sf_dir):
+    """Exact replica of the interpolated bigram LM in Python: corpus counts,
+    Jelinek-Mercer mixture, mean NLL -- must match to the rounding quantum."""
+    import math
+    from collections import Counter
+
+    from flatterer_spark.ext_queries import EXT_QUERIES
+    from flatterer_spark.queries import T
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    uni, bi = Counter(), Counter()
+    toks = {}
+    for row in docs.itertuples():
+        ws = row.text.split(" ")
+        toks[row.doc_id] = ws
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n_tot = sum(uni.values())
+
+    got = {
+        r.doc_id: r
+        for r in EXT_QUERIES["text_bigram_nll"](spark, sf_dir).collect()
+    }
+    assert set(got) == {d for d, ws in toks.items() if len(ws) >= 2}
+    for doc_id in list(toks)[:100]:
+        ws = toks[doc_id]
+        if len(ws) < 2:
+            continue
+        nlls = [
+            -math.log(
+                0.75 * bi[(a, b)] / uni[a] + 0.25 * uni[b] / n_tot
+            )
+            for a, b in zip(ws, ws[1:])
+        ]
+        avg = sum(nlls) / len(nlls)
+        r = got[doc_id]
+        assert r.n_bigrams == len(nlls)
+        assert abs(r.avg_nll - avg) < 2e-6, doc_id
+        assert abs(r.ppl - math.exp(avg)) < 2e-2, doc_id
+
+
+def test_mm_phash_python_stage_equals_sql_spec(spark, sf_dir):
+    """The Arrow mapInPandas fingerprint stage must be BYTE-IDENTICAL to the
+    declarative SQL fingerprint (the DuckDB oracle's form) -- the property
+    that lets the gate hash prove the multimodal Python path correct."""
+    from flatterer_spark.ext_queries import _sql_phash_sig
+    from flatterer_spark.functions.textgen import Gen
+    from flatterer_spark.operators.multimodal import phash_signatures
+    from flatterer_spark.queries import T
+
+    py = {
+        r.doc_id: r.phash
+        for r in phash_signatures(spark, sf_dir).collect()
+    }
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    sql = {
+        r.doc_id: r.phash
+        for r in spark.sql(
+            f"WITH {_sql_phash_sig(Gen(spark=True))} SELECT * FROM sig"
+        ).collect()
+    }
+    assert py == sql and len(py) > 0

@@ -643,3 +643,45 @@ def test_cm_sketch_partial_agg_and_tiny_probe_join(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quantile_sketch_hist_is_partial_final_agg(spark, sf_dir):
+    """The production path (the histogram) must be a partial+final agg over
+    a value-only scan; the quantile picks are broadcast-side non-equi joins
+    of a 7-row relation -- nothing data-sized crosses them."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["events_quantile_sketch"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "ReadSchema: struct<value:double>" in plan  # column-pruned scan
+
+
+def test_bigram_nll_broadcast_count_tables_partial_avg(spark, sf_dir):
+    """Scoring must join the occurrence stream to the count tables with
+    hash joins (no cartesian), and the per-doc mean must carry a partial
+    aggregate (map-side combine) -- the Zipf-skew-safe shape."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["text_bigram_nll"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_avg" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_mm_phash_banded_join_over_arrow_stage(spark, sf_dir):
+    """The fingerprints must come from the real multimodal Arrow stage
+    (MapInPandas node), the candidate join must be the banded EQUI-join
+    (hash/sort-merge, never a cartesian), and the staged signature view
+    must be reused (InMemory relation) rather than re-running the Python
+    decode per reference."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    df = EXT_QUERIES["mm_phash_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "InMemoryTableScan" in plan  # persisted signature view
+    lineage = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "mapInPandas" in lineage or "MapInPandas" in lineage
