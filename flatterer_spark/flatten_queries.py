@@ -22,7 +22,9 @@ def q19_flatten_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Child-table rows (_link, _link_main, name) from flattening basic.json."""
     from flatterer_spark.flatten_api import flatten_dataframes
 
-    r = flatten_dataframes(spark, BASIC)
+    # low_memory: the fixture is a handful of rows and q19's result stays
+    # lazy past this function -- don't leave a persisted input behind
+    r = flatten_dataframes(spark, BASIC, low_memory=True)
     return r.tables["platforms"].orderBy("_link")
 
 
@@ -45,7 +47,7 @@ def q20_flatten_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fields.csv metadata (type guesses + counts) for basic.json."""
     from flatterer_spark.flatten_api import compute_metadata, flatten_dataframes
 
-    r = flatten_dataframes(spark, BASIC)
+    r = flatten_dataframes(spark, BASIC, low_memory=True)
     compute_metadata(r)
     rows = [
         (f["table_name"], f["field_name"], f["field_type"], int(f["count"]))

@@ -80,6 +80,53 @@ def write_csv_exact(
             w.writerow(["" if v is None else v for v in r])
 
 
+def write_csv_exact_merged(
+    df: DataFrame, path: str, preview: int = 0, titles: dict | None = None
+) -> None:
+    """Exact-bytes single-file CSV at executor speed: the rows are
+    serialized by Spark's JVM CSV writer in parallel (with the option set
+    proven byte-identical to Python ``csv.writer`` --
+    ``tests/test_flatten_golden.py::test_csv_exact_merged_byte_parity``
+    covers embedded quotes/commas/newlines, null-vs-empty, whitespace
+    preservation), then the part files are concatenated in partition order,
+    which equals ``collect()`` order, so the result is byte-for-byte what
+    ``write_csv_exact`` produces.  Row data never touches the driver: the
+    only sequential work is raw byte concatenation (~GB/s), which is what
+    a single-file output contract costs at any scale.  This replaced a
+    driver-side collect that dominated flatten throughput (12s of a 22s
+    1M-object run)."""
+    if preview:
+        df = df.limit(preview)
+    tmp = path + "._dir"
+    (
+        formatted_strings(df)
+        .write.mode("overwrite")
+        .option("header", False)
+        .option("nullValue", "")
+        .option("emptyValue", "")
+        .option("escape", '"')
+        .option("lineSep", "\n")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(tmp)
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    import io
+
+    hdr = io.StringIO()
+    csvmod.writer(hdr, lineterminator="\n").writerow(
+        [(titles or {}).get(c, c) for c in df.columns]
+    )
+    with open(path, "wb") as f:
+        f.write(hdr.getvalue().encode("utf-8"))
+        for part in sorted(os.listdir(tmp)):
+            if not part.startswith("part-") or part.endswith(".crc"):
+                continue
+            with open(os.path.join(tmp, part), "rb") as pf:
+                shutil.copyfileobj(pf, f, 1 << 20)
+    shutil.rmtree(tmp)
+
+
 def write_csv_distributed(df: DataFrame, out_dir: str, preview: int = 0) -> None:
     if preview:
         df = df.limit(preview)

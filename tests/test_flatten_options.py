@@ -137,9 +137,11 @@ def test_recursive_schema_ref_terminates(tmp_path):
 
 
 def test_exact_csv_auto_never_collects_large_tables(spark, tmp_path, monkeypatch):
-    """exact_csv='auto' (the default) must fall back to the distributed CSV
-    writer above EXACT_CSV_MAX_ROWS: a default-options flatten() on real data
-    must never materialize a full table on the driver (VERDICT r3 #4)."""
+    """Above EXACT_CSV_MAX_ROWS the exact single-file CSV must come from the
+    executor-side merged writer, never a driver collect: a default-options
+    flatten() on real data must not materialize a full table on the driver
+    (VERDICT r3 #4) -- and since round 5 it keeps the single-file exact
+    layout while doing so (write_csv_exact_merged)."""
     import flatterer_spark.flatten as fl
     from flatterer_spark.sinks import writers
 
@@ -153,11 +155,39 @@ def test_exact_csv_auto_never_collects_large_tables(spark, tmp_path, monkeypatch
                  [{"id": i, "name": f"n{i}"} for i in range(50)])
     out_dir = str(tmp_path / "out")
     res = fl.flatten(src, out_dir, spark=spark)
-    # distributed writer emits a directory of part files, not one file
+    # merged writer emits ONE exact file (not a part directory), with all
+    # rows present and the header first
     main_csv = os.path.join(out_dir, "csv", "main.csv")
-    assert os.path.isdir(main_csv)
-    assert any(p.startswith("part-") for p in os.listdir(main_csv))
+    assert os.path.isfile(main_csv)
+    with open(main_csv) as f:
+        lines = f.read().splitlines()
+    assert lines[0].split(",")[0] == "_link"
+    assert len(lines) == 51
     assert res["data"]["main"] == main_csv
+
+
+def test_csv_exact_merged_byte_parity(spark, tmp_path):
+    """write_csv_exact_merged must produce BYTE-IDENTICAL output to the
+    driver-side write_csv_exact on adversarial values: embedded quotes,
+    commas, newlines, null vs empty string, preserved leading/trailing
+    whitespace, unicode -- the property that lets flatten() switch writers
+    by size without changing its output contract."""
+    from flatterer_spark.sinks.writers import (
+        write_csv_exact,
+        write_csv_exact_merged,
+    )
+
+    vals = ["plain", 'has"quote', "has,comma", "has\nnewline", " lead",
+            "trail ", "", None, 'both"and,comma', "unicode-éß",
+            "tab\there", "'single'", '""', 'a,b"c\nd']
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v string").repartition(3, "id")
+    a = str(tmp_path / "a.csv")
+    b = str(tmp_path / "b.csv")
+    write_csv_exact(df, a, titles={"v": "The Value"})
+    write_csv_exact_merged(df, b, titles={"v": "The Value"})
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
 
 
 def test_exact_csv_auto_stays_exact_below_threshold(spark, tmp_path):

@@ -138,7 +138,12 @@ def test_flatten_tables_prune_nested_schema(spark, tmp_path):
     p = tmp_path / "d.jsonl"
     with open(p, "w") as f:
         f.write(json.dumps(doc) + "\n")
-    res = flatten_dataframes(spark, str(p), ndjson=True, ordinals="partition")
+    # low_memory: pins the UNCACHED path's scan pruning (the default path
+    # persists the full input once -- main needs every column anyway -- so
+    # its per-table reads prune from the cache, not the file scan)
+    res = flatten_dataframes(
+        spark, str(p), ndjson=True, ordinals="partition", low_memory=True
+    )
     plan = _plan(res.tables["tags"])
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "tags" in read_schema
