@@ -525,7 +525,76 @@ def _oracle_stream_ewma() -> str:
     return sql_events_ewma(Gen(spark=False))
 
 
+def stream_quantile_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram quantile sketch (``events_quantile_sketch``) under
+    Structured Streaming -- the property that makes a mergeable sketch the
+    100 TB continuous-ingest shape, proven by the gate: per-hour tumbling
+    windows accumulate 4.0-wide bin counts INCREMENTALLY across
+    micro-batches (partial bins merge by addition in the state store, the
+    definition of a mergeable sketch), and the exactly-once availableNow
+    drain must therefore equal the batch histogram the DuckDB oracle
+    computes.  Quantile extraction is a batch read of the drained sketch:
+    per window, the median estimate is the upper edge of the first bin
+    whose cumulative count reaches ceil(n/2) -- integer arithmetic only,
+    so the estimate itself is hash-checked."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import run_available_now
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    binned = (
+        stream.select(F.col("ts").cast("timestamp").alias("ts"), "value")
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            F.expr("CAST(FLOOR(value / 4.0D) AS BIGINT)").alias("bin"),
+        )
+        .count()
+    )
+    res = run_available_now(
+        binned, f"stream_qsketch_{_view_suffix(sf_dir)}", output_mode="complete"
+    )
+    sk = res.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "bin",
+        F.col("count").cast("long").alias("c"),
+    )
+    wcum = (
+        Window.partitionBy("window_start")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("window_start")
+    cum = sk.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    return (
+        cum.where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("window_start", "n")
+        .agg(F.min("bin").alias("med_bin"))
+        .select(
+            "window_start",
+            F.col("n").cast("long").alias("n_events"),
+            "med_bin",
+            F.expr("CAST(med_bin + 1 AS DOUBLE) * 4.0D").alias("med_upper"),
+        )
+        .orderBy("window_start")
+    )
+
+
 STREAM_GATE_QUERIES = {
+    "stream_quantile_sketch": stream_quantile_sketch_query,
     "stream_ewma": stream_ewma_query,
     "stream_dedup_minhash": stream_dedup_minhash_query,
     "stream_windowed_stats": stream_windowed_stats_query,
@@ -539,6 +608,28 @@ STREAM_GATE_QUERIES = {
 }
 
 STREAM_GATE_ORACLE = {
+    "stream_quantile_sketch": """
+        WITH b AS (
+            SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS window_start,
+                   CAST(FLOOR(value / CAST(4.0 AS DOUBLE)) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), cum AS (
+            SELECT window_start, bin,
+                   SUM(c) OVER (PARTITION BY window_start ORDER BY bin)
+                       AS cum,
+                   SUM(c) OVER (PARTITION BY window_start) AS n
+            FROM b
+        )
+        SELECT window_start, CAST(n AS BIGINT) AS n_events,
+               MIN(bin) AS med_bin,
+               CAST(MIN(bin) + 1 AS DOUBLE) * CAST(4.0 AS DOUBLE)
+                   AS med_upper
+        FROM cum WHERE cum >= (n + 1) // 2
+        GROUP BY window_start, n
+        ORDER BY window_start
+    """,
     "stream_ewma": _oracle_stream_ewma(),
     "stream_dedup_minhash": _oracle_stream_dedup_minhash(),
     "stream_topk_per_window": """
