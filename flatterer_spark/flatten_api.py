@@ -372,13 +372,32 @@ def compute_metadata(result: FlattenResult) -> None:
             q = f"`{c.name}`"
             aggs.append(F.count(F.col(q)).alias(f"n::{c.name}"))
             if isinstance(c.dataType, StringType) and not c.name.startswith("_link"):
-                aggs.append(
-                    F.count(F.when(F.col(q).rlike(DATE_RE), 1)).alias(f"d::{c.name}")
+                # Structural pre-guards implied by the anchored patterns
+                # (exact length 10 / length >= 19, dashes at positions 5 and
+                # 8): the codegen'd AND short-circuits, so the regex runs
+                # only on date-shaped cells.  Counts are unchanged (guard is
+                # a superset of each pattern); on prose-heavy columns this
+                # removed most of the metadata pass's cost at 4M+ rows.
+                dashes = (
+                    f"substring({q}, 5, 1) = '-' AND substring({q}, 8, 1) = '-'"
                 )
                 aggs.append(
-                    F.count(F.when(F.col(q).rlike(DATETIME_RE), 1)).alias(
-                        f"t::{c.name}"
-                    )
+                    F.count(
+                        F.when(
+                            F.expr(f"length({q}) = 10 AND {dashes}")
+                            & F.col(q).rlike(DATE_RE),
+                            1,
+                        )
+                    ).alias(f"d::{c.name}")
+                )
+                aggs.append(
+                    F.count(
+                        F.when(
+                            F.expr(f"length({q}) >= 19 AND {dashes}")
+                            & F.col(q).rlike(DATETIME_RE),
+                            1,
+                        )
+                    ).alias(f"t::{c.name}")
                 )
         row = df.agg(*aggs).collect()[0].asDict()
         nrows = row["__rows"]
