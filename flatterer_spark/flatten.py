@@ -170,32 +170,51 @@ def flatten(
 
         data: dict[str, object] = {}
         csv_dir = os.path.join(output_dir, "csv")
-        if csv or dataframe or sqlite or sqlite_path:
-            for name, df in result.tables.items():
-                p = os.path.join(csv_dir, f"{name}.csv")
-                # exact (single-file, byte-deterministic) CSV is the default
-                # contract at ANY size: small tables collect on the driver
-                # (one job, no temp dir), larger ones serialize on the
-                # executors and byte-concat the parts (write_csv_exact_merged
-                # -- byte-identical output, no driver data).  exact_csv=False
-                # opts into the sharded directory layout for consumers that
-                # would rather read parts in parallel.
-                if exact_csv is False:
-                    writers.write_csv_distributed(df, p, preview=preview)
-                elif result.row_counts.get(name, 0) <= EXACT_CSV_MAX_ROWS:
-                    writers.write_csv_exact(
-                        df, p, preview=preview, titles=result.titles_for(name)
-                    )
-                else:
-                    writers.write_csv_exact_merged(
-                        df, p, preview=preview, titles=result.titles_for(name)
-                    )
-                data[name] = p
-        if parquet:
-            for name, df in result.tables.items():
-                writers.write_parquet(
-                    df, os.path.join(output_dir, "parquet", f"{name}.parquet")
+
+        def _write_table_csv(name: str, df) -> str:
+            p = os.path.join(csv_dir, f"{name}.csv")
+            # exact (single-file, byte-deterministic) CSV is the default
+            # contract at ANY size: small tables collect on the driver
+            # (one job, no temp dir), larger ones serialize on the
+            # executors and byte-concat the parts (write_csv_exact_merged
+            # -- byte-identical output, no driver data).  exact_csv=False
+            # opts into the sharded directory layout for consumers that
+            # would rather read parts in parallel.
+            if exact_csv is False:
+                writers.write_csv_distributed(df, p, preview=preview)
+            elif result.row_counts.get(name, 0) <= EXACT_CSV_MAX_ROWS:
+                writers.write_csv_exact(
+                    df, p, preview=preview, titles=result.titles_for(name)
                 )
+            else:
+                writers.write_csv_exact_merged(
+                    df, p, preview=preview, titles=result.titles_for(name)
+                )
+            return p
+
+        # Per-table sink jobs are independent Spark actions over the shared
+        # persisted parse -- submit them concurrently so wall time tracks
+        # the slowest table, not the sum (compute_metadata does the same).
+        from concurrent.futures import ThreadPoolExecutor
+
+        if csv or dataframe or sqlite or sqlite_path:
+            items = list(result.tables.items())
+            with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:
+                for name, p in zip(
+                    (n for n, _ in items),
+                    ex.map(lambda nd: _write_table_csv(*nd), items),
+                ):
+                    data[name] = p
+        if parquet:
+            items = list(result.tables.items())
+            with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:
+                list(ex.map(
+                    lambda nd: writers.write_parquet(
+                        nd[1],
+                        os.path.join(output_dir, "parquet", f"{nd[0]}.parquet"),
+                    ),
+                    items,
+                ))
         writers.write_metadata_csvs(output_dir, result.fields, result.table_rows)
         writers.write_datapackage(
             output_dir, result.fields, result.table_rows,

@@ -366,7 +366,8 @@ def compute_metadata(result: FlattenResult) -> None:
 
     fields: list[dict] = []
     table_rows: list[dict] = []
-    for name, df in result.tables.items():
+
+    def table_agg_row(df: DataFrame) -> dict:
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in df.schema.fields:
             q = f"`{c.name}`"
@@ -399,7 +400,27 @@ def compute_metadata(result: FlattenResult) -> None:
                         )
                     ).alias(f"t::{c.name}")
                 )
-        row = df.agg(*aggs).collect()[0].asDict()
+        return df.agg(*aggs).collect()[0].asDict()
+
+    # One aggregate JOB per table, submitted CONCURRENTLY: the actions are
+    # independent, Spark's scheduler interleaves them, and wall time drops
+    # toward max(job) instead of sum(jobs) whenever a single job leaves
+    # cores idle (always true for small inputs; the big-input jobs read the
+    # shared persisted parse).  Result processing stays sequential below so
+    # fields.csv row order is deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(result.tables.items())
+    with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:
+        agg_rows = dict(
+            zip(
+                (n for n, _ in items),
+                ex.map(table_agg_row, (df for _, df in items)),
+            )
+        )
+
+    for name, df in result.tables.items():
+        row = agg_rows[name]
         nrows = row["__rows"]
         result.row_counts[name] = nrows
         table_rows.append(

@@ -724,3 +724,43 @@ def test_iterator_spool_files_cleaned(spark, tmp_path):
     assert set(res["data"]) == {"main", "tags"}
     leaked = [p for p in json_input._SPOOL_FILES if p not in before]
     assert leaked == []
+
+
+def test_csv_exact_merged_byte_parity_fuzz(spark, tmp_path):
+    """Hypothesis sweep of the merged-writer parity: arbitrary printable +
+    whitespace strings (quotes, commas, newlines, unicode) through both
+    writers must produce identical bytes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flatterer_spark.sinks.writers import (
+        write_csv_exact,
+        write_csv_exact_merged,
+    )
+
+    alphabet = st.characters(
+        codec="utf-8", categories=("L", "N", "P", "S", "Zs"),
+        include_characters='",\n\t éß',
+    )
+    texts = st.lists(
+        st.one_of(st.none(), st.text(alphabet, max_size=12)),
+        min_size=1, max_size=8,
+    )
+    counter = iter(range(10**6))
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(vals=texts)
+    def check(vals):
+        i = next(counter)
+        df = spark.createDataFrame(
+            [(j, v) for j, v in enumerate(vals)], "id long, v string"
+        ).repartition(2, "id")
+        a = str(tmp_path / f"fa{i}.csv")
+        b = str(tmp_path / f"fb{i}.csv")
+        write_csv_exact(df, a)
+        write_csv_exact_merged(df, b)
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), vals
+
+    check()
