@@ -764,3 +764,25 @@ def test_csv_exact_merged_byte_parity_fuzz(spark, tmp_path):
             assert fa.read() == fb.read(), vals
 
     check()
+
+
+def test_bench_flatten_harness_agrees_with_engine(spark, tmp_path):
+    """bench_flatten.py's hand-written comparator must stay semantically
+    aligned with the engine on the benchmark corpus shape: same main-table
+    cardinality and the same child-table row multiset sizes, so the
+    throughput comparison is apples-to-apples."""
+    import bench_flatten as BF
+    from flatterer_spark.flatten import flatten
+
+    src = str(tmp_path / "in.ndjson")
+    BF.gen_ndjson(src, 200)
+    py_out = str(tmp_path / "py")
+    n = BF.handwritten_flatten(src, py_out)
+    assert n == 200
+    res = flatten(src, str(tmp_path / "spark"), spark=spark, ndjson=True)
+    import pandas as pd
+
+    for table in ("main", "developer", "metrics"):
+        py_rows = len(pd.read_csv(os.path.join(py_out, f"{table}.csv")))
+        spark_rows = len(pd.read_csv(res["data"][table]))
+        assert py_rows == spark_rows, table
