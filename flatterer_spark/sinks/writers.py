@@ -64,6 +64,30 @@ def formatted_strings(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def _write_csv_row(f, w, cells: list) -> None:
+    """One CSV row with quoting identical to Spark's uniVocity writer.
+
+    Python ``csv.writer(lineterminator='\\n')`` does NOT quote a field
+    containing a bare carriage return, while uniVocity does -- the one
+    quoting divergence between the two engines (ADVICE r5).  Rows with a
+    ``\\r`` anywhere take a manual path that quotes exactly when the cell
+    contains ``, " \\n \\r``; all other rows go through ``csv.writer``
+    unchanged (including its lone-empty-field ``\"\"`` corner)."""
+    cells = ["" if v is None else v for v in cells]
+    if any("\r" in c for c in cells):
+        f.write(
+            ",".join(
+                '"' + c.replace('"', '""') + '"'
+                if any(ch in c for ch in (",", '"', "\n", "\r"))
+                else c
+                for c in cells
+            )
+            + "\n"
+        )
+    else:
+        w.writerow(cells)
+
+
 def write_csv_exact(
     df: DataFrame, path: str, preview: int = 0, titles: dict | None = None
 ) -> None:
@@ -73,11 +97,11 @@ def write_csv_exact(
         df = df.limit(preview)
     rows = formatted_strings(df).collect()
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w", newline="") as f:
+    with open(path, "w", newline="", encoding="utf-8") as f:
         w = csvmod.writer(f, lineterminator="\n")
-        w.writerow([(titles or {}).get(c, c) for c in df.columns])
+        _write_csv_row(f, w, [(titles or {}).get(c, c) for c in df.columns])
         for r in rows:
-            w.writerow(["" if v is None else v for v in r])
+            _write_csv_row(f, w, list(r))
 
 
 def write_csv_exact_merged(
@@ -86,7 +110,7 @@ def write_csv_exact_merged(
     """Exact-bytes single-file CSV at executor speed: the rows are
     serialized by Spark's JVM CSV writer in parallel (with the option set
     proven byte-identical to Python ``csv.writer`` --
-    ``tests/test_flatten_golden.py::test_csv_exact_merged_byte_parity``
+    ``tests/test_flatten_options.py::test_csv_exact_merged_byte_parity``
     covers embedded quotes/commas/newlines, null-vs-empty, whitespace
     preservation), then the part files are concatenated in partition order,
     which equals ``collect()`` order, so the result is byte-for-byte what
@@ -114,14 +138,23 @@ def write_csv_exact_merged(
     import io
 
     hdr = io.StringIO()
-    csvmod.writer(hdr, lineterminator="\n").writerow(
-        [(titles or {}).get(c, c) for c in df.columns]
+    _write_csv_row(
+        hdr,
+        csvmod.writer(hdr, lineterminator="\n"),
+        [(titles or {}).get(c, c) for c in df.columns],
     )
+    parts = [
+        p
+        for p in os.listdir(tmp)
+        if p.startswith("part-") and not p.endswith(".crc")
+    ]
+    # sort by the numeric partition index, not lexicographically: Spark's
+    # %05d zero-pad widens to 6 digits past 99,999 partitions, where
+    # "part-100000" would lexicographically precede "part-99999"
+    parts.sort(key=lambda n: int(n.split("-")[1]))
     with open(path, "wb") as f:
         f.write(hdr.getvalue().encode("utf-8"))
-        for part in sorted(os.listdir(tmp)):
-            if not part.startswith("part-") or part.endswith(".crc"):
-                continue
+        for part in parts:
             with open(os.path.join(tmp, part), "rb") as pf:
                 shutil.copyfileobj(pf, f, 1 << 20)
     shutil.rmtree(tmp)
@@ -156,9 +189,13 @@ def fields_csv_rows(fields: list[dict]) -> list[list]:
 
 
 def write_metadata_csvs(out_dir: str, fields: list[dict], table_rows: list[dict]) -> None:
-    with open(os.path.join(out_dir, "fields.csv"), "w", newline="") as f:
+    with open(
+        os.path.join(out_dir, "fields.csv"), "w", newline="", encoding="utf-8"
+    ) as f:
         csvmod.writer(f, lineterminator="\n").writerows(fields_csv_rows(fields))
-    with open(os.path.join(out_dir, "tables.csv"), "w", newline="") as f:
+    with open(
+        os.path.join(out_dir, "tables.csv"), "w", newline="", encoding="utf-8"
+    ) as f:
         w = csvmod.writer(f, lineterminator="\n")
         w.writerow(["table_name", "table_title"])
         for t in table_rows:

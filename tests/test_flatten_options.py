@@ -179,7 +179,8 @@ def test_csv_exact_merged_byte_parity(spark, tmp_path):
 
     vals = ["plain", 'has"quote', "has,comma", "has\nnewline", " lead",
             "trail ", "", None, 'both"and,comma', "unicode-éß",
-            "tab\there", "'single'", '""', 'a,b"c\nd']
+            "tab\there", "'single'", '""', 'a,b"c\nd',
+            "has\rcr", "\r", "a\rb\nc", "cr\r\nlf"]
     rows = [(i, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "id long, v string").repartition(3, "id")
     a = str(tmp_path / "a.csv")
@@ -740,7 +741,7 @@ def test_csv_exact_merged_byte_parity_fuzz(spark, tmp_path):
 
     alphabet = st.characters(
         codec="utf-8", categories=("L", "N", "P", "S", "Zs"),
-        include_characters='",\n\t éß',
+        include_characters='",\n\r\t éß',
     )
     texts = st.lists(
         st.one_of(st.none(), st.text(alphabet, max_size=12)),
