@@ -107,7 +107,7 @@ def main() -> None:
         # steady-state engine throughput (the reference's own numbers also
         # exclude interpreter/bindings startup)
         warm_src = os.path.join(base, "warm.ndjson")
-        gen_ndjson(warm_src, 500)
+        gen_ndjson(warm_src, 20000)
         flatten(warm_src, os.path.join(base, "warm_out"), spark=spark,
                 ndjson=True, force=True)
 

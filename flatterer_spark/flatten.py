@@ -166,10 +166,29 @@ def flatten(
             stats=stats,
             low_memory=low_memory,
         )
-        compute_metadata(result)
-
         data: dict[str, object] = {}
         csv_dir = os.path.join(output_dir, "csv")
+        csv_pass = csv or dataframe or sqlite or sqlite_path
+
+        # Fused single-pass path: when the input is large enough that every
+        # table takes the executor-side merged CSV writer anyway, the
+        # metadata aggregates are attached to the write actions themselves
+        # via df.observe() -- the write scans every row, so the counts and
+        # date-pattern matches come free and the dedicated metadata job
+        # (one full pass over the persisted parse per table) disappears.
+        # The exact input row count is already known from the strict-ordinal
+        # split-count collect, so no count job is needed to pick the
+        # strategy.  preview keeps the two-pass flow (its metadata is
+        # full-data while its writes are limited -- F13).
+        fused = (
+            csv_pass
+            and exact_csv is not False
+            and preview == 0
+            and result.input_rows is not None
+            and result.input_rows > EXACT_CSV_MAX_ROWS
+        )
+        if not fused:
+            compute_metadata(result)
 
         def _write_table_csv(name: str, df) -> str:
             p = os.path.join(csv_dir, f"{name}.csv")
@@ -182,7 +201,10 @@ def flatten(
             # would rather read parts in parallel.
             if exact_csv is False:
                 writers.write_csv_distributed(df, p, preview=preview)
-            elif result.row_counts.get(name, 0) <= EXACT_CSV_MAX_ROWS:
+            elif (
+                not fused
+                and result.row_counts.get(name, 0) <= EXACT_CSV_MAX_ROWS
+            ):
                 writers.write_csv_exact(
                     df, p, preview=preview, titles=result.titles_for(name)
                 )
@@ -197,14 +219,37 @@ def flatten(
         # the slowest table, not the sum (compute_metadata does the same).
         from concurrent.futures import ThreadPoolExecutor
 
-        if csv or dataframe or sqlite or sqlite_path:
-            items = list(result.tables.items())
+        if csv_pass:
+            from flatterer_spark.flatten_api import (
+                build_metadata,
+                metadata_agg_exprs,
+            )
+
+            observations: dict[str, object] = {}
+
+            def _observed(name: str, df):
+                if not fused:
+                    return df
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                observations[name] = obs
+                return df.observe(obs, *metadata_agg_exprs(df))
+
+            items = [
+                (name, _observed(name, df))
+                for name, df in result.tables.items()
+            ]
             with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:
                 for name, p in zip(
                     (n for n, _ in items),
                     ex.map(lambda nd: _write_table_csv(*nd), items),
                 ):
                     data[name] = p
+            if fused:
+                build_metadata(
+                    result, {n: observations[n].get for n in observations}
+                )
         if parquet:
             items = list(result.tables.items())
             with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:

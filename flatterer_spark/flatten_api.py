@@ -30,7 +30,11 @@ from flatterer_spark.plans.table_plan import (
     derive_plan,
     pushdown_columns,
 )
-from flatterer_spark.sources.json_input import read_json_source, with_ordinal
+from flatterer_spark.sources.json_input import (
+    prepare_ordinal_columns,
+    read_json_source,
+    with_ordinal,
+)
 
 DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
 DATETIME_RE = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$"
@@ -49,6 +53,8 @@ class FlattenResult:
     table_titles: dict = dc_field(default_factory=dict)  # table -> display title
     field_titles: dict = dc_field(default_factory=dict)  # table -> {field -> title}
     input_df: DataFrame = None  # persisted parsed input (see unpersist())
+    input_rows: int | None = None  # exact root-object count when the strict
+    # ordinal pass already computed it (free main-table cardinality)
 
     def unpersist(self) -> None:
         """Release the persisted parsed-input cache.
@@ -180,15 +186,23 @@ def flatten_dataframes(
     plans = derive_plan(df.schema, plan_opts)
     by_name = {p.name: p for p in plans}
 
-    df = with_ordinal(df, opts.ordinals)
+    # One columnar cache feeds every downstream action (ordinal agg,
+    # per-table writes with piggybacked metadata) instead of each one
+    # re-parsing the JSON bytes; MEMORY_AND_DISK so oversized inputs spill
+    # rather than evict-and-reparse.  The cache sits BELOW the _ord map
+    # (prepare_ordinal_columns materializes the split-identity columns the
+    # map needs), so the strict-ordinal aggregate itself materializes the
+    # cache -- the parse runs exactly twice per flatten (schema inference +
+    # this), never once per downstream action.  low_memory=True trades the
+    # cache away (F16).
+    cached = None
+    df = prepare_ordinal_columns(df)
     if not kw.get("low_memory"):
-        # One columnar cache feeds every downstream action (metadata aggs,
-        # per-table writes) instead of each one re-parsing the JSON bytes;
-        # MEMORY_AND_DISK so oversized inputs spill rather than evict-and-
-        # reparse.  low_memory=True trades the cache away (F16).
         from pyspark import StorageLevel
 
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = with_ordinal(df, opts.ordinals)
+    input_rows = getattr(df, "_flatterer_input_rows", None)
     root_link = (
         F.concat(F.lit(opts.id_prefix), F.col("_ord").cast("string"))
         if opts.id_prefix
@@ -202,7 +216,8 @@ def flatten_dataframes(
     result = FlattenResult(
         tables=tables, plans=by_name, fields=[], table_rows=[], options=opts,
         titles=title_map,
-        input_df=df if not kw.get("low_memory") else None,
+        input_df=cached,
+        input_rows=input_rows,
     )
     _apply_field_table_csv(result)
     return result
@@ -350,12 +365,80 @@ def _find_col(plan: TablePlan, fpath: tuple[str, ...]) -> ColSpec:
 # Metadata: fields.csv / tables.csv rows (F10/F11)
 # ---------------------------------------------------------------------------
 
+def metadata_agg_exprs(df: DataFrame) -> list[Column]:
+    """The metadata aggregate set for one table: row count, non-null count
+    per column, and full-match counts for the date/datetime string patterns
+    (§1.2: `date` is a string classification,
+    `fixtures/basic_expected/fields.csv:5`).  Used two ways: as a standalone
+    ``df.agg`` job (``compute_metadata``) and as ``df.observe`` metrics
+    piggybacked on the CSV-write action (flatten's fused single-pass path --
+    the write scans every row anyway, so the metadata comes free)."""
+    from pyspark.sql.types import StringType
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in df.schema.fields:
+        q = f"`{c.name}`"
+        aggs.append(F.count(F.col(q)).alias(f"n::{c.name}"))
+        if isinstance(c.dataType, StringType) and not c.name.startswith("_link"):
+            # Structural pre-guards implied by the anchored patterns
+            # (exact length 10 / length >= 19, dashes at positions 5 and
+            # 8): the codegen'd AND short-circuits, so the regex runs
+            # only on date-shaped cells.  Counts are unchanged (guard is
+            # a superset of each pattern); on prose-heavy columns this
+            # removed most of the metadata pass's cost at 4M+ rows.
+            dashes = (
+                f"substring({q}, 5, 1) = '-' AND substring({q}, 8, 1) = '-'"
+            )
+            aggs.append(
+                F.count(
+                    F.when(
+                        F.expr(f"length({q}) = 10 AND {dashes}")
+                        & F.col(q).rlike(DATE_RE),
+                        1,
+                    )
+                ).alias(f"d::{c.name}")
+            )
+            aggs.append(
+                F.count(
+                    F.when(
+                        F.expr(f"length({q}) >= 19 AND {dashes}")
+                        & F.col(q).rlike(DATETIME_RE),
+                        1,
+                    )
+                ).alias(f"t::{c.name}")
+            )
+    return aggs
+
+
 def compute_metadata(result: FlattenResult) -> None:
     """Fill result.fields / result.table_rows with type guesses and counts.
 
-    One aggregate job per table: non-null count per column plus full-match
-    counts for the date/datetime string patterns (§1.2: `date` is a string
-    classification, `fixtures/basic_expected/fields.csv:5`)."""
+    One aggregate job per table, submitted CONCURRENTLY: the actions are
+    independent, Spark's scheduler interleaves them, and wall time drops
+    toward max(job) instead of sum(jobs) whenever a single job leaves
+    cores idle (always true for small inputs; the big-input jobs read the
+    shared persisted parse).  flatten()'s large-input path skips this job
+    entirely by observing the same aggregates on the CSV-write actions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def table_agg_row(df: DataFrame) -> dict:
+        return df.agg(*metadata_agg_exprs(df)).collect()[0].asDict()
+
+    items = list(result.tables.items())
+    with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:
+        agg_rows = dict(
+            zip(
+                (n for n, _ in items),
+                ex.map(table_agg_row, (df for _, df in items)),
+            )
+        )
+    build_metadata(result, agg_rows)
+
+
+def build_metadata(result: FlattenResult, agg_rows: dict[str, dict]) -> None:
+    """Turn per-table metadata aggregate rows (from ``df.agg`` or from
+    ``df.observe`` metrics) into fields.csv / tables.csv rows.  Result
+    processing is sequential so fields.csv row order is deterministic."""
     from pyspark.sql.types import (
         BooleanType,
         DateType,
@@ -366,58 +449,6 @@ def compute_metadata(result: FlattenResult) -> None:
 
     fields: list[dict] = []
     table_rows: list[dict] = []
-
-    def table_agg_row(df: DataFrame) -> dict:
-        aggs = [F.count(F.lit(1)).alias("__rows")]
-        for c in df.schema.fields:
-            q = f"`{c.name}`"
-            aggs.append(F.count(F.col(q)).alias(f"n::{c.name}"))
-            if isinstance(c.dataType, StringType) and not c.name.startswith("_link"):
-                # Structural pre-guards implied by the anchored patterns
-                # (exact length 10 / length >= 19, dashes at positions 5 and
-                # 8): the codegen'd AND short-circuits, so the regex runs
-                # only on date-shaped cells.  Counts are unchanged (guard is
-                # a superset of each pattern); on prose-heavy columns this
-                # removed most of the metadata pass's cost at 4M+ rows.
-                dashes = (
-                    f"substring({q}, 5, 1) = '-' AND substring({q}, 8, 1) = '-'"
-                )
-                aggs.append(
-                    F.count(
-                        F.when(
-                            F.expr(f"length({q}) = 10 AND {dashes}")
-                            & F.col(q).rlike(DATE_RE),
-                            1,
-                        )
-                    ).alias(f"d::{c.name}")
-                )
-                aggs.append(
-                    F.count(
-                        F.when(
-                            F.expr(f"length({q}) >= 19 AND {dashes}")
-                            & F.col(q).rlike(DATETIME_RE),
-                            1,
-                        )
-                    ).alias(f"t::{c.name}")
-                )
-        return df.agg(*aggs).collect()[0].asDict()
-
-    # One aggregate JOB per table, submitted CONCURRENTLY: the actions are
-    # independent, Spark's scheduler interleaves them, and wall time drops
-    # toward max(job) instead of sum(jobs) whenever a single job leaves
-    # cores idle (always true for small inputs; the big-input jobs read the
-    # shared persisted parse).  Result processing stays sequential below so
-    # fields.csv row order is deterministic.
-    from concurrent.futures import ThreadPoolExecutor
-
-    items = list(result.tables.items())
-    with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:
-        agg_rows = dict(
-            zip(
-                (n for n, _ in items),
-                ex.map(table_agg_row, (df for _, df in items)),
-            )
-        )
 
     for name, df in result.tables.items():
         row = agg_rows[name]

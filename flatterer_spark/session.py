@@ -41,6 +41,13 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m",
         )
+        # Hadoop's default file:// filesystem is ChecksumFileSystem: every
+        # local write CRCs its bytes and shadows a .crc file next to each
+        # part (then every read re-verifies).  Real clusters read object
+        # stores / HDFS (which checksum at the storage layer); for local
+        # file:// the raw filesystem removes a per-byte CPU pass and halves
+        # small-file metadata ops on the exact-CSV part writes.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -154,9 +154,16 @@ def write_csv_exact_merged(
     parts.sort(key=lambda n: int(n.split("-")[1]))
     with open(path, "wb") as f:
         f.write(hdr.getvalue().encode("utf-8"))
+        f.flush()  # raw-fd appends below bypass the Python buffer
         for part in parts:
             with open(os.path.join(tmp, part), "rb") as pf:
-                shutil.copyfileobj(pf, f, 1 << 20)
+                try:
+                    # zero-copy kernel-side append (no userspace buffers);
+                    # falls back to buffered copy where unsupported
+                    while os.sendfile(f.fileno(), pf.fileno(), None, 1 << 30):
+                        pass
+                except OSError:
+                    shutil.copyfileobj(pf, f, 1 << 20)
     shutil.rmtree(tmp)
 
 

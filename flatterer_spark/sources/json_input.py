@@ -383,11 +383,61 @@ def _norm_path(p: str) -> str:
     return os.path.abspath(p).lstrip("/")
 
 
+ORD_HELPER_COLS = ("_ord_pid", "_ord_f", "_ord_b", "_ord_mid")
+
+
+def prepare_ordinal_columns(df: DataFrame) -> DataFrame:
+    """Materialize the split identity (partition id, file path, split start)
+    and row sequence (monotonic id) as REAL columns, so the caller can
+    persist ONE DataFrame that serves both the strict-ordinal aggregate and
+    every downstream consumer.  The ordinal agg then doubles as the cache
+    materializer: flatten() runs one fewer full JSON parse (the _metadata
+    pseudo-column only exists at the file scan, so it must be captured
+    below the persist).
+
+    Non-file relations (createDataFrame, exploded multiLine arrays whose
+    projection dropped _metadata) get constant file/block columns; for
+    in-memory relations min(_ord_mid) per partition is exactly
+    ``pid << 33``, so the strict grouping over the constants reduces to the
+    partition-id ordering those inputs had before."""
+    mid = F.monotonically_increasing_id().alias("_ord_mid")
+    pid = F.spark_partition_id().alias("_ord_pid")
+    try:
+        if not df.inputFiles():
+            raise ValueError("no file inputs")
+        out = df.select(
+            "*",
+            pid,
+            F.col("_metadata.file_path").alias("_ord_f"),
+            F.col("_metadata.file_block_start").alias("_ord_b"),
+            mid,
+        )
+    except Exception:
+        out = df.select(
+            "*",
+            pid,
+            F.lit("").alias("_ord_f"),
+            F.lit(0).cast("long").alias("_ord_b"),
+            mid,
+        )
+    order = getattr(df, "_flatterer_input_order", None)
+    if order is not None:
+        out._flatterer_input_order = order
+    return out
+
+
 def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
-    """Add a ``_ord`` column: the main-table link key source."""
+    """Add a ``_ord`` column: the main-table link key source.
+
+    If ``prepare_ordinal_columns`` ran first (its helper columns are
+    present), the aggregate reads those -- typically from the caller's
+    persisted cache -- and the helpers are dropped from the result."""
+    prepared = "_ord_mid" in df.columns
     if mode == "partition":
-        mid = F.monotonically_increasing_id()
-        return df.withColumn(
+        mid = (
+            F.col("_ord_mid") if prepared else F.monotonically_increasing_id()
+        )
+        out = df.withColumn(
             "_ord",
             F.concat_ws(
                 ".",
@@ -395,9 +445,51 @@ def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
                 (mid.bitwiseAND(F.lit(_MONO_MASK))).cast("string"),
             ),
         )
+        return out.drop(*ORD_HELPER_COLS) if prepared else out
     if mode != "strict":
         raise ValueError(f"unknown ordinal mode: {mode}")
     file_order = getattr(df, "_flatterer_input_order", None)
+    if prepared:
+        groups = (
+            df.groupBy(
+                F.col("_ord_pid").alias("_pid"),
+                F.col("_ord_f").alias("_f"),
+                F.col("_ord_b").alias("_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.min("_ord_mid").alias("mn"))
+            .collect()
+        )
+        rank = {}
+        if file_order:
+            rank = {_norm_path(p): i for i, p in enumerate(file_order)}
+        groups.sort(
+            key=lambda r: (
+                rank.get(_norm_path(r["_f"]), len(rank)),
+                _norm_path(r["_f"]),
+                r["_b"],
+                r["mn"],
+            )
+        )
+        if not groups:
+            return df.drop(*ORD_HELPER_COLS).withColumn(
+                "_ord", F.lit(None).cast("long")
+            )
+        adjust, acc = {}, 0
+        for r in groups:
+            adjust[f"{r['_pid']}|{r['_f']}|{r['_b']}"] = acc - r["mn"]
+            acc += r["n"]
+        amap = F.create_map(*[F.lit(x) for kv in adjust.items() for x in kv])
+        gkey = F.concat_ws(
+            "|",
+            F.col("_ord_pid").cast("string"),
+            F.col("_ord_f"),
+            F.col("_ord_b").cast("string"),
+        )
+        out = df.withColumn(
+            "_ord", (amap[gkey] + F.col("_ord_mid")).cast("long")
+        ).drop(*ORD_HELPER_COLS)
+        out._flatterer_input_rows = acc
+        return out
     mid_df = df.withColumn("_mid", F.monotonically_increasing_id())
 
     # Strict = ordinal equals the row's 0-based position in INPUT order:
@@ -447,10 +539,15 @@ def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
             F.col("_metadata.file_path"),
             F.col("_metadata.file_block_start").cast("string"),
         )
-        return (
+        out = (
             mid_df.withColumn("_ord", (amap[gkey] + F.col("_mid")).cast("long"))
             .drop("_mid")
         )
+        # The per-split counts just collected sum to the exact input row
+        # count -- expose it so flatten() can pick its CSV writer strategy
+        # (and skip a dedicated count job) for free.
+        out._flatterer_input_rows = acc
+        return out
     except Exception:
         # non-file DataFrames (createDataFrame in tests, views): no
         # _metadata column -- fall back to partition-id order, which is the
@@ -468,7 +565,7 @@ def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
         if not offsets:
             return df.withColumn("_ord", F.lit(None).cast("long"))
         omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        return (
+        out = (
             mid_df.withColumn("_pid", F.spark_partition_id())
             .withColumn(
                 "_ord",
@@ -479,3 +576,5 @@ def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
             )
             .drop("_mid", "_pid")
         )
+        out._flatterer_input_rows = acc
+        return out
