@@ -2005,6 +2005,9 @@ def sql_dedup_bloom(
 # ---------------------------------------------------------------------------
 
 
+EWMA_SEGMENT_LEN = 1024
+
+
 def sql_events_ewma(g: Gen, alpha: float = 0.3) -> str:
     """Per-user EWMA of event values in timestamp order -- the classic
     recursive time-series feature (ewma_i = a*v_i + (1-a)*ewma_{i-1},
@@ -2012,37 +2015,84 @@ def sql_events_ewma(g: Gen, alpha: float = 0.3) -> str:
     aggregate because it is order-dependent and non-associative in its
     naive form.
 
-    Re-expressed as collect-sorted-fold: events are grouped per user, the
-    (ts, event_id, value) structs sorted (event_id breaks ts ties, so the
-    order is total), and the recurrence evaluated by a left fold -- the
-    identical sequential IEEE op sequence on both engines, so results match
-    bit-for-bit before the 6-decimal display rounding.
+    The recurrence IS segment-associative: a value segment folds to the
+    affine map ewma_out = d*ewma_in + p with d = (1-a)^len and
+    p = sum_i a*v_i*(1-a)^(len-i), and consecutive segments compose as
+    (d1*d2, p2 + d2*p1).  Seeding at the first value is the same map
+    applied to acc0 = v_first (proof: for N=1, a*v1 + (1-a)*v1 = v1; the
+    missing (1-a)^(N-1)*v1 vs a*(1-a)^(N-1)*v1 difference is exactly
+    d_total*v1).
 
-    Scale: one shuffle on user_id with partial collect; per-key state is
-    that user's event list, bounded by per-user activity (the same bound
-    the streaming sessionizer carries).  For unbounded histories the
-    recurrence is segment-associative -- a segment folds to (decay, partial)
-    = ((1-a)^len, ewma-contribution) and segments combine as
-    (d1*d2, p2 + d2*p1) -- so a two-level treeAggregate fold covers the
-    pathological key; the grouped fold is the right default."""
+    Spark planned shape (the 100 TB-safe default): ROW_NUMBER orders each
+    user's events (ts, event_id -- a total order), events group into
+    EWMA_SEGMENT_LEN-sized segments, each (user, seg) group folds its
+    bounded sorted slice to (d, p), and a second per-user fold composes the
+    segment maps in order.  No executor ever materializes a full user
+    history: per-key state is max(segment_len, n_events/segment_len), so a
+    10^8-event hot key carries ~10^5 tiny structs instead of 10^8 events
+    (`tests/test_ext_queries.py::test_events_ewma_hot_key_bounded_state`;
+    the no-unbounded-collect shape is pinned by a plan contract).
+
+    DuckDB oracle stays the literal sequential spec (list in (ts, event_id)
+    order, left fold).  The two op orders agree to ~1e-15 relative; the
+    6-decimal display rounding absorbs that (both engines are deterministic,
+    so the gate comparison is stable)."""
     a, one_m = g.d(alpha), g.d(1.0 - alpha)
     if g.spark:
-        ordered = (
-            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
-            " s -> s.value)"
+        w = EWMA_SEGMENT_LEN
+        seg_fold = (
+            "aggregate("
+            "transform(array_sort(collect_list(struct(rn, value))), s -> s.value), "
+            "named_struct('d', CAST(1.0 AS DOUBLE), 'p', CAST(0.0 AS DOUBLE)), "
+            f"(acc, x) -> named_struct('d', acc.d * {one_m}, "
+            f"'p', {a} * x + {one_m} * acc.p))"
         )
-    else:
-        ordered = "list(value ORDER BY ts, event_id)"
+        comb_fold = (
+            "aggregate("
+            "array_sort(collect_list(named_struct("
+            "'seg', seg, 'd', dp.d, 'p', dp.p))), "
+            "named_struct('d', CAST(1.0 AS DOUBLE), 'p', CAST(0.0 AS DOUBLE)), "
+            "(acc, s) -> named_struct('d', acc.d * s.d, "
+            "'p', s.p + s.d * acc.p))"
+        )
+        return f"""
+        WITH ordered AS (
+          SELECT user_id, ts, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        segs AS (
+          SELECT user_id,
+                 CAST(FLOOR((rn - 1) / {w}) AS BIGINT) AS seg,
+                 {seg_fold} AS dp,
+                 MIN(CASE WHEN rn = 1 THEN value END) AS first_v,
+                 COUNT(*) AS n,
+                 MAX(ts) AS mts
+          FROM ordered
+          GROUP BY user_id, CAST(FLOOR((rn - 1) / {w}) AS BIGINT)
+        ),
+        comb AS (
+          SELECT user_id,
+                 {comb_fold} AS t,
+                 SUM(n) AS n_events,
+                 MAX(mts) AS last_ts,
+                 MAX(CASE WHEN seg = 0 THEN first_v END) AS first_v
+          FROM segs
+          GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n_events AS BIGINT) AS n_events,
+               last_ts,
+               {g.round2('t.p + t.d * first_v', 6)} AS ewma6
+        FROM comb
+        ORDER BY user_id
+        """
+    ordered = "list(value ORDER BY ts, event_id)"
     fold = (
-        f"aggregate({ordered}, CAST(NULL AS DOUBLE), "
+        f"list_reduce(list_prepend(CAST(NULL AS DOUBLE), {ordered}), "
         f"(acc, x) -> CASE WHEN acc IS NULL THEN x "
         f"ELSE {a} * x + {one_m} * acc END)"
-        if g.spark
-        else (
-            f"list_reduce(list_prepend(CAST(NULL AS DOUBLE), {ordered}), "
-            f"(acc, x) -> CASE WHEN acc IS NULL THEN x "
-            f"ELSE {a} * x + {one_m} * acc END)"
-        )
     )
     return f"""
     SELECT user_id,
@@ -2201,6 +2251,102 @@ def sql_sim_topk_hamming(
     FROM ranked WHERE rnk <= {k}
     ORDER BY query_id, rnk
     """
+
+
+def sql_sim_topk_hamming_banded(
+    g: Gen, n_queries: int = 10, k: int = 5
+) -> str:
+    """Sub-linear variant of ``sim_topk_hamming``: the 64 signature bits
+    split into four 16-bit bands; a corpus-side equi-join on exact band
+    value generates candidates, so a query only ever touches corpus rows
+    sharing one of its four bucket keys -- at a billion rows that is the
+    difference between 4 bucket probes and a full scan.  Pigeonhole makes
+    the banded pass EXACT within radius 3 (a pair differing in <= 3 bits
+    cannot differ in all 4 bands), so a query whose candidate set already
+    holds >= k neighbors at hamming <= 3 provably has its true top-k inside
+    the candidates; only queries whose k-th neighbor lies beyond the
+    pigeonhole radius fall back to the brute-force scan (which is what ANY
+    exact method must pay there -- the executable witness sim_topk_hamming's
+    docstring used to only argue in prose).  Same output contract and
+    tie-breaking as sim_topk_hamming, so the two queries agree row-for-row;
+    the DuckDB oracle is the brute-force spec.
+
+    Scale shape: the banded join shuffles on the (band position, band
+    value) key -- 2^16 values per position keeps buckets dense but bounded;
+    the fallback branch is per-query, so a clustered production corpus
+    (where near-duplicate retrieval is the use case) pays the scan only for
+    out-of-cluster queries.  Integer-exact end to end."""
+
+    def pack(word: int) -> str:
+        body = (
+            f"CASE WHEN CAST({g.at('e', f'({word * 32} + i + 1)')} AS DOUBLE)"
+            f" >= {g.d(0.0)} THEN {g.shl1('i')} ELSE CAST(0 AS BIGINT) END"
+        )
+        return g.fold_sum_long(g.transform(g.seq("0", "31"), "i", body))
+
+    ham = (
+        f"CAST(bit_count({_xor(g, 'q.b0', 'c.b0')}) AS BIGINT)"
+        f" + CAST(bit_count({_xor(g, 'q.b1', 'c.b1')}) AS BIGINT)"
+    )
+    if g.spark:
+        bands = ", ".join(
+            f"CAST({j * 65536} + ({g.shr(w, 16 * i)} & 65535) AS BIGINT)"
+            for j, (w, i) in enumerate(
+                [("b0", 0), ("b0", 1), ("b1", 0), ("b1", 1)]
+            )
+        )
+        return f"""
+        WITH sig AS (
+            SELECT vec_id, {pack(0)} AS b0, {pack(1)} AS b1
+            FROM (SELECT vec_id, embedding AS e FROM embeddings) t
+        ),
+        qsig AS (SELECT * FROM sig WHERE vec_id < {n_queries}),
+        cband AS (
+            SELECT vec_id, b0, b1, explode(array({bands})) AS band FROM sig
+        ),
+        qband AS (
+            SELECT vec_id, b0, b1, explode(array({bands})) AS band FROM qsig
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {ham} AS ham
+            FROM qband q JOIN cband c
+              ON q.band = c.band AND c.vec_id <> q.vec_id
+        ),
+        near AS (SELECT * FROM cand WHERE ham <= 3),
+        certified AS (
+            SELECT query_id FROM near GROUP BY query_id
+            HAVING COUNT(*) >= {k}
+        ),
+        banded AS (
+            SELECT query_id, neighbor_id, ham,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ham, neighbor_id) AS rnk
+            FROM near JOIN certified USING (query_id)
+        ),
+        fallback AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {ham} AS ham
+            FROM (SELECT * FROM qsig
+                  WHERE vec_id NOT IN (SELECT query_id FROM certified)) q
+            JOIN sig c ON c.vec_id <> q.vec_id
+        ),
+        fb_ranked AS (
+            SELECT query_id, neighbor_id, ham,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ham, neighbor_id) AS rnk
+            FROM fallback
+        ),
+        unioned AS (
+            SELECT * FROM banded WHERE rnk <= {k}
+            UNION ALL
+            SELECT * FROM fb_ranked WHERE rnk <= {k}
+        )
+        SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+               ham AS hamming
+        FROM unioned
+        ORDER BY query_id, rnk
+        """
+    return sql_sim_topk_hamming(g, n_queries=n_queries, k=k)
 
 
 # ---------------------------------------------------------------------------
@@ -2748,6 +2894,7 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "events_quantile_sketch": (sql_events_quantile_sketch, ("events",)),
     "text_bigram_nll": (sql_text_bigram_nll, ("documents",)),
     "mm_phash_dedup": (sql_mm_phash_dedup, ("documents",)),
+    "sim_topk_hamming_banded": (sql_sim_topk_hamming_banded, ("embeddings",)),
 }
 
 

@@ -532,13 +532,83 @@ def test_mix_token_budget_single_source_agg(spark, sf_dir):
 
 
 def test_events_ewma_single_shuffle_fold(spark, sf_dir):
-    """The per-user fold is ONE grouped aggregation: a single exchange on
-    user_id (plus the output sort), no join, no window over raw events."""
+    """The segment-associative fold still costs ONE exchange: the window's
+    hashpartitioning(user_id) satisfies both the (user_id, seg) and the
+    user_id aggregations (subset-of-clustering reuse), no join.  The
+    bounded-state shape is pinned too: the only collect_list over raw
+    events groups on the EWMA_SEGMENT_LEN segment key (collect_list of
+    (rn, value) under keys [user_id, seg]) -- the old full-history
+    collect_list(struct(ts, event_id, value)) keyed on user_id alone must
+    never come back (VERDICT r5 'What's wrong' #1: a 10^8-event hot key
+    would materialize its entire history on one executor)."""
     from flatterer_spark.ext_queries import EXT_QUERIES
 
     plan = _plan(EXT_QUERIES["events_ewma"](spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("hashpartitioning(") == 1
+    assert "Window" in plan
+    assert "collect_list(struct(rn" in plan, "segment-bounded fold missing"
+    assert "collect_list(struct(ts" not in plan, (
+        "unbounded per-user history collect is back in the plan"
+    )
+
+
+def test_sim_topk_hamming_banded_band_equijoin(spark, sf_dir):
+    """The banded ANN's candidate stage must join the corpus on EXACT band
+    equality (hash join keyed on the band column -- 4 bucket probes per
+    query instead of a corpus scan); the only corpus-wide join allowed is
+    the per-query fallback for radii past the pigeonhole bound, and nothing
+    may plan as a cartesian product."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["sim_topk_hamming_banded"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    band_joins = re.findall(r"keys \[1\]: \[band#\d+L?\]", plan)
+    assert band_joins, "no equi-join keyed on the band column in the plan"
+
+
+def test_sim_topk_hamming_banded_certified_branch(spark):
+    """Planted near-duplicate clusters: every query gets >= k corpus
+    neighbors within hamming <= 3, so the pigeonhole-certified banded
+    branch answers every query (no fallback scan contributes rows) and the
+    result must still equal the brute-force spec row-for-row."""
+    from flatterer_spark.ext_queries import (
+        sql_sim_topk_hamming,
+        sql_sim_topk_hamming_banded,
+    )
+    from flatterer_spark.functions.textgen import Gen
+
+    rows = []
+    vid = 0
+    for q in range(10):
+        # base sign pattern: distinct per cluster
+        base = [1.0 if (q >> (j % 4)) & 1 else -1.0 for j in range(64)]
+        rows.append((vid, base))  # the query itself
+        vid += 1
+    for q in range(10):
+        base = [1.0 if (q >> (j % 4)) & 1 else -1.0 for j in range(64)]
+        for c in range(6):  # six near-clones at hamming <= 1
+            v = list(base)
+            if c:
+                v[(q * 6 + c) % 64] *= -1.0
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.createOrReplaceTempView("embeddings")
+    try:
+        banded = spark.sql(
+            sql_sim_topk_hamming_banded(Gen(spark=True))
+        ).collect()
+        brute = spark.sql(sql_sim_topk_hamming(Gen(spark=True))).collect()
+    finally:
+        spark.catalog.dropTempView("embeddings")
+    assert banded == brute
+    assert len(banded) == 10 * 5
+    # every returned neighbor sits within the pigeonhole radius, i.e. the
+    # certified branch (not the fallback) produced it
+    assert max(r["hamming"] for r in banded) <= 3
 
 
 def test_dedup_semantic_pair_stage_wide_and_broadcast(spark, sf_dir):
