@@ -119,7 +119,18 @@ def flatten(
         spark = get_spark("flatterer-spark-flatten")
 
     tmp_cleanup = None
-    if output_dir:
+    s3_output = None
+    if output_dir and output_dir.startswith("s3://"):
+        # K7: s3:// output -- write locally, then upload every artifact
+        # (sinks/s3io.py; on a cluster with hadoop-aws, table data would go
+        # through df.write to s3a:// instead).  force is implicit: S3 puts
+        # overwrite.
+        import tempfile
+
+        s3_output = output_dir.rstrip("/")
+        output_dir = tempfile.mkdtemp(prefix="flatterer_s3_out_")
+        tmp_cleanup = output_dir
+    if output_dir and not tmp_cleanup:
         if os.path.exists(output_dir):
             if not force:
                 raise FileExistsError(
@@ -127,7 +138,7 @@ def flatten(
                 )
             shutil.rmtree(output_dir)
         os.makedirs(output_dir)
-    else:
+    elif not tmp_cleanup:
         import tempfile
 
         output_dir = tempfile.mkdtemp(prefix="flatterer_spark_")
@@ -319,10 +330,23 @@ def flatten(
                 }
                 loaded[name] = pd.read_csv(data[name], dtype=types or None)
             data = loaded
+        elif s3_output:
+            # paths in the return dict point at the uploaded objects
+            data = {
+                name: f"{s3_output}/{os.path.relpath(p, output_dir)}"
+                for name, p in data.items()
+            }
         elif tmp_cleanup:
             # sqlite_path-only flow: the CSVs live in the about-to-be-removed
             # tempdir; don't return dangling paths
             data = {}
+        if s3_output:
+            from flatterer_spark.sinks.s3io import upload_dir_to_s3
+
+            upload_dir_to_s3(output_dir, s3_output)
+            for k in ("sqlite", "xlsx"):
+                if isinstance(out.get(k), str) and out[k].startswith(output_dir):
+                    out[k] = f"{s3_output}/{os.path.relpath(out[k], output_dir)}"
         out.update({"fields": fields_df, "tables": tables_df, "data": data})
         return out
     except BaseException as exc:

@@ -90,7 +90,7 @@ def read_json_source(
     # (same position as the reference: both are single-stream reads that need
     # a seekable copy, docs/inputs.md:13-26); s3:// maps to Spark's native
     # s3a:// connector so executors read object-store bytes in parallel.
-    paths = [_stage_input(p) for p in paths]
+    paths = [_stage_input(p, spark) for p in paths]
 
     if json_stream:
         # S4 concatenated JSON stream: no native Spark reader; a driver-side
@@ -142,9 +142,10 @@ def read_json_source(
     return df, key_order
 
 
-def _stage_input(p: str) -> str:
+def _stage_input(p: str, spark: SparkSession | None = None) -> str:
     """Resolve one input path: stdin / HTTP staged to temp files, s3 mapped
-    to the s3a connector, local paths passed through."""
+    to the s3a connector (or boto3-staged when the connector is absent),
+    local paths passed through."""
     if p == "-":
         import sys
 
@@ -170,7 +171,15 @@ def _stage_input(p: str) -> str:
                 f.write(chunk)
         return _track_spool(out)
     if p.startswith("s3://"):
-        return "s3a://" + p[len("s3://"):]
+        from flatterer_spark.sinks.s3io import s3a_available, stage_s3_to_local
+
+        if s3a_available(spark):
+            # cluster path: executors read object-store bytes in parallel
+            return "s3a://" + p[len("s3://"):]
+        # single-node path: no hadoop-aws on the classpath -- stage the
+        # object driver-side via boto3 (the reference CLI's S3 read is also
+        # one process streaming one connection, docs/s3.md)
+        return _track_spool(stage_s3_to_local(p))
     return p
 
 

@@ -126,8 +126,55 @@ def test_cli_end_to_end(tmp_path):
     assert "main_id" in header  # pushdown reached the child table
 
 
-def test_s3_maps_to_s3a():
+def test_s3_maps_to_s3a_when_connector_present():
+    """With hadoop-aws on the classpath, s3:// inputs map to the native
+    s3a:// connector (executor-parallel object reads -- the cluster path);
+    local paths pass through untouched."""
     from flatterer_spark.sources.json_input import _stage_input
 
-    assert _stage_input("s3://bucket/key.json") == "s3a://bucket/key.json"
+    class _FakeClass:
+        @staticmethod
+        def forName(name):
+            assert name == "org.apache.hadoop.fs.s3a.S3AFileSystem"
+            return object()
+
+    class _FakeLang:
+        Class = _FakeClass
+
+    class _FakeJvm:
+        java = type("j", (), {"lang": _FakeLang})
+
+    class _FakeSpark:
+        _jvm = _FakeJvm()
+
+    assert (
+        _stage_input("s3://bucket/key.json", _FakeSpark())
+        == "s3a://bucket/key.json"
+    )
     assert _stage_input("/local/path.json") == "/local/path.json"
+
+
+def test_s3_stages_via_boto3_without_connector(monkeypatch):
+    """Without the connector (this container), s3:// inputs stage to a
+    local spool via boto3 -- the driver-staged fallback; the live moto
+    integration lives in tests/test_s3_moto.py."""
+    from flatterer_spark.sinks import s3io
+    from flatterer_spark.sources import json_input
+
+    staged = {}
+
+    def fake_stage(uri):
+        import tempfile
+
+        fd, p = tempfile.mkstemp(suffix=".json")
+        import os
+
+        os.close(fd)
+        staged["uri"] = uri
+        return p
+
+    monkeypatch.setattr(s3io, "stage_s3_to_local", fake_stage)
+    out = json_input._stage_input("s3://bucket/key.json", None)
+    assert staged["uri"] == "s3://bucket/key.json"
+    assert out.endswith(".json") and not out.startswith("s3")
+    json_input.cleanup_spools([out])
