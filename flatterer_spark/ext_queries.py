@@ -670,13 +670,19 @@ def sql_split_leakage_check(
     """
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
 
 
 def _sql_simhash_sig(g: Gen) -> str:
-    """CTE body computing (doc_id, simhash) -- majority bit over token hashes."""
+    """CTE body computing (doc_id, simhash) -- majority bit over token
+    hashes.  60-bit (round 6; was 32): the banded near-dup join's candidate
+    volume is ~4 * n^2 / band_space, and 8-bit bands over a 32-bit hash cap
+    the space at 256 values per band -- quadratic pair growth that the 10x
+    scale-slope bench surfaced (BENCH_SCALE_r06: 108 s at 10x).  15-bit
+    bands (md5_60 fits SIGNED BIGINT on both engines) widen the space
+    128x at the cost of 28 more majority-bit aggregates."""
     toks = g.tokens("text")
-    hs = g.transform(g.distinct("toks"), "t", g.md5_32("t"))
+    hs = g.transform(g.distinct("toks"), "t", g.md5_60("t"))
     n = g.size("hs")
     bit_terms = []
     for b in range(SIMHASH_BITS):
@@ -698,9 +704,9 @@ def sql_dedup_simhash(g: Gen) -> str:
 
 
 def sql_dedup_simhash_pairs(g: Gen, max_dist: int = 3) -> str:
-    """Near-dup pairs at hamming <= 3 over the 32-bit simhash.
+    """Near-dup pairs at hamming <= 3 over the 60-bit simhash.
 
-    Spark runs the *banded* plan (4 bands of 8 bits; pigeonhole guarantees a
+    Spark runs the *banded* plan (4 bands of 15 bits; pigeonhole guarantees a
     pair within distance 3 shares at least one exact band -> equi-join on the
     band value instead of an O(n^2) cross join).  DuckDB runs the closed-form
     all-pairs filter.  Identical result sets prove the banded plan is lossless.
@@ -708,7 +714,7 @@ def sql_dedup_simhash_pairs(g: Gen, max_dist: int = 3) -> str:
     dist = f"CAST(bit_count({_xor(g, 'a.simhash', 'b.simhash')}) AS BIGINT)"
     if g.spark:
         band_vals = ", ".join(
-            f"CAST({j * 256} + ({g.shr('simhash', 8 * j)} & 255) AS BIGINT)"
+            f"CAST({j * 32768} + ({g.shr('simhash', 15 * j)} & 32767) AS BIGINT)"
             for j in range(4)
         )
         return f"""

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flatterer_spark.functions.textgen import Gen
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,13 +35,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) -- identical values to ext_queries._sql_simhash_sig."""
+    """(doc_id, simhash) -- identical values to ext_queries._sql_simhash_sig
+    (60-bit md5 token hashes; see its docstring for the round-6 widening)."""
     tok_hashes = (
         _docs(spark, sf_dir)
         .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS t")
         .selectExpr(
             "doc_id",
-            "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS h",
+            "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS h",
         )
     )
     aggs = [F.count(F.lit(1)).alias("n")] + [
@@ -66,12 +67,15 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_pairs_query(
     spark: SparkSession, sf_dir: str, max_dist: int = 3
 ) -> DataFrame:
-    """Banded near-dup join: 4 bands of 8 bits; pigeonhole guarantees any pair
-    at hamming <= 3 collides on at least one band, so the quadratic cross join
-    becomes a shuffle-friendly equi-join on the band value."""
+    """Banded near-dup join: 4 bands of 15 bits; pigeonhole guarantees any
+    pair at hamming <= 3 collides on at least one band, so the quadratic
+    cross join becomes a shuffle-friendly equi-join on the band value.
+    Expected collision-driven candidates are ~4 * n^2 / 2^16 -- the 15-bit
+    band space is what keeps the pair set near-linear (8-bit bands measured
+    quadratic at the 10x scale bench, BENCH_SCALE_r06)."""
     sig = simhash_sig(spark, sf_dir).cache()
     band_vals = ", ".join(
-        f"CAST({j * 256} + (shiftright(simhash, {8 * j}) & 255) AS BIGINT)"
+        f"CAST({j * 32768} + (shiftright(simhash, {15 * j}) & 32767) AS BIGINT)"
         for j in range(4)
     )
     bands = sig.selectExpr("doc_id", f"explode(array({band_vals})) AS band")
