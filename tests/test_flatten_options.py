@@ -191,6 +191,34 @@ def test_csv_exact_merged_byte_parity(spark, tmp_path):
         assert fa.read() == fb.read()
 
 
+def test_fused_metadata_matches_two_pass(spark, tmp_path, monkeypatch):
+    """The observe()-fused single-pass flow (large inputs) must produce
+    byte-identical fields.csv / tables.csv / datapackage.json AND csv table
+    bytes to the two-pass flow (metadata job first): forced by dropping the
+    writer threshold to 5 rows so the fused path runs on a small corpus,
+    then comparing against a high-threshold run of the same input."""
+    import flatterer_spark.flatten as fl
+
+    src = _write(tmp_path, "fused.json", [
+        {"id": i, "name": f"n{i}", "when": "2024-01-0" + str(1 + i % 9),
+         "kids": [{"k": i}, {"k": i + 1}]}
+        for i in range(40)
+    ])
+    out_a = str(tmp_path / "two_pass")
+    fl.flatten(src, out_a, spark=spark)
+
+    monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", 5)
+    out_b = str(tmp_path / "fused")
+    fl.flatten(src, out_b, spark=spark)
+
+    for rel in ("csv/main.csv", "csv/kids.csv", "fields.csv", "tables.csv",
+                "datapackage.json"):
+        with open(os.path.join(out_a, rel), "rb") as a, open(
+            os.path.join(out_b, rel), "rb"
+        ) as b:
+            assert a.read() == b.read(), rel
+
+
 def test_exact_csv_auto_stays_exact_below_threshold(spark, tmp_path):
     """Below the threshold the default remains exact single-file CSV (golden
     parity behavior unchanged)."""
