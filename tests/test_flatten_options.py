@@ -709,6 +709,31 @@ def test_empty_input_yields_empty_main(spark, tmp_path):
         assert lines[0] == "_link" and len(lines) == 1
 
 
+def test_flatten_tables_read_the_cache_not_the_json(spark, tmp_path):
+    """Plan contract for the single-parse pipeline: every table's plan must
+    scan the persisted parsed input (InMemoryTableScan), never re-read the
+    JSON relation -- the property that keeps flatten at exactly two full
+    parses (schema inference + cache build) regardless of table count."""
+    from flatterer_spark.flatten_api import flatten_dataframes
+
+    src = _write(tmp_path, "cache.json",
+                 [{"id": i, "kids": [{"k": i}]} for i in range(20)])
+    res = flatten_dataframes(spark, src)
+    try:
+        assert res.input_df is not None
+        assert res.input_df.storageLevel.useMemory
+        for name, df in res.tables.items():
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, f"{name} does not read the cache"
+            # the cached plan's own description (below InMemoryTableScan)
+            # legitimately shows the FileScan it caches; nothing ABOVE the
+            # cache may scan the JSON relation directly
+            above = plan.split("InMemoryTableScan")[0]
+            assert "FileScan json" not in above, f"{name} re-parses the JSON"
+    finally:
+        res.unpersist()
+
+
 def test_malformed_json_fails_and_cleans_output(spark, tmp_path):
     """Reference parity: malformed input errors the run (no silent
     _corrupt_record column / null rows) and error hygiene removes the
