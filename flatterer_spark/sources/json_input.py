@@ -364,20 +364,29 @@ def _reject_malformed(df: DataFrame) -> DataFrame:
     if _CORRUPT not in df.columns:
         return df
     # Spark disallows queries referencing only the corrupt column on an
-    # uncached JSON relation; the cache is reused by the rest of the pipeline
+    # uncached JSON relation -- cache just long enough for the probe below,
+    # then release: flatten() installs its own pipeline-wide persist (the
+    # prepared-ordinal cache), and keeping this one alive would hold a
+    # second full copy of the parse for the rest of the session.
     df = df.cache()
     import json as _json
 
-    flagged = (
-        df.where(F.col(_CORRUPT).isNotNull()).select(_CORRUPT).limit(20).collect()
-    )
-    for r in flagged:
-        try:
-            _json.loads(r[0])
-        except Exception:
-            raise ValueError(
-                f"malformed JSON input (first bad record: {r[0][:200]!r})"
-            ) from None
+    try:
+        flagged = (
+            df.where(F.col(_CORRUPT).isNotNull())
+            .select(_CORRUPT)
+            .limit(20)
+            .collect()
+        )
+        for r in flagged:
+            try:
+                _json.loads(r[0])
+            except Exception:
+                raise ValueError(
+                    f"malformed JSON input (first bad record: {r[0][:200]!r})"
+                ) from None
+    finally:
+        df.unpersist()
     return df.drop(_CORRUPT)
 
 

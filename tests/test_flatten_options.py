@@ -750,6 +750,24 @@ def test_malformed_json_fails_and_cleans_output(spark, tmp_path):
     assert not os.path.exists(out)
 
 
+def test_coercion_edge_keeps_rows_and_releases_probe_cache(spark, tmp_path):
+    """Valid JSON that Spark's PERMISSIVE reader flags (a '' cell under an
+    otherwise-boolean column) must keep the row (cell nulls) -- and the
+    corrupt-column probe's temporary cache must be RELEASED once the probe
+    ran (it would otherwise hold a second full copy of the parse alongside
+    flatten's pipeline persist for the rest of the session)."""
+    from flatterer_spark.flatten import flatten
+
+    src = tmp_path / "coerce.jsonl"
+    src.write_text('{"id": 1, "flag": true}\n{"id": 2, "flag": ""}\n')
+    out = str(tmp_path / "o")
+    flatten(str(src), out, spark=spark, ndjson=True)
+    with open(os.path.join(out, "csv", "main.csv")) as f:
+        assert len(f.read().splitlines()) == 3  # header + both rows
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, "a cache outlived flatten()"
+
+
 def test_flatterer_log_env_hook(monkeypatch):
     """C4: FLATTERER_LOG env overrides the default level (reference
     docs/development.md:46-48; 'trace' maps to DEBUG)."""
