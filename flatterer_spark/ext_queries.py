@@ -3201,6 +3201,7 @@ def _kmeans() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "emb_kmeans": KM.emb_kmeans,
+        "emb_coreset_kcenter": KM.emb_coreset_kcenter,
         "emb_pq_codes": KM.pq_codes,
         "sim_topk_ivfpq": KM.sim_topk_ivfpq,
         "dedup_semantic": SM.dedup_semantic,
@@ -3222,6 +3223,8 @@ def _data_derived_oracle_builders() -> dict[str, Callable[[str], str]]:
 
     return {
         "emb_kmeans": lambda sf: KM.oracle_emb_kmeans(sf_dir=sf),
+        "emb_coreset_kcenter":
+            lambda sf: KM.oracle_emb_coreset_kcenter(sf_dir=sf),
         "emb_pq_codes": lambda sf: KM.oracle_emb_pq_codes(sf_dir=sf),
         "emb_pca_project": lambda sf: P.oracle_emb_pca_project(sf_dir=sf),
         "sim_topk_ivfpq": lambda sf: KM.oracle_sim_topk_ivfpq(sf_dir=sf),
@@ -3243,6 +3246,7 @@ def _kmeans_oracles() -> dict[str, str]:
     try:
         return {
             "emb_kmeans": KM.oracle_emb_kmeans(),
+            "emb_coreset_kcenter": KM.oracle_emb_coreset_kcenter(),
             "emb_pq_codes": KM.oracle_emb_pq_codes(),
             "sim_topk_ivfpq": KM.oracle_sim_topk_ivfpq(),
             "dedup_semantic": SM.oracle_dedup_semantic(),

@@ -259,6 +259,196 @@ def emb_kmeans(spark, sf_dir: str, k: int = 10, iters: int = 5) -> DataFrame:
     )
 
 
+_kcenter_cache: dict[tuple, list] = {}
+
+
+def kcenter_fit(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 16
+) -> list[tuple[int, list[float]]]:
+    """Greedy farthest-point k-center selection (Gonzalez 1985): seed at the
+    lowest-id vector, then k-1 times pick the vector FARTHEST from its
+    nearest already-chosen center -- the standard diversity-coreset /
+    data-pruning primitive (the redundancy-removal complement of SemDeDup:
+    that drops what is too similar, this keeps what is maximally spread).
+
+    Returns [(center_vec_id, center_vector), ...] in selection order.
+
+    Scale shape: k-1 driver-loop iterations, each ONE map+TakeOrdered job
+    -- the current center set rides as a constant-folded literal (same
+    ``_dists`` machinery as the k-means fit), per-row cost is one codegen'd
+    fold, and exactly one row returns to the driver per iteration.  Driver
+    state is k x d.  No shuffle anywhere.
+
+    Determinism: centers are RAW data vectors (no averaging, so no
+    quantization is needed on the model itself); the selection metric
+    (min squared distance to the center set) is quantized to 6 decimals
+    with the module's snap epsilon before the argmax, ties broken by
+    lowest vec_id -- the same discipline that makes the k-means model
+    partitioning-invariant."""
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).persist()
+    try:
+        vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        seed = df.orderBy(id_col).limit(1).select(id_col, vecd.alias("e")).collect()
+        if not seed:
+            return []
+        centers = [(int(seed[0][0]), [float(x) for x in seed[0]["e"]])]
+        m = 10 ** _Q
+        for _ in range(k - 1):
+            dmin2 = F.array_min(_dists(vecd, [c for _, c in centers]))
+            q = F.floor(dmin2 * m + F.lit(0.5) + F.lit(1e-9)) / m
+            row = (
+                df.select(F.col(id_col), vecd.alias("e"), q.alias("q"))
+                .orderBy(F.desc("q"), F.asc(id_col))
+                .limit(1)
+                .collect()
+            )[0]
+            if int(row[id_col]) in {cid for cid, _ in centers}:
+                break  # fewer distinct vectors than k: center set saturated
+            centers.append((int(row[id_col]), [float(x) for x in row["e"]]))
+        return centers
+    finally:
+        df.unpersist()
+
+
+def kcenter_fit_numpy(X, ids, k: int):
+    """Sequential reference for :func:`kcenter_fit`: identical seed, an
+    explicitly LEFT-FOLDED squared distance (per-dimension sequential
+    accumulation, bit-identical to Spark's ``aggregate`` fold), the same
+    6-decimal snap quantization of the selection metric, and the same
+    lowest-id tie-break.  Used by :func:`oracle_emb_coreset_kcenter` to
+    refit the center set independently at oracle-build time."""
+    import numpy as np
+
+    m = 10 ** _Q
+    order = np.argsort(ids, kind="stable")
+    X, ids = X[order], np.asarray(ids)[order]
+
+    def d2_to(c):
+        acc = np.zeros(len(X), dtype=np.float64)
+        for i in range(X.shape[1]):  # left fold over dims, like the engine
+            dd = X[:, i] - c[i]
+            acc = acc + dd * dd
+        return acc
+
+    centers = [(int(ids[0]), X[0].astype(np.float64))]
+    dmin = d2_to(X[0])
+    for _ in range(k - 1):
+        q = np.floor(dmin * m + 0.5 + 1e-9) / m
+        j = int(np.argmax(q))  # argsorted ids: first max = lowest id
+        if int(ids[j]) in {cid for cid, _ in centers}:
+            break
+        centers.append((int(ids[j]), X[j].astype(np.float64)))
+        dmin = np.minimum(dmin, d2_to(X[j]))
+    return centers
+
+
+def emb_coreset_kcenter(spark, sf_dir: str, k: int = 16) -> DataFrame:
+    """Gate query: k-center coreset over the embeddings table; one row per
+    vector with its nearest center's selection rank, the center's vec_id,
+    the distance, and an is_center flag -- the pruning decision table a
+    diversity-subsampling pass consumes.
+
+    Oracle-hash-checked via :func:`oracle_emb_coreset_kcenter` (independent
+    numpy refit + DuckDB assignment over the spliced center literals);
+    ``tests/test_kmeans.py`` additionally compares the distributed
+    selection exactly against a sequential reference."""
+    from flatterer_spark.queries import T, round_half_up
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = (id(spark), sf_dir, k, _emb_fingerprint(sf_dir))
+    if key not in _kcenter_cache:
+        _kcenter_cache[key] = kcenter_fit(emb, "embedding", "vec_id", k=k)
+    centers = _kcenter_cache[key]
+    if not centers:
+        return spark.createDataFrame(
+            [],
+            "vec_id long, center_rank long, center_vec_id long, "
+            "dist double, is_center long",
+        )
+    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dists = _dists(vecd, [c for _, c in centers])
+    rank = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    cid_book = F.array(*[F.lit(cid) for cid, _ in centers])
+    center_ids = [cid for cid, _ in centers]
+    wide = emb.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        wide.select(
+            "vec_id",
+            rank.alias("center_rank"),
+            F.element_at(cid_book, (rank + 1).cast("int"))
+            .cast("long")
+            .alias("center_vec_id"),
+            round_half_up(F.sqrt(F.array_min(dists)), 4).alias("dist"),
+            F.col("vec_id").isin(center_ids).cast("long").alias("is_center"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def oracle_emb_coreset_kcenter(k: int = 16, sf_dir: str | None = None) -> str:
+    """DuckDB oracle for :func:`emb_coreset_kcenter`: the center set is
+    refit by the independent sequential numpy pass at oracle-build time
+    and spliced in as literals; DuckDB recomputes every vector's nearest
+    center with the same left-fold distance (list_reduce) -- a drifted
+    selection changes the literals and therefore every assignment, a
+    broken assignment expression diverges from DuckDB's evaluation."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).sort_by("vec_id")
+    ids = np.array(t["vec_id"].to_pylist())
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    centers = kcenter_fit_numpy(X, ids, k)
+    dim = X.shape[1]
+    rows = ",\n        ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            r, cid, ", ".join(repr(float(x)) for x in c)
+        )
+        for r, (cid, c) in enumerate(centers)
+    )
+    cid_list = ", ".join(str(cid) for cid, _ in centers)
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        "i -> (e[i] - c[i]) * (e[i] - c[i]))), (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {dim}),
+                              i -> CAST(embedding[i] AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cents(rnk, cid, c) AS (VALUES
+        {rows}),
+    d AS (SELECT vec_id, rnk, cid, {d2} AS d2 FROM ev CROSS JOIN cents),
+    r AS (
+        SELECT vec_id, rnk, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, rnk) AS rn
+        FROM d
+    )
+    SELECT vec_id,
+           CAST(rnk AS BIGINT) AS center_rank,
+           CAST(cid AS BIGINT) AS center_vec_id,
+           FLOOR(sqrt(d2) * 10000 + 0.5) / 10000 AS dist,
+           CAST(CASE WHEN vec_id IN ({cid_list}) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_center
+    FROM r WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
 def _pq_assign_cols(vecd, books: list[list[list[float]]], sub: int):
     """Per-subspace (code, min-dist, subvector) column expressions."""
     code_cols, err_cols, sub_cols = [], [], []

@@ -117,6 +117,57 @@ def test_pq_codes_compress_losslessly_enough(spark, sf_dir, X):
     assert mean_err < 0.8 * energy
 
 
+def test_kcenter_matches_sequential_reference(spark, sf_dir, X):
+    """The distributed greedy k-center selection must pick EXACTLY the
+    same centers, in the same order, as a sequential reference (this is a
+    third copy, independent of kcenter_fit_numpy which feeds the oracle):
+    left-folded distances, 6-decimal snap quantization of the selection
+    metric, lowest-id tie-break."""
+    k = 16
+    got = K.kcenter_fit(
+        _emb_df(spark, sf_dir), "embedding", "vec_id", k=k
+    )
+
+    ids = np.arange(len(X))
+    centers = [(0, X[0])]
+    acc = np.zeros(len(X))
+    for i in range(X.shape[1]):
+        dd = X[:, i] - X[0][i]
+        acc = acc + dd * dd
+    dmin = acc
+    for _ in range(k - 1):
+        q = np.floor(dmin * 1e6 + 0.5 + 1e-9) / 1e6
+        j = int(np.argmax(q))
+        if int(ids[j]) in {c for c, _ in centers}:
+            break
+        centers.append((int(ids[j]), X[j]))
+        acc = np.zeros(len(X))
+        for i in range(X.shape[1]):
+            dd = X[:, i] - X[j][i]
+            acc = acc + dd * dd
+        dmin = np.minimum(dmin, acc)
+
+    assert [cid for cid, _ in got] == [cid for cid, _ in centers]
+    for (gc, gv), (rc, rv) in zip(got, centers):
+        assert gv == [float(x) for x in rv], gc
+
+
+def test_kcenter_covering_radius_shrinks(spark, sf_dir):
+    """More centers can only shrink (never grow) the covering radius --
+    the monotonicity that makes greedy k-center a 2-approximation of the
+    optimal coreset."""
+    out8 = K.emb_coreset_kcenter(spark, sf_dir, k=8).collect()
+    out16 = K.emb_coreset_kcenter(spark, sf_dir, k=16).collect()
+    assert max(r["dist"] for r in out16) <= max(r["dist"] for r in out8)
+    assert sum(r["is_center"] for r in out16) == 16
+
+
+def _emb_df(spark, sf_dir):
+    from flatterer_spark.queries import T
+
+    return T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
 def test_ivfpq_recall_vs_bruteforce(spark, sf_dir, X):
     """IVF-PQ approximate top-k must substantially agree with exact
     brute-force top-k (recall pinned well above chance; chance at nprobe=4
