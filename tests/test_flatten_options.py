@@ -758,14 +758,20 @@ def test_coercion_edge_keeps_rows_and_releases_probe_cache(spark, tmp_path):
     flatten's pipeline persist for the rest of the session)."""
     from flatterer_spark.flatten import flatten
 
+    def cached_ids():
+        return {
+            r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = cached_ids()  # other tests' session-lifetime staged views
     src = tmp_path / "coerce.jsonl"
     src.write_text('{"id": 1, "flag": true}\n{"id": 2, "flag": ""}\n')
     out = str(tmp_path / "o")
     flatten(str(src), out, spark=spark, ndjson=True)
     with open(os.path.join(out, "csv", "main.csv")) as f:
         assert len(f.read().splitlines()) == 3  # header + both rows
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) == 0, "a cache outlived flatten()"
+    leaked = cached_ids() - before
+    assert not leaked, f"a cache outlived flatten(): {leaked}"
 
 
 def test_flatterer_log_env_hook(monkeypatch):
