@@ -2039,10 +2039,15 @@ def sql_events_ewma(g: Gen, alpha: float = 0.3) -> str:
     (`tests/test_ext_queries.py::test_events_ewma_hot_key_bounded_state`;
     the no-unbounded-collect shape is pinned by a plan contract).
 
-    DuckDB oracle stays the literal sequential spec (list in (ts, event_id)
-    order, left fold).  The two op orders agree to ~1e-15 relative; the
-    6-decimal display rounding absorbs that (both engines are deterministic,
-    so the gate comparison is stable)."""
+    DuckDB oracle mirrors the SAME segmented algebra op-for-op (list_reduce
+    over the identical segment slices, identical multiply/add expression
+    trees), so the two engines produce bit-identical doubles and the
+    exact-hash gate has zero rounding-boundary exposure (ADVICE r6: a value
+    within reassociation noise of a FLOOR(x*1e6+0.5) boundary could
+    otherwise round differently per engine).  Independence of the check is
+    preserved elsewhere: ``test_events_ewma_matches_pandas`` compares this
+    plan against pandas' sequential ``ewm(adjust=False)`` spec with a 2e-6
+    tolerance, and the hot-key test folds the recurrence in pure Python."""
     a, one_m = g.d(alpha), g.d(1.0 - alpha)
     if g.spark:
         w = EWMA_SEGMENT_LEN
@@ -2094,19 +2099,57 @@ def sql_events_ewma(g: Gen, alpha: float = 0.3) -> str:
         FROM comb
         ORDER BY user_id
         """
-    ordered = "list(value ORDER BY ts, event_id)"
-    fold = (
-        f"list_reduce(list_prepend(CAST(NULL AS DOUBLE), {ordered}), "
-        f"(acc, x) -> CASE WHEN acc IS NULL THEN x "
-        f"ELSE {a} * x + {one_m} * acc END)"
+    w = EWMA_SEGMENT_LEN
+    # Same fold, same op order as the Spark plan: element carries x in .p,
+    # seg fold does (acc.d * one_m, a*x + one_m*acc.p), segment compose does
+    # (acc.d * s.d, s.p + s.d * acc.p) -- identical expression trees give
+    # bit-identical IEEE doubles, so the FLOOR snap below can never disagree.
+    seg_fold = (
+        "list_reduce("
+        "list_prepend({'d': CAST(1.0 AS DOUBLE), 'p': CAST(0.0 AS DOUBLE)}, "
+        "list_transform(list(value ORDER BY rn), "
+        "x -> {'d': CAST(0.0 AS DOUBLE), 'p': CAST(x AS DOUBLE)})), "
+        f"(acc, e) -> {{'d': acc.d * {one_m}, "
+        f"'p': {a} * e.p + {one_m} * acc.p}})"
+    )
+    comb_fold = (
+        "list_reduce("
+        "list_prepend({'d': CAST(1.0 AS DOUBLE), 'p': CAST(0.0 AS DOUBLE)}, "
+        "list_transform(list({'d': dp.d, 'p': dp.p} ORDER BY seg), "
+        "s -> {'d': s.d, 'p': s.p})), "
+        "(acc, s) -> {'d': acc.d * s.d, 'p': s.p + s.d * acc.p})"
     )
     return f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    segs AS (
+      SELECT user_id,
+             CAST(FLOOR((rn - 1) / {w}) AS BIGINT) AS seg,
+             {seg_fold} AS dp,
+             MIN(CASE WHEN rn = 1 THEN value END) AS first_v,
+             COUNT(*) AS n,
+             MAX(ts) AS mts
+      FROM ordered
+      GROUP BY user_id, CAST(FLOOR((rn - 1) / {w}) AS BIGINT)
+    ),
+    comb AS (
+      SELECT user_id,
+             {comb_fold} AS t,
+             SUM(n) AS n_events,
+             MAX(mts) AS last_ts,
+             MAX(CASE WHEN seg = 0 THEN first_v END) AS first_v
+      FROM segs
+      GROUP BY user_id
+    )
     SELECT user_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           MAX(ts) AS last_ts,
-           {g.round2(fold, 6)} AS ewma6
-    FROM events
-    GROUP BY user_id
+           CAST(n_events AS BIGINT) AS n_events,
+           last_ts,
+           {g.round2('t.p + t.d * first_v', 6)} AS ewma6
+    FROM comb
     ORDER BY user_id
     """
 

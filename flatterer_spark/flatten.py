@@ -123,11 +123,18 @@ def flatten(
     if output_dir and output_dir.startswith("s3://"):
         # K7: s3:// output -- write locally, then upload every artifact
         # (sinks/s3io.py; on a cluster with hadoop-aws, table data would go
-        # through df.write to s3a:// instead).  force is implicit: S3 puts
-        # overwrite.
+        # through df.write to s3a:// instead).  force keeps local semantics:
+        # S3 puts silently overwrite, so force=False probes the destination
+        # prefix (one list request) and refuses if anything is there (C1).
         import tempfile
 
+        from flatterer_spark.sinks.s3io import prefix_nonempty
+
         s3_output = output_dir.rstrip("/")
+        if not force and prefix_nonempty(s3_output):
+            raise FileExistsError(
+                f"{s3_output} is non-empty (pass force=True)"
+            )
         output_dir = tempfile.mkdtemp(prefix="flatterer_s3_out_")
         tmp_cleanup = output_dir
     if output_dir and not tmp_cleanup:

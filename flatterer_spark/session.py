@@ -47,6 +47,14 @@ def get_spark(
         # stores / HDFS (which checksum at the storage layer); for local
         # file:// the raw filesystem removes a per-byte CPU pass and halves
         # small-file metadata ops on the exact-CSV part writes.
+        # NOTE this is session-global: it disables CRC sidecars for ALL
+        # file:// I/O in the session (parquet reads, checkpoints, user
+        # workloads sharing it), not just the CSV part writes.  Acceptable
+        # here because local file:// data is transient test/staging bytes;
+        # a consumer that relies on checksummed local-FS behavior can
+        # restore the default via
+        # ``extra_conf={"spark.hadoop.fs.file.impl":
+        # "org.apache.hadoop.fs.LocalFileSystem"}``.
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     )
     for k, v in (extra_conf or {}).items():

@@ -65,18 +65,53 @@ def stage_s3_to_local(uri: str) -> str:
     return out
 
 
+def prefix_nonempty(uri: str) -> bool:
+    """True iff at least one object exists under ``uri`` (prefix).
+
+    Backs ``force=False`` for ``s3://`` output dirs: S3 puts silently
+    overwrite, so the local "output dir exists" check has to become a
+    list-objects probe (one keys-limited request)."""
+    bucket, prefix = parse_s3_uri(uri)
+    prefix = prefix.rstrip("/")
+    resp = _client().list_objects_v2(
+        Bucket=bucket, Prefix=f"{prefix}/" if prefix else "", MaxKeys=1
+    )
+    return resp.get("KeyCount", 0) > 0
+
+
 def upload_dir_to_s3(local_dir: str, uri: str) -> dict[str, str]:
     """Upload every file under ``local_dir`` to ``uri`` (prefix), preserving
-    relative paths.  Returns {relative path: s3 uri}."""
+    relative paths.  Returns {relative path: s3 uri}.
+
+    No-partial-output contract (C2 parity for the remote side): if any
+    upload fails, every key already uploaded by THIS call is deleted
+    (best-effort) before the error propagates, so a failed run never leaves
+    a partial object tree in the bucket."""
     bucket, prefix = parse_s3_uri(uri)
     prefix = prefix.rstrip("/")
     cli = _client()
     uploaded: dict[str, str] = {}
-    for root, _, files in os.walk(local_dir):
-        for fn in sorted(files):
-            full = os.path.join(root, fn)
-            rel = os.path.relpath(full, local_dir)
-            key = f"{prefix}/{rel}" if prefix else rel
-            cli.upload_file(full, bucket, key)
-            uploaded[rel] = f"s3://{bucket}/{key}"
+    done_keys: list[str] = []
+    try:
+        for root, _, files in os.walk(local_dir):
+            for fn in sorted(files):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, local_dir)
+                key = f"{prefix}/{rel}" if prefix else rel
+                cli.upload_file(full, bucket, key)
+                done_keys.append(key)
+                uploaded[rel] = f"s3://{bucket}/{key}"
+    except BaseException:
+        for i in range(0, len(done_keys), 1000):  # delete_objects caps at 1000
+            try:
+                cli.delete_objects(
+                    Bucket=bucket,
+                    Delete={
+                        "Objects": [{"Key": k} for k in done_keys[i:i + 1000]],
+                        "Quiet": True,
+                    },
+                )
+            except Exception:
+                pass  # cleanup is best-effort; the original error wins
+        raise
     return uploaded

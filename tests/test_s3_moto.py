@@ -133,3 +133,66 @@ def test_s3_input_gz_suffix_preserved(s3_env, spark, tmp_path):
     )
     with open(res["data"]["main"]) as f:
         assert len(f.read().splitlines()) == 3  # header + 2 rows
+
+
+def test_s3_output_force_false_refuses_nonempty_prefix(s3_env, spark):
+    """force=False must not silently overwrite an existing S3 output tree:
+    the destination prefix is probed with one list request and a non-empty
+    prefix raises, mirroring the local FileExistsError (C1)."""
+    from flatterer_spark.flatten import flatten
+
+    s3_env.put_object(
+        Bucket="flatterer-out", Key="occupied/csv/main.csv", Body=b"old"
+    )
+    with pytest.raises(FileExistsError):
+        flatten(f"{FIX}/basic.json", "s3://flatterer-out/occupied", spark=spark)
+    # force=True proceeds and overwrites
+    res = flatten(
+        f"{FIX}/basic.json",
+        "s3://flatterer-out/occupied",
+        spark=spark,
+        force=True,
+    )
+    got = s3_env.get_object(Bucket="flatterer-out", Key="occupied/csv/main.csv")[
+        "Body"
+    ].read()
+    assert got != b"old" and b"_link" in got
+
+
+def test_s3_upload_failure_leaves_no_partial_tree(s3_env, tmp_path):
+    """If an upload fails partway, upload_dir_to_s3 must delete the keys it
+    already uploaded so the remote side keeps the no-partial-output
+    contract (C2)."""
+    from flatterer_spark.sinks import s3io
+
+    src = tmp_path / "tree"
+    (src / "csv").mkdir(parents=True)
+    for i in range(4):
+        (src / "csv" / f"t{i}.csv").write_text(f"row{i}\n")
+
+    real_client = s3io._client
+
+    class FailsOnThird:
+        def __init__(self, inner):
+            self._inner = inner
+            self._n = 0
+
+        def upload_file(self, *a, **kw):
+            self._n += 1
+            if self._n == 3:
+                raise RuntimeError("simulated mid-upload network failure")
+            return self._inner.upload_file(*a, **kw)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    s3io._client = lambda: FailsOnThird(real_client())
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            s3io.upload_dir_to_s3(str(src), "s3://flatterer-out/partial")
+    finally:
+        s3io._client = real_client
+    listed = s3_env.list_objects_v2(
+        Bucket="flatterer-out", Prefix="partial/"
+    )
+    assert listed.get("KeyCount", 0) == 0, listed.get("Contents")
