@@ -208,6 +208,32 @@ def flatten(
         if not fused:
             compute_metadata(result)
 
+        # Fused mode knows only the MAIN table's count up front; child
+        # tables (explodes) can be any size, and a 10-row child should not
+        # pay a distributed write job + temp dir + concat just because the
+        # main table is big (ADVICE r6).  One bounded-count action decides:
+        # each leg is limit(MAX+1) over the persisted parse, so big children
+        # stop after one partition and tiny children cost a cache scan.
+        fused_small: set[str] = set()
+        if fused and len(result.tables) > 1:
+            import pyspark.sql.functions as F
+            from functools import reduce
+
+            legs = [
+                df.limit(EXACT_CSV_MAX_ROWS + 1)
+                .groupBy()
+                .count()
+                .select(F.lit(name).alias("t"), F.col("count").alias("n"))
+                for name, df in result.tables.items()
+                if name != main_table_name
+            ]
+            for r in reduce(lambda a, b: a.unionAll(b), legs).collect():
+                if r["n"] <= EXACT_CSV_MAX_ROWS:
+                    # exact (not truncated) -- safe to record; big children
+                    # get their true count from the observed metadata
+                    result.row_counts[r["t"]] = r["n"]
+                    fused_small.add(r["t"])
+
         def _write_table_csv(name: str, df) -> str:
             p = os.path.join(csv_dir, f"{name}.csv")
             # exact (single-file, byte-deterministic) CSV is the default
@@ -220,8 +246,9 @@ def flatten(
             if exact_csv is False:
                 writers.write_csv_distributed(df, p, preview=preview)
             elif (
-                not fused
-                and result.row_counts.get(name, 0) <= EXACT_CSV_MAX_ROWS
+                name in fused_small
+                if fused
+                else result.row_counts.get(name, 0) <= EXACT_CSV_MAX_ROWS
             ):
                 writers.write_csv_exact(
                     df, p, preview=preview, titles=result.titles_for(name)

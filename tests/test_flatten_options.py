@@ -219,6 +219,51 @@ def test_fused_metadata_matches_two_pass(spark, tmp_path, monkeypatch):
             assert a.read() == b.read(), rel
 
 
+def test_fused_small_child_keeps_driver_exact_writer(spark, tmp_path,
+                                                     monkeypatch):
+    """In fused mode the writer choice is per-table, not keyed on the main
+    table's size (ADVICE r6): a tiny child table takes the cheap driver
+    collect writer (no distributed write job + temp dir), the big main
+    table keeps the merged writer, and the observed metadata (fields.csv,
+    counts) stays byte-identical to the two-pass flow either way."""
+    import flatterer_spark.flatten as fl
+    from flatterer_spark.sinks import writers
+
+    src = _write(tmp_path, "wide.json", [
+        {"id": i, "name": f"n{i}",
+         "kids": ([{"k": 1}, {"k": 2}] if i == 0 else [])}
+        for i in range(30)
+    ])
+    out_ref = str(tmp_path / "ref_two_pass")
+    fl.flatten(src, out_ref, spark=spark)
+
+    monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", 10)
+    real_exact = writers.write_csv_exact
+    real_merged = writers.write_csv_exact_merged
+    kinds: dict[str, str] = {}
+
+    def _spy(kind, real):
+        def w(df, p, **k):
+            kinds[os.path.basename(p)] = kind
+            return real(df, p, **k)
+        return w
+
+    monkeypatch.setattr(writers, "write_csv_exact", _spy("exact", real_exact))
+    monkeypatch.setattr(
+        writers, "write_csv_exact_merged", _spy("merged", real_merged)
+    )
+    out = str(tmp_path / "out_fused")
+    fl.flatten(src, out, spark=spark)
+    assert kinds["main.csv"] == "merged"  # 30 rows > 10: stays distributed
+    assert kinds["kids.csv"] == "exact"   # 2 rows: no write job + temp dir
+    for rel in ("csv/main.csv", "csv/kids.csv", "fields.csv", "tables.csv",
+                "datapackage.json"):
+        with open(os.path.join(out_ref, rel), "rb") as a, open(
+            os.path.join(out, rel), "rb"
+        ) as b:
+            assert a.read() == b.read(), rel
+
+
 def test_exact_csv_auto_stays_exact_below_threshold(spark, tmp_path):
     """Below the threshold the default remains exact single-file CSV (golden
     parity behavior unchanged)."""
