@@ -2155,6 +2155,70 @@ def sql_events_ewma(g: Gen, alpha: float = 0.3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# events_funnel: ordered multi-stage conversion funnel
+# ---------------------------------------------------------------------------
+
+
+def sql_events_funnel(g: Gen, window_hours: int = 24) -> str:
+    """Ordered conversion funnel view -> click -> purchase: a user counts
+    for stage N only with an event of that type strictly AFTER their
+    stage-N-1 entry time and within ``window_hours`` of it (first-touch
+    semantics: each stage anchors at the EARLIEST qualifying event; the
+    window is what makes the funnel an attribution statement rather than
+    an ever-eventually).  The classic sequential-pattern operator of event
+    analytics, absent from both engines as a built-in because the stage
+    predicate is order-dependent.
+
+    Spark/oracle shape (identical ANSI text): three per-user MIN aggregates,
+    each over a type-filtered slice (predicate pushed to the scan) joined
+    back to the previous stage's anchor on user_id -- no window over event
+    history, no per-user event collection; state per user is one timestamp
+    per stage.  At gate scale AQE broadcasts the shrinking anchor sets
+    (stage N's anchors are a subset of stage N-1's users).  At 100 TB,
+    bucket or pre-partition events by user_id (operators/bucketing.py is
+    the template) and every stage aggregate AND anchor join runs
+    exchange-free over the co-located layout; stages beyond three compose
+    linearly.  Output is integer user counts plus a FLOOR-snapped
+    conversion ratio (single division of exact integers --
+    bit-deterministic cross-engine)."""
+    conv = g.round2(
+        "CAST(n_users AS DOUBLE)"
+        " / CAST(LAG(n_users) OVER (ORDER BY stage) AS DOUBLE)", 4
+    )
+    return f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL {window_hours} HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL {window_hours} HOUR
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    SELECT stage, event_type, n_users, {conv} AS conv4
+    FROM counts
+    ORDER BY stage
+    """
+
+
+# ---------------------------------------------------------------------------
 # corpus_bm25_topk: BM25 ranked retrieval for a fixed query term set
 # ---------------------------------------------------------------------------
 
@@ -2590,6 +2654,78 @@ def sql_dedup_threshold_sweep(
 
 
 # ---------------------------------------------------------------------------
+# corpus_minhash_calibration: sketch-estimate accuracy vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def sql_corpus_minhash_calibration(
+    g: Gen, k: int = 3, sh_table: str | None = None
+) -> str:
+    """MinHash ESTIMATOR calibration: for every LSH candidate pair, compare
+    the signature-agreement Jaccard estimate (fraction of the 16 minhash
+    components that agree -- the only similarity a sketch-only pipeline ever
+    sees) against the exact shingle-set Jaccard, bucketed by exact-Jaccard
+    decile.  This is the audit that justifies trusting the sketch at 100 TB:
+    ``dedup_threshold_sweep`` calibrates the THRESHOLD on exact scores; this
+    calibrates the ESTIMATOR itself (bias per similarity regime, e.g. the
+    known upward spread of a 16-permutation sketch at low similarity).
+
+    Scale shape: candidates come from the banded equi-join (never
+    all-pairs); the signature join adds two hash joins against the 16-column
+    ``sig`` relation (tiny: one row per doc); exact verification touches
+    candidate pairs only -- the same cost envelope as dedup_minhash_lsh.
+
+    Float discipline: with 16 components the estimate is an exact multiple
+    of 1/16 (binary-representable), so SUM(n_agree) is pure integer;
+    per-bucket averages are single divisions of exact integers under the
+    FLOOR snap -- bit-deterministic cross-engine.  avg_exact4 is the
+    micro-average (ratio of sums) so it too stays integer-fed."""
+    inter = g.size(_intersect(g, "sa.s", "sb.s"))
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    sh = sh_table or "sh"
+    j = "CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)"
+    bucket = g.idiv(f"CAST(FLOOR({j} * 100 + {g.d(0.5)}) AS BIGINT)", "10")
+    return f"""
+    WITH {_sql_lsh_bands_chain(g, k, sh_table)},
+    cand AS (
+        SELECT {g.par_hint()}DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        FROM bl x JOIN bl y ON x.band = y.band AND x.doc_id < y.doc_id
+    ),
+    agr AS (
+        SELECT cand.id1, cand.id2, CAST({agree} AS BIGINT) AS n_agree
+        FROM cand
+        JOIN sig a ON a.doc_id = cand.id1
+        JOIN sig b ON b.doc_id = cand.id2
+    ),
+    ver AS (
+        SELECT agr.id1, agr.id2, agr.n_agree,
+               CAST({inter} AS BIGINT) AS inter,
+               CAST({g.size('sa.s')} AS BIGINT)
+                 + CAST({g.size('sb.s')} AS BIGINT)
+                 - CAST({inter} AS BIGINT) AS un
+        FROM agr
+        JOIN {sh} sa ON sa.doc_id = agr.id1
+        JOIN {sh} sb ON sb.doc_id = agr.id2
+    )
+    SELECT {bucket} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(n_agree) AS BIGINT) AS sum_agree,
+           {g.round2(
+               'CAST(SUM(n_agree) AS DOUBLE)'
+               f' / CAST({N_MINHASH} * COUNT(*) AS DOUBLE)', 4)} AS avg_est4,
+           {g.round2(
+               'CAST(SUM(inter) AS DOUBLE) / CAST(SUM(un) AS DOUBLE)',
+               4)} AS avg_exact4
+    FROM ver
+    GROUP BY {bucket}
+    ORDER BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
 # corpus_cm_sketch: Count-Min frequency sketch vs exact heavy hitters
 # ---------------------------------------------------------------------------
 
@@ -2932,6 +3068,10 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "sample_dsir": (sql_sample_dsir, ("documents",)),
     "mix_token_budget": (sql_mix_token_budget, ("documents",)),
     "events_ewma": (sql_events_ewma, ("events",)),
+    "events_funnel": (sql_events_funnel, ("events",)),
+    "corpus_minhash_calibration": (
+        sql_corpus_minhash_calibration, ("documents",)
+    ),
     "corpus_kmv_cardinality": (sql_corpus_kmv_cardinality, ("documents",)),
     "dedup_bloom": (sql_dedup_bloom, ("documents",)),
     "corpus_bm25_topk": (sql_corpus_bm25_topk, ("documents",)),
@@ -3189,6 +3329,9 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": D.embedding_near_dup_pairs,
         "dedup_ngram_jaccard": _make_sh_query(sql_dedup_ngram_jaccard),
         "dedup_minhash_lsh": _make_sh_query(sql_dedup_minhash_lsh),
+        "corpus_minhash_calibration": _make_sh_query(
+            sql_corpus_minhash_calibration
+        ),
         "dedup_incremental": _make_sh_query(sql_dedup_incremental),
         "split_leakage_check": _make_sh_query(sql_split_leakage_check),
         "ngram_topk": _make_sh_query(sql_ngram_topk),

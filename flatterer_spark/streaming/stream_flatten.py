@@ -274,6 +274,13 @@ def interval_join_stream(
     return lw.join(rw, cond)
 
 
+# Per-drain progress record (query_name -> list of microbatch progress
+# dicts), stashed by run_available_now so harnesses (bench_scale_stream.py)
+# can audit state-store growth (stateOperators[].numRowsTotal) and batch
+# counts without re-plumbing every gate query's return type.
+DRAIN_PROGRESS: dict[str, list] = {}
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
@@ -286,6 +293,8 @@ def run_available_now(
     still-open windows in a single drain.  ``timeout_sec`` hard-gates the
     drain: a query that has not terminated by then is stopped and raises,
     so a mis-wired stateful operator can never hang a test run."""
+    import json as _json
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -298,6 +307,13 @@ def run_available_now(
         raise TimeoutError(
             f"streaming drain '{query_name}' did not terminate in {timeout_sec}s"
         )
+    try:
+        DRAIN_PROGRESS[query_name] = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in q.recentProgress
+        ]
+    except Exception:  # progress capture must never fail a drain
+        DRAIN_PROGRESS[query_name] = []
     return stream_df.sparkSession.table(query_name)
 
 

@@ -776,3 +776,39 @@ def test_mm_phash_python_stage_equals_sql_spec(spark, sf_dir):
         ).collect()
     }
     assert py == sql and len(py) > 0
+
+
+def test_events_funnel_monotone_and_nondegenerate(spark, sf_dir):
+    """Funnel stage populations must be strictly positive at stage 1 and
+    non-increasing (a user cannot convert at stage N without stage N-1),
+    and the 24h window must actually discriminate (not everyone
+    converts)."""
+    df = (
+        EXT_QUERIES["events_funnel"](spark, sf_dir)
+        .toPandas()
+        .sort_values("stage")
+    )
+    n = list(df["n_users"])
+    assert len(n) == 3 and n[0] > 0
+    assert n == sorted(n, reverse=True)
+    assert n[2] < n[0], "window-less funnel: every user converts"
+
+
+def test_minhash_calibration_bounds_and_bias(spark, sf_dir):
+    """Calibration rows live on the defined grid (decile buckets 0..10,
+    estimates in [0,1] as exact multiples of 1/16 pre-rounding), and the
+    16-permutation sketch's documented low-similarity upward bias is
+    visible: in the lowest populated bucket the mean estimate exceeds the
+    micro-averaged exact Jaccard."""
+    df = (
+        EXT_QUERIES["corpus_minhash_calibration"](spark, sf_dir)
+        .toPandas()
+        .sort_values("bucket")
+    )
+    assert len(df) > 0
+    assert df["bucket"].between(0, 10).all()
+    assert df["avg_est4"].between(0, 1).all()
+    assert df["avg_exact4"].between(0, 1).all()
+    low = df.iloc[0]
+    if low["bucket"] <= 2:
+        assert low["avg_est4"] > low["avg_exact4"]
