@@ -227,7 +227,11 @@ def op_stream_quantile_sketch(spark, d: str, name: str):
 OPS = {
     "stream_dedup_exact": (
         op_stream_dedup_exact,
-        "fingerprints within the 1h watermark horizon (peak ~ rows/horizon)",
+        "fingerprints within the 1h watermark horizon "
+        "(dropDuplicatesWithinWatermark -- the r7 audit caught plain "
+        "dropDuplicates never evicting non-event-time keys; here every key "
+        "recurs inside the horizon so live state legitimately equals the "
+        "keyspace, eviction itself is proven by the 2-batch probe)",
     ),
     "stream_ewma": (
         op_stream_ewma,

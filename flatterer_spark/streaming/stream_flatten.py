@@ -226,18 +226,23 @@ def dedup_stream(
 
     The streaming counterpart of the batch ``dedup_exact`` operator -- a
     100 TB/day ingest pipeline dedups on arrival rather than re-scanning.
-    ``dropDuplicates`` on a content fingerprint is Spark's stateful
-    streaming dedup; the watermark bounds the state store (duplicates
-    arriving later than the watermark horizon are NOT caught -- the
-    standard trade; widen the watermark to widen the dedup window).  The
-    fingerprint is md5 of the named content columns, the same hash the
-    batch operator groups on, so a batch backfill and the streaming path
-    agree on identity."""
+    ``dropDuplicatesWithinWatermark`` on a content fingerprint is Spark's
+    state-bounded streaming dedup: fingerprints older than the watermark
+    horizon are EVICTED from the state store (duplicates arriving later
+    than the horizon are then not caught -- the standard trade; widen the
+    watermark to widen the dedup window).  Plain ``dropDuplicates`` would
+    NOT do this: with a key subset that excludes the event-time column it
+    keeps every fingerprint forever even under a watermark -- measured in
+    the round-7 eviction probe (2000 keys live with the watermark 9 days
+    past their event times, numRowsRemoved=0; BENCH_SCALE_STREAM_r07
+    carries the fixed, evicting shape).  The fingerprint is md5 of the
+    named content columns, the same hash the batch operator groups on, so
+    a batch backfill and the streaming path agree on identity."""
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
     return (
         events.withColumn("_fingerprint", fp)
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["_fingerprint"])
+        .dropDuplicatesWithinWatermark(["_fingerprint"])
     )
 
 

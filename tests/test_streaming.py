@@ -362,3 +362,66 @@ def test_ewma_state_carries_across_batches(spark, tmp_path):
     assert abs(final.ewma - 2.467) < 1e-12
     first = min(res, key=lambda r: r.n_events)
     assert first.n_events == 2 and abs(first.ewma - 1.3) < 1e-12
+
+
+def test_dedup_stream_state_evicts_past_watermark(spark, tmp_path):
+    """The streaming dedup's bounded-state contract, measured (round-7
+    audit finding): plain ``dropDuplicates`` on a fingerprint subset that
+    excludes the event-time column keeps every key forever even under a
+    watermark -- ``dropDuplicatesWithinWatermark`` must evict fingerprints
+    once the watermark passes them.  Two time-ordered chunk files nine days
+    apart with a 1h watermark: the second batch's progress must report the
+    first batch's 1000 keys REMOVED and live state back at 1000."""
+    import glob
+    import os
+    import time
+
+    from flatterer_spark.streaming.stream_flatten import (
+        DRAIN_PROGRESS,
+        dedup_stream,
+        run_available_now,
+    )
+
+    d = str(tmp_path / "evict")
+    os.makedirs(d)
+    a = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    b = spark.range(1000, 2000).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(F.lit("2024-01-10 00:00:00")).alias("ts"),
+    )
+    a.coalesce(1).write.parquet(d + "/f1")
+    b.coalesce(1).write.parquet(d + "/f2")
+    files = []
+    for sub in ("f1", "f2"):
+        p = glob.glob(f"{d}/{sub}/part-*.parquet")[0]
+        dst = f"{d}/chunk-{sub}.parquet"
+        os.rename(p, dst)
+        files.append(dst)
+    os.utime(files[0], (time.time() - 100,) * 2)
+    os.utime(files[1], (time.time(),) * 2)
+    schema = spark.read.parquet(files[0]).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "chunk-*.parquet")
+        .parquet(d)
+    )
+    res = run_available_now(
+        dedup_stream(s, ["k"], watermark="1 hour"), "dedup_evict_test"
+    )
+    assert res.count() == 2000  # disjoint keys: nothing actually dropped
+    progs = DRAIN_PROGRESS["dedup_evict_test"]
+    per_batch = [
+        (
+            sum(so.get("numRowsTotal", 0) for so in p["stateOperators"]),
+            sum(so.get("numRowsRemoved", 0) for so in p["stateOperators"]),
+        )
+        for p in progs
+        if p.get("stateOperators")
+    ]
+    assert any(
+        removed >= 1000 and total <= 1000 for total, removed in per_batch
+    ), f"no watermark eviction observed: {per_batch}"
