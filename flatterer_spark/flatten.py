@@ -37,6 +37,11 @@ from flatterer_spark.sinks import writers
 # kept, now without giving up the single-file layout).
 EXACT_CSV_MAX_ROWS = 100_000
 
+# Escape hatch for the observe-fused single-pass flow (tests flip it off to
+# byte-compare the fused flow against the classic two-pass flow; the fused
+# flow is otherwise the default at every scale).
+_FUSED_ENABLED = True
+
 
 def flatten(
     source,
@@ -194,45 +199,73 @@ def flatten(
         # via df.observe() -- the write scans every row, so the counts and
         # date-pattern matches come free and the dedicated metadata job
         # (one full pass over the persisted parse per table) disappears.
-        # The exact input row count is already known from the strict-ordinal
-        # split-count collect, so no count job is needed to pick the
-        # strategy.  preview keeps the two-pass flow (its metadata is
-        # full-data while its writes are limited -- F13).
+        # The metadata observations attach to ANY full write action --
+        # df.write jobs AND driver collects alike (probed) -- so the fused
+        # flow is the default at EVERY scale since round 7, not just above
+        # the writer threshold: the dedicated metadata job disappears for
+        # small inputs too (~1 job per table saved).  preview keeps the
+        # two-pass flow (its metadata is full-data while its writes are
+        # limited -- F13); partition-mode ordinals carry no input_rows, so
+        # they keep it too (no exact routing basis).
         fused = (
-            csv_pass
+            _FUSED_ENABLED
+            and csv_pass
             and exact_csv is not False
             and preview == 0
             and result.input_rows is not None
-            and result.input_rows > EXACT_CSV_MAX_ROWS
         )
         if not fused:
             compute_metadata(result)
 
-        # Fused mode knows only the MAIN table's count up front; child
-        # tables (explodes) can be any size, and a 10-row child should not
-        # pay a distributed write job + temp dir + concat just because the
-        # main table is big (ADVICE r6).  One bounded-count action decides:
-        # each leg is limit(MAX+1) over the persisted parse, so big children
-        # stop after one partition and tiny children cost a cache scan.
+        # Fused mode routes writers per table, not on the main table's size
+        # (ADVICE r6): a 10-row child should not pay a distributed write job
+        # + temp dir + concat just because the main table is big.  Child
+        # cardinalities normally come EXACTLY (and job-free) from the
+        # strict-ordinal aggregate, which sums a per-table HOF count
+        # expression in the same pass that counts splits
+        # (flatten_api._sum_count_expr); the main table's count IS
+        # input_rows.  Tables that pass couldn't price (unpriceable plan
+        # shapes) fall back to one bounded-count action: limit(MAX+1) legs
+        # over the persisted parse, so big children stop after one
+        # partition.
         fused_small: set[str] = set()
-        if fused and len(result.tables) > 1:
-            import pyspark.sql.functions as F
-            from functools import reduce
+        if fused:
+            def _is_main(name: str) -> bool:
+                plan = result.plans.get(name)
+                return plan is not None and not plan.ancestors
 
-            legs = [
-                df.limit(EXACT_CSV_MAX_ROWS + 1)
-                .groupBy()
-                .count()
-                .select(F.lit(name).alias("t"), F.col("count").alias("n"))
-                for name, df in result.tables.items()
-                if name != main_table_name
+            missing = [
+                name
+                for name in result.tables
+                if not _is_main(name) and name not in result.row_counts
             ]
-            for r in reduce(lambda a, b: a.unionAll(b), legs).collect():
-                if r["n"] <= EXACT_CSV_MAX_ROWS:
-                    # exact (not truncated) -- safe to record; big children
-                    # get their true count from the observed metadata
-                    result.row_counts[r["t"]] = r["n"]
-                    fused_small.add(r["t"])
+            if missing:
+                import pyspark.sql.functions as F
+                from functools import reduce
+
+                legs = [
+                    result.tables[name]
+                    .limit(EXACT_CSV_MAX_ROWS + 1)
+                    .groupBy()
+                    .count()
+                    .select(F.lit(name).alias("t"), F.col("count").alias("n"))
+                    for name in missing
+                ]
+                for r in reduce(lambda a, b: a.unionAll(b), legs).collect():
+                    if r["n"] <= EXACT_CSV_MAX_ROWS:
+                        # exact (not truncated) -- safe to record
+                        result.row_counts[r["t"]] = r["n"]
+            fused_small = {
+                name
+                for name in result.tables
+                if (
+                    result.input_rows <= EXACT_CSV_MAX_ROWS
+                    if _is_main(name)
+                    else result.row_counts.get(
+                        name, EXACT_CSV_MAX_ROWS + 1
+                    ) <= EXACT_CSV_MAX_ROWS
+                )
+            }
 
         def _write_table_csv(name: str, df) -> str:
             p = os.path.join(csv_dir, f"{name}.csv")

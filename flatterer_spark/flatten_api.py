@@ -196,13 +196,15 @@ def flatten_dataframes(
     # this), never once per downstream action.  low_memory=True trades the
     # cache away (F16).
     cached = None
+    count_exprs = _child_count_exprs(df.schema, plans)
     df = prepare_ordinal_columns(df)
     if not kw.get("low_memory"):
         from pyspark import StorageLevel
 
         cached = df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df = with_ordinal(df, opts.ordinals)
+    df = with_ordinal(df, opts.ordinals, count_exprs=count_exprs)
     input_rows = getattr(df, "_flatterer_input_rows", None)
+    child_counts = getattr(df, "_flatterer_child_counts", None)
     root_link = (
         F.concat(F.lit(opts.id_prefix), F.col("_ord").cast("string"))
         if opts.id_prefix
@@ -219,8 +221,62 @@ def flatten_dataframes(
         input_df=cached,
         input_rows=input_rows,
     )
+    if child_counts:
+        # exact child-table cardinalities, free from the ordinal pass;
+        # build_metadata later overwrites with the (identical) observed
+        # counts.  flatten() routes exact-CSV writers on these.
+        result.row_counts.update(child_counts)
     _apply_field_table_csv(result)
     return result
+
+
+def _sum_count_expr(
+    st: StructType, path: tuple[str, ...], acc: str, vi: int, is_object: bool
+) -> str:
+    """SQL expression for one root row's contribution to a child table's
+    row count: struct hops become field accessors, array-of-struct hops
+    become ``aggregate(transform(...))`` sums, the leaf is ``size`` (explode
+    tables) or a non-null indicator (emit_obj tables) -- the same all-HOF
+    shape as :func:`_max_size_expr`, so every child table at any depth is
+    counted EXACTLY in the strict-ordinal aggregate's single pass (which
+    also materializes the cache).  flatten() uses these counts to route
+    small child tables to the driver-exact CSV writer without the bounded
+    count job."""
+    name = path[0]
+    a = f"{acc}`{name}`"
+    dt = st[name].dataType
+    if len(path) == 1:
+        if is_object:
+            return f"IF({a} IS NOT NULL, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
+        return f"coalesce(CAST(size({a}) AS BIGINT), CAST(0 AS BIGINT))"
+    if isinstance(dt, StructType):
+        return _sum_count_expr(dt, path[1:], a + ".", vi, is_object)
+    v = f"_c{vi}"
+    inner = _sum_count_expr(dt.elementType, path[1:], v + ".", vi + 1, is_object)
+    return (
+        f"coalesce(aggregate(transform({a}, {v} -> {inner}), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x), CAST(0 AS BIGINT))"
+    )
+
+
+def _child_count_exprs(
+    schema: StructType, plans: list
+) -> dict[str, str]:
+    """Per-child-table exact row-count expressions (see _sum_count_expr);
+    tables whose shape the builder cannot price are omitted -- the writer
+    router treats missing counts as 'large' (merged writer, always safe:
+    the two exact writers are byte-identical)."""
+    out: dict[str, str] = {}
+    for plan in plans:
+        if not plan.ancestors:
+            continue  # main table: counted by the ordinal agg itself
+        try:
+            out[plan.name] = _sum_count_expr(
+                schema, plan.path, "", 0, plan.is_object
+            )
+        except Exception:
+            pass
+    return out
 
 
 def _max_size_expr(st: StructType, path: tuple[str, ...], acc: str, vi: int) -> str:

@@ -444,12 +444,22 @@ def prepare_ordinal_columns(df: DataFrame) -> DataFrame:
     return out
 
 
-def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
+def with_ordinal(
+    df: DataFrame, mode: str = "strict",
+    count_exprs: dict[str, str] | None = None,
+) -> DataFrame:
     """Add a ``_ord`` column: the main-table link key source.
 
     If ``prepare_ordinal_columns`` ran first (its helper columns are
     present), the aggregate reads those -- typically from the caller's
-    persisted cache -- and the helpers are dropped from the result."""
+    persisted cache -- and the helpers are dropped from the result.
+
+    ``count_exprs`` (table name -> per-row SQL count expression) rides the
+    strict aggregate: each expression is summed in the SAME pass that
+    counts splits and materializes the cache, and the totals come back on
+    the result as ``_flatterer_child_counts`` -- exact child-table
+    cardinalities for zero extra jobs.  Ignored in partition mode (no
+    aggregate runs there)."""
     prepared = "_ord_mid" in df.columns
     if mode == "partition":
         mid = (
@@ -468,15 +478,27 @@ def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
         raise ValueError(f"unknown ordinal mode: {mode}")
     file_order = getattr(df, "_flatterer_input_order", None)
     if prepared:
+        cexprs = sorted((count_exprs or {}).items())
+        extra = [
+            F.sum(F.expr(e)).alias(f"_cc{i}") for i, (_, e) in enumerate(cexprs)
+        ]
         groups = (
             df.groupBy(
                 F.col("_ord_pid").alias("_pid"),
                 F.col("_ord_f").alias("_f"),
                 F.col("_ord_b").alias("_b"),
             )
-            .agg(F.count(F.lit(1)).alias("n"), F.min("_ord_mid").alias("mn"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("_ord_mid").alias("mn"),
+                *extra,
+            )
             .collect()
         )
+        child_counts = {
+            name: sum(int(r[f"_cc{i}"] or 0) for r in groups)
+            for i, (name, _) in enumerate(cexprs)
+        }
         rank = {}
         if file_order:
             rank = {_norm_path(p): i for i, p in enumerate(file_order)}
@@ -489,9 +511,12 @@ def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
             )
         )
         if not groups:
-            return df.drop(*ORD_HELPER_COLS).withColumn(
+            out = df.drop(*ORD_HELPER_COLS).withColumn(
                 "_ord", F.lit(None).cast("long")
             )
+            out._flatterer_input_rows = 0
+            out._flatterer_child_counts = {name: 0 for name, _ in cexprs}
+            return out
         adjust, acc = {}, 0
         for r in groups:
             adjust[f"{r['_pid']}|{r['_f']}|{r['_b']}"] = acc - r["mn"]
@@ -507,6 +532,7 @@ def with_ordinal(df: DataFrame, mode: str = "strict") -> DataFrame:
             "_ord", (amap[gkey] + F.col("_ord_mid")).cast("long")
         ).drop(*ORD_HELPER_COLS)
         out._flatterer_input_rows = acc
+        out._flatterer_child_counts = child_counts
         return out
     mid_df = df.withColumn("_mid", F.monotonically_increasing_id())
 

@@ -205,7 +205,14 @@ def test_fused_metadata_matches_two_pass(spark, tmp_path, monkeypatch):
         for i in range(40)
     ])
     out_a = str(tmp_path / "two_pass")
+    monkeypatch.setattr(fl, "_FUSED_ENABLED", False)
     fl.flatten(src, out_a, spark=spark)
+    monkeypatch.setattr(fl, "_FUSED_ENABLED", True)
+
+    # fused + exact collect writers (default threshold; the r7 default for
+    # small inputs -- observation metrics fire on the collect action)
+    out_c = str(tmp_path / "fused_exact")
+    fl.flatten(src, out_c, spark=spark)
 
     monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", 5)
     out_b = str(tmp_path / "fused")
@@ -213,10 +220,11 @@ def test_fused_metadata_matches_two_pass(spark, tmp_path, monkeypatch):
 
     for rel in ("csv/main.csv", "csv/kids.csv", "fields.csv", "tables.csv",
                 "datapackage.json"):
-        with open(os.path.join(out_a, rel), "rb") as a, open(
-            os.path.join(out_b, rel), "rb"
-        ) as b:
-            assert a.read() == b.read(), rel
+        with open(os.path.join(out_a, rel), "rb") as a:
+            want = a.read()
+        for out in (out_b, out_c):
+            with open(os.path.join(out, rel), "rb") as b:
+                assert want == b.read(), (rel, out)
 
 
 def test_fused_small_child_keeps_driver_exact_writer(spark, tmp_path,
@@ -235,7 +243,9 @@ def test_fused_small_child_keeps_driver_exact_writer(spark, tmp_path,
         for i in range(30)
     ])
     out_ref = str(tmp_path / "ref_two_pass")
+    monkeypatch.setattr(fl, "_FUSED_ENABLED", False)
     fl.flatten(src, out_ref, spark=spark)
+    monkeypatch.setattr(fl, "_FUSED_ENABLED", True)
 
     monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", 10)
     real_exact = writers.write_csv_exact
