@@ -284,7 +284,16 @@ def kcenter_fit(
     (min squared distance to the center set) is quantized to 6 decimals
     with the module's snap epsilon before the argmax, ties broken by
     lowest vec_id -- the same discipline that makes the k-means model
-    partitioning-invariant."""
+    partitioning-invariant.
+
+    Cost contract at 100 TB: greedy k-center is k-1 FULL PASSES over the
+    corpus (one argmax aggregate per selected center, each returning ONE
+    row to the driver) -- that is the algorithm, not this implementation;
+    the input MUST be persisted for the duration (this function does so
+    itself, see the repartition().persist() below) or every pass re-reads
+    and re-decodes the source.  For k beyond a few hundred, switch to the
+    coreset-of-coresets pattern: per-partition local k-centers first, then
+    this exact pass over the k*partitions survivors."""
     df = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     ).persist()
