@@ -2181,9 +2181,13 @@ def sql_events_funnel(g: Gen, window_hours: int = 24) -> str:
     linearly.  Output is integer user counts plus a FLOOR-snapped
     conversion ratio (single division of exact integers --
     bit-deterministic cross-engine)."""
-    conv = g.round2(
-        "CAST(n_users AS DOUBLE)"
-        " / CAST(LAG(n_users) OVER (ORDER BY stage) AS DOUBLE)", 4
+    # prev = 0 on an empty corpus: conv is NULL there, not 0/0 (Spark ANSI
+    # raises on divide-by-zero; DuckDB would yield NaN -- both wrong)
+    prev = "LAG(n_users) OVER (ORDER BY stage)"
+    conv = (
+        f"CASE WHEN {prev} > 0 THEN "
+        + g.round2(f"CAST(n_users AS DOUBLE) / CAST({prev} AS DOUBLE)", 4)
+        + " END"
     )
     return f"""
     WITH s1 AS (
