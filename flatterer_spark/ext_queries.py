@@ -2160,14 +2160,17 @@ def sql_events_ewma(g: Gen, alpha: float = 0.3) -> str:
 
 
 def sql_events_funnel(g: Gen, window_hours: int = 24) -> str:
-    """Ordered conversion funnel view -> click -> purchase: a user counts
-    for stage N only with an event of that type strictly AFTER their
-    stage-N-1 entry time and within ``window_hours`` of it (first-touch
-    semantics: each stage anchors at the EARLIEST qualifying event; the
-    window is what makes the funnel an attribution statement rather than
-    an ever-eventually).  The classic sequential-pattern operator of event
-    analytics, absent from both engines as a built-in because the stage
-    predicate is order-dependent.
+    """WINDOWED conversion funnel view -> click -> purchase with per-stage
+    conversion ratios -- the attribution form of ``q30_funnel`` (which is
+    the ever-eventually funnel: any later event counts, so on dense data
+    every user converts).  Here a user counts for stage N only with an
+    event of that type strictly AFTER their stage-N-1 entry time AND
+    within ``window_hours`` of it (first-touch semantics: each stage
+    anchors at the EARLIEST qualifying event) -- at the default 24h window
+    the sf0.01 funnel is 150 -> 60 -> 25 where q30's is 150 -> 150 -> 150.
+    The window predicate is what production funnel/attribution tools
+    actually ship, and it changes the plan shape: each stage join carries
+    a non-equi time residual, not just the user_id equi-key.
 
     Spark/oracle shape (identical ANSI text): three per-user MIN aggregates,
     each over a type-filtered slice (predicate pushed to the scan) joined
