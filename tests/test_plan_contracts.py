@@ -760,3 +760,29 @@ def test_mm_phash_banded_join_over_arrow_stage(spark, sf_dir):
     assert "InMemoryTableScan" in plan  # persisted signature view
     lineage = df._jdf.queryExecution().optimizedPlan().toString()
     assert "mapInPandas" in lineage or "MapInPandas" in lineage
+
+
+def test_events_funnel_pushdown_no_cartesian(spark, sf_dir):
+    """events_funnel's stage slices must push the event_type predicate to
+    the parquet scan (each stage reads only its slice), and the non-equi
+    time residual must ride the user_id equi-joins -- never a cartesian."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["events_funnel"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters:" in ln and "event_type" in ln
+    ]
+    assert pushed, "event_type stage predicates not pushed to the scan"
+
+
+def test_minhash_calibration_candidates_from_band_join(spark, sf_dir):
+    """corpus_minhash_calibration must generate candidates via the banded
+    equi-join (same contract as dedup_minhash_lsh), never an all-pairs
+    product; the signature relation joins by doc_id equi-keys."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    plan = _plan(EXT_QUERIES["corpus_minhash_calibration"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan  # the band equi-key is a join column
