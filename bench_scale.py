@@ -34,8 +34,10 @@ SF1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE_DIR = "/tmp/spark_graft_scale10x"
 COPIES = 10
 
-# the 10 most expensive batch (non-streaming) queries of BENCH_DETAIL r5
+# the 10 most expensive batch (non-streaming) queries of BENCH_DETAIL r5,
+# plus round-7 additions worth auditing (banded-join family)
 OPS = [
+    "corpus_minhash_calibration",
     "emb_pq_codes",
     "sim_topk_ivfpq",
     "emb_kmeans",
@@ -154,6 +156,7 @@ def build_corpus() -> None:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALE_r06.json"
+    only = set(sys.argv[2:])  # optional: audit a subset of OPS
     build_corpus()
 
     from flatterer_spark.registry import all_queries
@@ -178,6 +181,8 @@ def main() -> None:
 
     results = {}
     for name in OPS:
+        if only and name not in only:
+            continue
         t1 = run(name, SF1)
         t10 = run(name, SCALE_DIR)
         results[name] = {
