@@ -281,6 +281,11 @@ def main() -> None:
                 sum(so.get("numRowsTotal", 0) for so in p.get("stateOperators", []))
                 for p in progs
             ]
+            removed = sum(
+                so.get("numRowsRemoved", 0)
+                for p in progs
+                for so in p.get("stateOperators", [])
+            )
             rec = {
                 "wall_sec": round(wall, 3),
                 "batches": len(progs),
@@ -288,6 +293,10 @@ def main() -> None:
                 "out_rows": n_out,
                 "state_rows_peak": max(state_by_batch, default=0),
                 "state_rows_last": state_by_batch[-1] if state_by_batch else 0,
+                # total evictions across the drain: direct evidence the
+                # watermark is actively removing state, not just bounding
+                # its growth statically
+                "state_rows_removed": removed,
             }
             if best is None or rec["wall_sec"] < best["wall_sec"]:
                 state = {k: rec[k] for k in rec}
