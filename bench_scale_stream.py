@@ -229,9 +229,9 @@ OPS = {
         op_stream_dedup_exact,
         "fingerprints within the 1h watermark horizon "
         "(dropDuplicatesWithinWatermark -- the r7 audit caught plain "
-        "dropDuplicates never evicting non-event-time keys; here every key "
-        "recurs inside the horizon so live state legitimately equals the "
-        "keyspace, eviction itself is proven by the 2-batch probe)",
+        "dropDuplicates never evicting non-event-time keys; measured "
+        "state_rows_removed shows the watermark actively turning state "
+        "over, final state ~ one horizon of keys, far below peak)",
     ),
     "stream_ewma": (
         op_stream_ewma,
