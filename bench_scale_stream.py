@@ -38,9 +38,10 @@ JSON):
    rows ever seen.
  - stream_interval_join: both sides buffered within watermark(2h)+30min --
    peak state tracks rows-per-horizon.
- - stream_dedup_minhash: the band index is accumulate-forever BY DESIGN
-   (documented in minhash_band_dup_stream) -- state grows with distinct
-   bands, i.e. ~linearly with corpus; the audit bounds its WALL slope.
+ - stream_dedup_minhash_indexed: the state store must hold ZERO rows at
+   every batch -- the band index lives in a persisted compactable table
+   probed via foreachBatch (r8 fix for the r7 operator's
+   accumulate-forever state); the audit checks that AND the wall slope.
 
 Usage: python bench_scale_stream.py [out.json]
 """
@@ -64,15 +65,30 @@ def build_stream_corpus() -> None:
     the file streaming source admits them oldest-first, one per batch."""
     import duckdb
 
-    done = os.path.join(STREAM_DIR, ".done")
-    if os.path.exists(done):
-        return
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import bench_scale
 
     bench_scale.build_corpus()  # ensures the 10x tables exist
 
     con = duckdb.connect()
+    # Sentinel is keyed on the SOURCE paths + row counts, not just the
+    # output dir: a changed SPARK_GRAFT_SF_DIR or a rebuilt 10x corpus
+    # must invalidate the chunked copy (ADVICE r7).
+    sig_parts = []
+    for src in (SF1, SCALE10):
+        for table in ("events", "documents"):
+            p = f"{src}/{table}.parquet"
+            n = con.execute(f"SELECT count(*) FROM '{p}'").fetchone()[0]
+            sig_parts.append(f"{p}={n}")
+    sig = ";".join(sig_parts)
+    done = os.path.join(STREAM_DIR, ".done")
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read() == sig:
+                return
+        import shutil
+
+        shutil.rmtree(STREAM_DIR, ignore_errors=True)
     base_mtime = int(time.time()) - 10 * CHUNKS
     for scale, src in (("x1", SF1), ("x10", SCALE10)):
         for table, order in (
@@ -94,8 +110,9 @@ def build_stream_corpus() -> None:
                 )
                 t = base_mtime + i * 10
                 os.utime(path, (t, t))
+    os.makedirs(STREAM_DIR, exist_ok=True)
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(sig)
 
 
 # ---------------------------------------------------------------------------
@@ -181,12 +198,14 @@ def op_stream_interval_join(spark, d: str, name: str):
     return run_available_now(joined, name, timeout_sec=900).count()
 
 
-def op_stream_dedup_minhash(spark, d: str, name: str):
+def op_stream_dedup_minhash_indexed(spark, d: str, name: str):
+    import shutil
+    import tempfile
+
     from flatterer_spark.ext_queries import _sql_lsh_bands_chain
     from flatterer_spark.functions.textgen import Gen
     from flatterer_spark.streaming.stream_flatten import (
-        minhash_band_dup_stream,
-        run_available_now,
+        minhash_band_probe_stream,
     )
 
     doc_dir = f"{d}/documents"
@@ -200,8 +219,18 @@ def op_stream_dedup_minhash(spark, d: str, name: str):
     )
     chain = _sql_lsh_bands_chain(Gen(spark=True), table=view)
     bl = spark.sql(f"WITH {chain} SELECT doc_id, band FROM bl")
-    flags = minhash_band_dup_stream(bl)
-    return run_available_now(flags, name, timeout_sec=900).count()
+    work = tempfile.mkdtemp(prefix="bench_mh_idx_")
+    try:
+        flags = minhash_band_probe_stream(
+            bl,
+            index_dir=f"{work}/index",
+            flags_dir=f"{work}/flags",
+            query_name=name,
+            timeout_sec=900,
+        )
+        return flags.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def op_stream_quantile_sketch(spark, d: str, name: str):
@@ -245,9 +274,12 @@ OPS = {
         op_stream_interval_join,
         "both sides buffered within watermark(2h)+30min of the front",
     ),
-    "stream_dedup_minhash": (
-        op_stream_dedup_minhash,
-        "band index: accumulate-forever BY DESIGN (state ~ distinct bands)",
+    "stream_dedup_minhash_indexed": (
+        op_stream_dedup_minhash_indexed,
+        "state store ZERO rows at every batch (r8: index moved to a "
+        "persisted compactable table probed via foreachBatch; the r7 "
+        "applyInPandasWithState index held 7.0x input rows with no "
+        "eviction)",
     ),
     "stream_quantile_sketch": (
         op_stream_quantile_sketch,
@@ -267,6 +299,14 @@ def main() -> None:
     spark = get_spark(app_name="flatterer-spark-bench-scale-stream")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # recentProgress keeps only the last numRecentProgressUpdates entries
+    # (default 100): a drain with more micro-batches would silently drop
+    # the earliest records and undercount input/state (ADVICE r7).  Raise
+    # the cap well above any drain here and hard-assert below.
+    progress_cap = 1000
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(progress_cap)
+    )
 
     def run(op_name: str, fn, scale: str) -> dict:
         d = os.path.join(STREAM_DIR, scale)
@@ -277,6 +317,15 @@ def main() -> None:
             n_out = fn(spark, d, qname)
             wall = time.time() - t0
             progs = DRAIN_PROGRESS.get(qname, [])
+            # the chunked drain must yield >= CHUNKS micro-batches (one per
+            # file, plus possibly trailing timeout/no-data batches), and
+            # must never hit the retention cap -- either would mean the
+            # audit numbers below silently undercount
+            if not CHUNKS <= len(progs) < progress_cap:
+                raise RuntimeError(
+                    f"{qname}: captured {len(progs)} progress records "
+                    f"(expected >= {CHUNKS}, < cap {progress_cap})"
+                )
             state_by_batch = [
                 sum(so.get("numRowsTotal", 0) for so in p.get("stateOperators", []))
                 for p in progs

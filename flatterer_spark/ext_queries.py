@@ -2534,6 +2534,156 @@ def sql_corpus_source_overlap(
 
 
 # ---------------------------------------------------------------------------
+# corpus_source_overlap_kmv: sketch-mode source-overlap (the 100 TB default)
+# ---------------------------------------------------------------------------
+
+
+def sql_corpus_source_overlap_kmv(
+    g: Gen,
+    k: int = 256,
+    prune: int = 4,
+    sh_table: str | None = None,
+    top_pairs: int = 40,
+) -> str:
+    """Pairwise source-overlap ESTIMATE via per-source KMV sketches -- the
+    100 TB companion to the exact ``corpus_source_overlap`` (whose distinct
+    (shingle, source) aggregation was the heaviest measured scale slope,
+    7.66 at 10x in BENCH_SCALE_r07: it grows with the data).  Same report
+    (top source pairs by Jaccard), sketch arithmetic instead of exact set
+    intersection:
+
+     - per source, a KMV(k) sketch of the distinct 3-gram shingle hashes
+       (k smallest md5-32 values; Bar-Yossef et al. 2002, the same
+       estimator ``corpus_kmv_cardinality`` gates) estimates
+       ``|A| ~= (k-1) * 2^32 / h_(k)``;
+     - per pair, the union sketch is the k smallest of the two sketches'
+       union (KMV's merge is exactly this -- sketches compose without
+       touching the data again; an element of the union's bottom-k that
+       lives in A is necessarily in A's bottom-k, so per-side membership
+       is EXACT for every union-sketch element);
+     - the intersection uses the RATIO estimator, not inclusion-exclusion:
+       ``rho = |{v in union bottom-k : v in both sketches}| / k`` is the
+       Jaccard estimate directly (the union's bottom-k is a uniform sample
+       of the union), and ``|A n B| ~= rho * est(A u B)``.
+       Inclusion-exclusion ``est(A)+est(B)-est(AuB)`` was measured
+       unusable here: three uncorrelated ~1/sqrt(k) errors on ~1.4k-sized
+       sets swamp intersections of ~70 (it reported J=0.21 where truth
+       was 0.027); the ratio estimator's error scales with J itself.
+
+    The scale lever is the ``h < 2^32/prune`` MAP-SIDE filter applied
+    BEFORE the distinct aggregation: only ~1/prune of the exploded shingle
+    stream ever reaches a shuffle, and the k smallest hashes are unaffected
+    as long as at least k survive per source (KMV only looks at the bottom
+    of the hash range; prune=4 leaves 256-394 survivors per source even at
+    sf0.01, measured).  If fewer than k survive, the estimate falls back to
+    ``n_in * prune`` -- an inverse-probability sampling estimate over the
+    filtered domain (reduces to KMV's exact small-set convention at
+    prune=1); the branch is mirrored in the oracle, so the gate stays
+    hash-exact either way.  At larger corpora, raise ``prune``
+    proportionally (survivors-per-source ~ distinct/prune is the knob;
+    k fixes the estimator std at sqrt(J(1-J)/k), ~2.7% absolute on the
+    Jaccard at k=256, measured unbiased: mean error -0.003 at sf0.1).
+    Accuracy vs the exact operator is pinned in
+    tests/test_ext_queries.py::test_source_overlap_kmv_tracks_exact; the
+    exact query remains the audit, this is the default at scale.
+
+    Determinism: md5-derived integer hashes, ROW_NUMBER over distinct
+    values, integer-fed divisions written identically in both dialects --
+    bit-identical doubles (the events_ewma/minhash_calibration recipe)."""
+    thresh = 4294967296 // prune
+    est = f"CAST({k} - 1 AS DOUBLE) * {g.d(4294967296.0)} / CAST(kth AS DOUBLE)"
+    small = f"CAST(n_in AS DOUBLE) * {g.d(float(prune))}"
+    est_case = f"CASE WHEN n_in < {k} THEN {small} ELSE {est} END"
+    sh = sh_table or "sh"
+    sh_cte = f"sh AS ({sql_shingle_cte(g)})," if not sh_table else ""
+    fp = g.md5_32("gram")
+    return f"""
+    WITH {sh_cte}
+    hv AS (
+        SELECT DISTINCT source, fp AS h
+        FROM (
+            SELECT doc_id, {fp} AS fp
+            FROM (SELECT doc_id, {_explode(g, 's', 'gram')} FROM {sh}) e
+            WHERE {fp} < {thresh}
+        ) x
+        JOIN documents USING (doc_id)
+    ),
+    srcmins AS (
+        SELECT source, h
+        FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hv
+        ) r WHERE rn <= {k}
+    ),
+    sz AS (
+        SELECT source, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS n_in
+        FROM srcmins GROUP BY source
+    ),
+    est AS (SELECT source, {est_case} AS est_n FROM sz),
+    pairs AS (
+        -- |sources| x |sources| pair loop: report-sized, not data-sized;
+        -- the broadcast hint makes it a BroadcastNestedLoopJoin over the
+        -- tiny per-source summary (never an unpartitioned CartesianProduct)
+        SELECT {g.bc_hint('a')}a.source AS src_a, b.source AS src_b
+        FROM sz a JOIN sz b ON a.source < b.source
+    ),
+    u AS (
+        SELECT src_a, src_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM (
+            SELECT p.src_a, p.src_b, m.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN srcmins m ON m.source = p.src_a
+            UNION ALL
+            SELECT p.src_a, p.src_b, m.h, 0 AS in_a, 1 AS in_b
+            FROM pairs p JOIN srcmins m ON m.source = p.src_b
+        ) z GROUP BY src_a, src_b, h
+    ),
+    ur AS (
+        SELECT src_a, src_b, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+        FROM u
+    ),
+    usz AS (
+        SELECT src_a, src_b, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS n_in,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS matches
+        FROM ur WHERE rn <= {k} GROUP BY src_a, src_b
+    ),
+    uest AS (
+        SELECT src_a, src_b, {est_case} AS est_union,
+               CAST(matches AS DOUBLE) / CAST(n_in AS DOUBLE) AS rho
+        FROM usz
+    ),
+    scored AS (
+        SELECT ue.src_a, ue.src_b,
+               ea.est_n AS est_a, eb.est_n AS est_b, ue.est_union,
+               ue.rho * ue.est_union AS est_shared,
+               ue.rho AS est_jacc_raw
+        FROM uest ue
+        JOIN est ea ON ue.src_a = ea.source
+        JOIN est eb ON ue.src_b = eb.source
+    ),
+    ranked AS (
+        SELECT sc.src_a, sc.src_b,
+               {g.round2('sc.est_a')} AS est_a,
+               {g.round2('sc.est_b')} AS est_b,
+               {g.round2('sc.est_union')} AS est_union,
+               {g.round2('sc.est_shared')} AS est_shared,
+               {g.round2('sc.est_jacc_raw', 6)} AS est_jaccard
+        FROM scored sc
+    ),
+    topn AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY est_jaccard DESC, src_a, src_b)
+                      AS rnk
+        FROM ranked
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, src_a, src_b,
+           est_a, est_b, est_union, est_shared, est_jaccard
+    FROM topn WHERE rnk <= {top_pairs}
+    ORDER BY rnk
+    """
+
+
+# ---------------------------------------------------------------------------
 # text_zipf_slope: per-language Zipf exponent via deterministic regression
 # ---------------------------------------------------------------------------
 
@@ -3084,6 +3234,9 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "corpus_bm25_topk": (sql_corpus_bm25_topk, ("documents",)),
     "sim_topk_hamming": (sql_sim_topk_hamming, ("embeddings",)),
     "corpus_source_overlap": (sql_corpus_source_overlap, ("documents",)),
+    "corpus_source_overlap_kmv": (
+        sql_corpus_source_overlap_kmv, ("documents",)
+    ),
     "text_zipf_slope": (sql_text_zipf_slope, ("documents",)),
     "dedup_threshold_sweep": (sql_dedup_threshold_sweep, ("documents",)),
     "corpus_cm_sketch": (sql_corpus_cm_sketch, ("documents",)),
@@ -3377,6 +3530,9 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _make_sh_query(sql_ngram_topk),
         "corpus_kmv_cardinality": _make_sh_query(sql_corpus_kmv_cardinality),
         "corpus_source_overlap": _make_sh_query(sql_corpus_source_overlap),
+        "corpus_source_overlap_kmv": _make_sh_query(
+            sql_corpus_source_overlap_kmv
+        ),
         "dedup_threshold_sweep": _make_pairs_query(sql_dedup_threshold_sweep),
         "mm_phash_dedup": _make_phash_query(sql_mm_phash_dedup),
         "dedup_bloom": _make_span_query(sql_dedup_bloom),

@@ -10,7 +10,10 @@ Reference: ``flatterer.flatten(input, output_dir, **options)``
 Unsupported-by-design (documented divergences):
  - ``threads`` is accepted and ignored -- parallelism is Spark's job
    (partitions replace the reference's worker threads, F15);
- - ``low_memory`` / ``low_disk`` are no-ops (Spark spills, §4);
+ - ``low_disk`` is a no-op (Spark spills, §4), but ``low_memory=True``
+   is a REAL dial since round 5: it skips the
+   parsed-input persist (flatten_api.py), trading ~8 re-parses of the
+   source for zero cache footprint;
  - Postgres direct load (``postgres=``, K5/C5 incl. drop/truncate/evolve)
    executes when psycopg is importable (driver-side COPY) -- see
    sinks/postgres.py for the JDBC cluster path; the SQL scripts are always
@@ -129,17 +132,21 @@ def flatten(
         # K7: s3:// output -- write locally, then upload every artifact
         # (sinks/s3io.py; on a cluster with hadoop-aws, table data would go
         # through df.write to s3a:// instead).  force keeps local semantics:
-        # S3 puts silently overwrite, so force=False probes the destination
-        # prefix (one list request) and refuses if anything is there (C1).
+        # force=False probes the destination prefix (one list request) and
+        # refuses if anything is there (C1); force=True CLEARS the prefix
+        # before upload -- the remote rmtree -- so stale objects from a
+        # previous run never survive into the new tree (ADVICE r7).
         import tempfile
 
-        from flatterer_spark.sinks.s3io import prefix_nonempty
+        from flatterer_spark.sinks.s3io import clear_prefix, prefix_nonempty
 
         s3_output = output_dir.rstrip("/")
         if not force and prefix_nonempty(s3_output):
             raise FileExistsError(
                 f"{s3_output} is non-empty (pass force=True)"
             )
+        if force:
+            clear_prefix(s3_output)
         output_dir = tempfile.mkdtemp(prefix="flatterer_s3_out_")
         tmp_cleanup = output_dir
     if output_dir and not tmp_cleanup:

@@ -274,8 +274,19 @@ def _child_count_exprs(
             out[plan.name] = _sum_count_expr(
                 schema, plan.path, "", 0, plan.is_object
             )
-        except Exception:
-            pass
+        except Exception as exc:
+            # unpriceable-by-design plans fall back to the (safe) merged
+            # writer; log which, so a pricing-expression regression shows
+            # up as a visible pattern instead of a silent perf cliff
+            import logging
+
+            logging.getLogger("flatterer_spark").debug(
+                "child count expr unavailable for table %r (%s: %s); "
+                "writer router treats it as large",
+                plan.name,
+                type(exc).__name__,
+                exc,
+            )
     return out
 
 

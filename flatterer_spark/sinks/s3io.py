@@ -79,17 +79,60 @@ def prefix_nonempty(uri: str) -> bool:
     return resp.get("KeyCount", 0) > 0
 
 
+def _list_prefix_keys(cli, bucket: str, prefix: str) -> set[str]:
+    """All object keys under ``prefix/`` (paginated)."""
+    keys: set[str] = set()
+    paginator = cli.get_paginator("list_objects_v2")
+    for page in paginator.paginate(
+        Bucket=bucket, Prefix=f"{prefix}/" if prefix else ""
+    ):
+        keys.update(o["Key"] for o in page.get("Contents", []))
+    return keys
+
+
+def _delete_keys(cli, bucket: str, keys) -> None:
+    keys = list(keys)
+    for i in range(0, len(keys), 1000):  # delete_objects caps at 1000
+        cli.delete_objects(
+            Bucket=bucket,
+            Delete={
+                "Objects": [{"Key": k} for k in keys[i:i + 1000]],
+                "Quiet": True,
+            },
+        )
+
+
+def clear_prefix(uri: str) -> int:
+    """Delete every object under ``uri`` (prefix); returns how many.
+
+    The remote mirror of the local ``force=True`` ``shutil.rmtree``: a
+    forced re-run must not leave stale objects from a previous run mixed
+    into the new tree (a child table that no longer exists would otherwise
+    survive and disagree with the freshly uploaded datapackage.json)."""
+    bucket, prefix = parse_s3_uri(uri)
+    cli = _client()
+    keys = _list_prefix_keys(cli, bucket, prefix.rstrip("/"))
+    _delete_keys(cli, bucket, keys)
+    return len(keys)
+
+
 def upload_dir_to_s3(local_dir: str, uri: str) -> dict[str, str]:
     """Upload every file under ``local_dir`` to ``uri`` (prefix), preserving
     relative paths.  Returns {relative path: s3 uri}.
 
     No-partial-output contract (C2 parity for the remote side): if any
-    upload fails, every key already uploaded by THIS call is deleted
+    upload fails, every key NEWLY CREATED by this call is deleted
     (best-effort) before the error propagates, so a failed run never leaves
-    a partial object tree in the bucket."""
+    a partial object tree in the bucket.  Keys that already existed before
+    the call (an overwrite-in-place upload onto a non-empty prefix) are
+    left as overwritten, never deleted -- rollback must not destroy more
+    of the previous tree than the overwrites already did.  The flatten()
+    force=True path clears the prefix first (``clear_prefix``), so in the
+    normal pipeline the prefix is empty here and rollback is total."""
     bucket, prefix = parse_s3_uri(uri)
     prefix = prefix.rstrip("/")
     cli = _client()
+    preexisting = _list_prefix_keys(cli, bucket, prefix)
     uploaded: dict[str, str] = {}
     done_keys: list[str] = []
     try:
@@ -102,16 +145,11 @@ def upload_dir_to_s3(local_dir: str, uri: str) -> dict[str, str]:
                 done_keys.append(key)
                 uploaded[rel] = f"s3://{bucket}/{key}"
     except BaseException:
-        for i in range(0, len(done_keys), 1000):  # delete_objects caps at 1000
-            try:
-                cli.delete_objects(
-                    Bucket=bucket,
-                    Delete={
-                        "Objects": [{"Key": k} for k in done_keys[i:i + 1000]],
-                        "Quiet": True,
-                    },
-                )
-            except Exception:
-                pass  # cleanup is best-effort; the original error wins
+        try:
+            _delete_keys(
+                cli, bucket, [k for k in done_keys if k not in preexisting]
+            )
+        except Exception:
+            pass  # cleanup is best-effort; the original error wins
         raise
     return uploaded

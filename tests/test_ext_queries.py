@@ -596,6 +596,41 @@ def test_corpus_source_overlap_pair_recount(spark, sf_dir):
     assert top.n_shared == len(sets[top.src_a] & sets[top.src_b])
 
 
+def test_source_overlap_kmv_tracks_exact(spark, sf_dir):
+    """The sketch-mode overlap estimate must track the exact operator on
+    every pair: Jaccard within the ratio-estimator's error budget
+    (sqrt(J(1-J)/k) ~ 2.7% absolute at k=256; bounds hold with slack at
+    sf0.001/0.01/0.1 -- md5-deterministic, so these are fixed values, not
+    a flaky statistical assertion) and union cardinality within KMV's
+    ~1/sqrt(k) envelope.  The exact operator stays the audit; the sketch
+    is the 100 TB default (its heaviest input never reaches a
+    data-proportional distinct agg -- see the plan contract)."""
+    from flatterer_spark.ext_queries import (
+        EXT_QUERIES,
+        _shingle_view,
+        sql_corpus_source_overlap,
+    )
+    from flatterer_spark.functions.textgen import Gen
+    from flatterer_spark.queries import T
+
+    view = _shingle_view(spark, sf_dir)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    exact = spark.sql(
+        sql_corpus_source_overlap(Gen(spark=True), sh_table=view,
+                                  top_pairs=200)
+    ).toPandas()
+    est = EXT_QUERIES["corpus_source_overlap_kmv"](spark, sf_dir).toPandas()
+    # compare over the estimate's returned pairs (top 40 by est_jaccard)
+    m = exact.merge(est, on=["src_a", "src_b"], suffixes=("_x", "_e"))
+    assert len(m) == len(est) > 0
+    dj = (m.est_jaccard - m.jaccard).abs()
+    true_union = m.n_a + m.n_b - m.n_shared
+    rel_u = (m.est_union - true_union).abs() / true_union
+    assert dj.max() <= 0.10, dj.max()
+    assert dj.mean() <= 0.035, dj.mean()
+    assert rel_u.max() <= 0.25, rel_u.max()
+
+
 def test_text_zipf_slope_matches_numpy_lstsq(spark, sf_dir):
     """The fold-based closed-form regression must agree with numpy's
     least-squares fit over the same (ln rank, ln freq) points to ~1e-6

@@ -476,16 +476,16 @@ def test_pack_sequences_bucketed_window(spark, sf_dir):
     assert "Cartesian" not in plan
 
 
-def test_stream_dedup_minhash_stateless_segment_is_jvm(spark, sf_dir):
-    """The streaming near-dup's banding chain must stay JVM-side (HOF
-    expressions, no Python row-at-a-time) with exactly one Python boundary:
-    the FlatMapGroupsInPandasWithState band index.  No cartesian pairing
-    anywhere."""
+def test_stream_dedup_minhash_chain_is_pure_jvm(spark, sf_dir):
+    """The streaming near-dup's banding chain must be PURE JVM -- zero
+    Python-evaluated operators and no cartesian pairing.  Since round 8 the
+    band index is a persisted table probed via foreachBatch (join + min +
+    compare, all Catalyst), so even the r7 operator's single
+    applyInPandasWithState boundary is gone; the state-free runtime
+    contract is pinned in
+    tests/test_streaming.py::test_minhash_band_index_cumulative_and_state_free."""
     from flatterer_spark.ext_queries import _sql_lsh_bands_chain
     from flatterer_spark.functions.textgen import Gen
-    from flatterer_spark.streaming.stream_flatten import (
-        minhash_band_dup_stream,
-    )
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -496,12 +496,9 @@ def test_stream_dedup_minhash_stateless_segment_is_jvm(spark, sf_dir):
     stream.createOrReplaceTempView("mh_plan_docs")
     chain = _sql_lsh_bands_chain(Gen(spark=True), table="mh_plan_docs")
     bl = spark.sql(f"WITH {chain} SELECT doc_id, band FROM bl")
-    flags = minhash_band_dup_stream(bl)
-    plan = flags._jdf.queryExecution().analyzed().toString()
-    assert "flatMapGroupsInPandasWithState" in plan or "FlatMapGroupsInPandasWithState" in plan
+    plan = bl._jdf.queryExecution().analyzed().toString()
     assert "Cartesian" not in plan
-    # exactly one Python-evaluated operator: the stateful band index
-    assert plan.count("InPandas") == 1, plan.count("InPandas")
+    assert "InPandas" not in plan and "PythonUDF" not in plan, plan
 
 
 def test_sample_dsir_lr_table_broadcast(spark, sf_dir):
@@ -686,7 +683,23 @@ def test_corpus_source_overlap_fp_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_text_zipf_slope_partial_agg_no_join(spark, sf_dir):
+def test_source_overlap_kmv_prunes_before_distinct(spark, sf_dir):
+    """The sketch-mode overlap's scale lever: the ``h < 2^32/prune``
+    filter must sit BELOW the distinct aggregation (map-side prune of the
+    exploded shingle stream -- only ~1/prune of it ever reaches a
+    shuffle); sketch-compose joins are hash/equi except the |sources|^2
+    pair loop, which must plan as a BROADCAST nested loop over the tiny
+    per-source summary -- never an unpartitioned CartesianProduct."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    df = EXT_QUERIES["corpus_source_overlap_kmv"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the bounded pair loop
+    # the prune threshold (2^32/4) must survive into the physical plan as
+    # a filter predicate (if a refactor drops it, the distinct agg goes
+    # back to consuming the full shingle stream)
+    assert "1073741824" in plan, "prune filter missing from the plan"
     """Zipf fitting is agg-only: token-frequency agg (partial+final), a
     per-lang window over the tiny frequency table, one per-lang list agg
     -- no join anywhere in the plan."""

@@ -159,6 +159,87 @@ def test_s3_output_force_false_refuses_nonempty_prefix(s3_env, spark):
     assert got != b"old" and b"_link" in got
 
 
+def test_s3_force_clears_stale_objects(s3_env, spark):
+    """force=True must mirror the local rmtree: objects from a previous run
+    that the new run does not re-produce (a dropped child table) must NOT
+    survive into the new tree (ADVICE r7)."""
+    from flatterer_spark.flatten import flatten
+
+    s3_env.put_object(
+        Bucket="flatterer-out", Key="stale/csv/old_child.csv", Body=b"gone"
+    )
+    flatten(
+        f"{FIX}/basic.json", "s3://flatterer-out/stale", spark=spark,
+        force=True,
+    )
+    keys = {
+        o["Key"]
+        for o in s3_env.list_objects_v2(
+            Bucket="flatterer-out", Prefix="stale/"
+        ).get("Contents", [])
+    }
+    assert "stale/csv/old_child.csv" not in keys
+    assert "stale/csv/main.csv" in keys and "stale/datapackage.json" in keys
+
+
+def test_s3_upload_rollback_preserves_preexisting_keys(s3_env, tmp_path):
+    """A mid-upload failure must delete only keys NEWLY created by the call:
+    keys that existed before (overwrite-in-place) stay, overwritten or not
+    -- rollback must never leave the destination with MORE of the old tree
+    destroyed than the overwrites already did (ADVICE r7)."""
+    from flatterer_spark.sinks import s3io
+
+    src = tmp_path / "tree2"
+    src.mkdir()
+    for name in ("a.csv", "b.csv", "c.csv", "d.csv"):
+        (src / name).write_text(f"new-{name}\n")
+    # pre-existing tree: a.csv (will be overwritten before the failure) and
+    # zz_old.csv (untouched by the new run)
+    s3_env.put_object(
+        Bucket="flatterer-out", Key="inplace/a.csv", Body=b"old-a"
+    )
+    s3_env.put_object(
+        Bucket="flatterer-out", Key="inplace/zz_old.csv", Body=b"old-zz"
+    )
+
+    real_client = s3io._client
+
+    class FailsOnThird:
+        def __init__(self, inner):
+            self._inner = inner
+            self._n = 0
+
+        def upload_file(self, *a, **kw):
+            self._n += 1
+            if self._n == 3:
+                raise RuntimeError("simulated mid-upload network failure")
+            return self._inner.upload_file(*a, **kw)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    s3io._client = lambda: FailsOnThird(real_client())
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            s3io.upload_dir_to_s3(str(src), "s3://flatterer-out/inplace")
+    finally:
+        s3io._client = real_client
+    keys = {
+        o["Key"]: s3_env.get_object(Bucket="flatterer-out", Key=o["Key"])[
+            "Body"
+        ].read()
+        for o in s3_env.list_objects_v2(
+            Bucket="flatterer-out", Prefix="inplace/"
+        ).get("Contents", [])
+    }
+    # a.csv survived (overwritten -- uploads 1-2 were a.csv, b.csv);
+    # zz_old.csv untouched; the newly-created b.csv was rolled back
+    assert keys == {
+        "inplace/a.csv": b"new-a.csv\n",
+        "inplace/zz_old.csv": b"old-zz",
+    }
+
+
 def test_s3_upload_failure_leaves_no_partial_tree(s3_env, tmp_path):
     """If an upload fails partway, upload_dir_to_s3 must delete the keys it
     already uploaded so the remote side keeps the no-partial-output
