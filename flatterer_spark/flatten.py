@@ -93,6 +93,7 @@ def flatten(
     low_disk: bool = False,
     files: bool = False,    # source iterable yields file paths, not JSON
     log_error: bool = False,
+    _exact_schema: bool = False,  # disable the optimistic-inference overlap
 ) -> dict:
     from flatterer_spark.logutil import setup_logging
 
@@ -195,6 +196,15 @@ def flatten(
             schema_titles=schema_titles,
             stats=stats,
             low_memory=low_memory,
+            _exact_schema=_exact_schema,
+            # csv-only single-sink runs skip the input cache on local
+            # files (see flatten_api: the cache costs more than the
+            # re-parses it saves there); any extra sink re-scans every
+            # table, which is exactly what the cache is for
+            _multi_sink=bool(
+                sqlite or sqlite_path or postgres or xlsx or dataframe
+                or sql_scripts or stats or preview
+            ),
         )
         data: dict[str, object] = {}
         csv_dir = os.path.join(output_dir, "csv")

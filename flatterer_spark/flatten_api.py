@@ -146,7 +146,12 @@ def flatten_dataframes(
         json_stream=opts.json_stream,
         path=tuple(opts.path),
         json_path=opts.json_path,
+        # overlap the exact full-data schema inference with the ordinal
+        # pass; the guard join below redoes everything on a head-sample
+        # miss, so results are exact either way
+        optimistic=not kw.get("_exact_schema"),
     )
+    src_df = df
 
     title_map: dict[str, str] = {}
     if opts.schema:
@@ -192,13 +197,24 @@ def flatten_dataframes(
     # rather than evict-and-reparse.  The cache sits BELOW the _ord map
     # (prepare_ordinal_columns materializes the split-identity columns the
     # map needs), so the strict-ordinal aggregate itself materializes the
-    # cache -- the parse runs exactly twice per flatten (schema inference +
-    # this), never once per downstream action.  low_memory=True trades the
-    # cache away (F16).
+    # cache.  low_memory=True trades the cache away (F16).
+    #
+    # Adaptive default (r8): persisting is NOT free -- the columnar store
+    # costs ~0.5 s at 1M rows, more than the ~3 re-parses it saves when
+    # the input is a LOCAL file (OS page cache; measured 20-25% faster
+    # end-to-end without it at 1M/4M).  flatten()'s lean csv-only path
+    # passes _multi_sink=False to skip the cache for local inputs; remote
+    # inputs (s3a://, object-store round-trips -- the 100 TB cluster
+    # case) and multi-sink/preview/stats runs (each extra sink re-scans
+    # every table) keep it.  Direct flatten_dataframes callers always get
+    # the cache: their consumption pattern is unknown.
     cached = None
     count_exprs = _child_count_exprs(df.schema, plans)
+    want_cache = kw.get("_multi_sink", True) or getattr(
+        df, "_flatterer_remote_input", False
+    )
     df = prepare_ordinal_columns(df)
-    if not kw.get("low_memory"):
+    if not kw.get("low_memory") and want_cache:
         from pyspark import StorageLevel
 
         cached = df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -227,6 +243,28 @@ def flatten_dataframes(
         # counts.  flatten() routes exact-CSV writers on these.
         result.row_counts.update(child_counts)
     _apply_field_table_csv(result)
+
+    from flatterer_spark.sources.json_input import schema_guard_ok
+
+    if not schema_guard_ok(src_df):
+        # head-sample schema missed (a key first seen past the sample, a
+        # type widened by a later row, or malformed lines): discard the
+        # optimistic pipeline and redo on the exact-inference path.  The
+        # staged paths stand in for `source`, which may be a consumed
+        # iterator or a respooled JSON stream.
+        import logging
+
+        logging.getLogger("flatterer_spark").debug(
+            "optimistic schema guard missed; re-running with exact inference"
+        )
+        result.unpersist()
+        kw2 = dict(kw)
+        kw2["_exact_schema"] = True
+        kw2["ndjson"] = True
+        kw2["json_stream"] = False
+        return flatten_dataframes(
+            spark, list(src_df._flatterer_staged_paths), **kw2
+        )
     return result
 
 
@@ -456,11 +494,19 @@ def metadata_agg_exprs(df: DataFrame) -> list[Column]:
             dashes = (
                 f"substring({q}, 5, 1) = '-' AND substring({q}, 8, 1) = '-'"
             )
+            # Under the guards (length 10, dashes at 5 and 8), DATE_RE is
+            # exactly "every other character is a digit", i.e. stripping
+            # digits leaves the two dashes alone -- a translate() char loop
+            # instead of a regex engine on the hot all-dates column
+            # (byte-equivalence pinned by the golden fields.csv counts and
+            # test_fused_metadata_matches_two_pass).
             aggs.append(
                 F.count(
                     F.when(
-                        F.expr(f"length({q}) = 10 AND {dashes}")
-                        & F.col(q).rlike(DATE_RE),
+                        F.expr(
+                            f"length({q}) = 10 AND {dashes} AND "
+                            f"translate({q}, '0123456789', '') = '--'"
+                        ),
                         1,
                     )
                 ).alias(f"d::{c.name}")

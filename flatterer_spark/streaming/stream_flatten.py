@@ -322,10 +322,33 @@ def _finish_drain(q, query_name: str, timeout_sec: float) -> None:
             f"streaming drain '{query_name}' did not terminate in {timeout_sec}s"
         )
     try:
-        DRAIN_PROGRESS[query_name] = [
+        DRAIN_PROGRESS[query_name] = progs = [
             p if isinstance(p, dict) else _json.loads(p.json)
             for p in q.recentProgress
         ]
+        # one-line state audit per drain, so an unbounded-state regression
+        # is visible in every bench/test run, not only the 10x scale audit
+        state = [
+            sum(so.get("numRowsTotal", 0) for so in p.get("stateOperators", []))
+            for p in progs
+        ]
+        removed = sum(
+            so.get("numRowsRemoved", 0)
+            for p in progs
+            for so in p.get("stateOperators", [])
+        )
+        import logging
+
+        logging.getLogger("flatterer_spark").info(
+            "drain %s: %d batches, %d input rows, state rows last/peak "
+            "%d/%d, %d evicted",
+            query_name,
+            len(progs),
+            sum(p.get("numInputRows", 0) for p in progs),
+            state[-1] if state else 0,
+            max(state, default=0),
+            removed,
+        )
     except Exception:  # progress capture must never fail a drain
         DRAIN_PROGRESS[query_name] = []
 

@@ -919,3 +919,47 @@ def test_bench_flatten_harness_agrees_with_engine(spark, tmp_path):
         py_rows = len(pd.read_csv(os.path.join(py_out, f"{table}.csv")))
         spark_rows = len(pd.read_csv(res["data"][table]))
         assert py_rows == spark_rows, table
+
+
+def test_optimistic_schema_guard_miss_redoes_exact(spark, tmp_path):
+    """The optimistic head-sample schema path must produce byte-identical
+    output to exact inference in BOTH guard outcomes: (a) a key first seen
+    past the head sample and (b) a type widened by a late row force the
+    guard miss -> exact redo; (c) a homogeneous input takes the optimistic
+    path outright.  Compare every CSV byte-for-byte against a run with the
+    optimistic path disabled (_exact_schema)."""
+    import json as _json
+
+    from flatterer_spark.flatten import flatten
+
+    cases = {
+        # (a) 1500 uniform rows, then a brand-new key + child table
+        "late_key": [
+            {"id": i, "a": "x"} for i in range(1500)
+        ] + [{"id": 1500, "a": "y", "extra": {"deep": 1},
+              "kids": [{"n": 1}, {"n": 2}]}],
+        # (b) long for 1500 rows, double after
+        "late_widen": [
+            {"id": i, "v": i} for i in range(1500)
+        ] + [{"id": 1500, "v": 1.5}],
+        # (c) homogeneous: optimistic path, no redo
+        "uniform": [
+            {"id": i, "v": i, "kids": [{"n": i}]} for i in range(1200)
+        ],
+    }
+    for name, rows in cases.items():
+        src = tmp_path / f"{name}.ndjson"
+        with open(src, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        out_opt = str(tmp_path / f"{name}_opt")
+        out_exact = str(tmp_path / f"{name}_exact")
+        flatten(str(src), out_opt, spark=spark, ndjson=True)
+        flatten(str(src), out_exact, spark=spark, ndjson=True,
+                _exact_schema=True)
+        for root, _, files in os.walk(out_exact):
+            for fn in files:
+                ex = os.path.join(root, fn)
+                op = os.path.join(out_opt, os.path.relpath(ex, out_exact))
+                with open(ex, "rb") as a, open(op, "rb") as b:
+                    assert a.read() == b.read(), (name, fn)
