@@ -46,6 +46,7 @@ OPS = [
     "dedup_simhash_pairs",
     "q51_market_share",
     "corpus_source_overlap",
+    "corpus_source_overlap_kmv",
     "dedup_embedding",
     "dedup_boilerplate",
 ]
