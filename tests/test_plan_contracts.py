@@ -689,17 +689,36 @@ def test_source_overlap_kmv_prunes_before_distinct(spark, sf_dir):
     exploded shingle stream -- only ~1/prune of it ever reaches a
     shuffle); sketch-compose joins are hash/equi except the |sources|^2
     pair loop, which must plan as a BROADCAST nested loop over the tiny
-    per-source summary -- never an unpartitioned CartesianProduct."""
-    from flatterer_spark.ext_queries import EXT_QUERIES
+    per-source summary -- never an unpartitioned CartesianProduct.  The
+    operator is two plans since the staging split (the sketch SQL
+    references srcmins 4x and Spark inlines CTEs): the BUILD plan must
+    carry the prune filter; the COMPOSE plan must read the staged sketch
+    parquet, not the shingle stream."""
+    from flatterer_spark.ext_queries import (
+        EXT_QUERIES,
+        _shingle_view,
+        sql_kmv_srcmins,
+    )
+    from flatterer_spark.functions.textgen import Gen
+    from flatterer_spark.queries import T
+
+    view = _shingle_view(spark, sf_dir)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    build_plan = _plan(
+        spark.sql(sql_kmv_srcmins(Gen(spark=True), sh_table=view))
+    )
+    # the prune threshold (2^32/4) must survive into the build plan as a
+    # filter predicate (if a refactor drops it, the distinct agg goes
+    # back to consuming the full shingle stream)
+    assert "1073741824" in build_plan, "prune filter missing"
+    assert "CartesianProduct" not in build_plan
 
     df = EXT_QUERIES["corpus_source_overlap_kmv"](spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the bounded pair loop
-    # the prune threshold (2^32/4) must survive into the physical plan as
-    # a filter predicate (if a refactor drops it, the distinct agg goes
-    # back to consuming the full shingle stream)
-    assert "1073741824" in plan, "prune filter missing from the plan"
+    assert "kmvmins" in plan  # composes against the staged sketch table
+    assert "explode" not in plan.lower()  # never re-derives the shingles
     """Zipf fitting is agg-only: token-frequency agg (partial+final), a
     per-lang window over the tiny frequency table, one per-lang list agg
     -- no join anywhere in the plan."""
