@@ -184,3 +184,59 @@ def test_strict_ordinals_multifile_size_desc_packing(spark, tmp_path):
     rows = with_ordinal(df, "strict").select("id", "_ord").collect()
     assert len(rows) == 345
     assert all(r["_ord"] == r["id"] for r in rows)
+
+
+# -- optimistic-schema guard byte parity (round 8) ---------------------------
+# flatten()'s default NDJSON path parses with a 400-line head-sample schema
+# while exact inference runs in the background; on a guard miss it must redo
+# on the exact path.  Fuzz: corpora whose TAIL (past the head sample) may
+# drift the schema (new keys, widened types, new child arrays) must produce
+# byte-identical CSV output either way.
+
+_DRIFT = st.sampled_from(["none", "new_key", "widen", "child", "deep"])
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(drift=_DRIFT, extra=_obj(1), seed=st.integers(0, 10**6))
+def test_optimistic_guard_byte_parity_fuzz(
+    spark, tmp_path_factory, drift, extra, seed
+):
+    import os
+
+    from flatterer_spark.flatten import flatten
+
+    d = tmp_path_factory.mktemp("guardfuzz")
+    p = d / "docs.jsonl"
+    n_head, n_tail = 430, 40
+    with open(p, "w") as f:
+        for i in range(n_head):
+            f.write(json.dumps({"id": i, "a": i % 7, "kids": [{"n": i}]}) + "\n")
+        for j in range(n_tail):
+            doc = {"id": n_head + j, "a": n_head + j, "kids": [{"n": j}]}
+            if drift == "new_key":
+                doc["late"] = "x"
+            elif drift == "widen":
+                doc["a"] = j + 0.5
+            elif drift == "child":
+                doc["more"] = [{"z": j}, {"z": j + 1}]
+            elif drift == "deep":
+                doc["late"] = extra  # arbitrary nested drift
+            f.write(json.dumps(doc, default=str) + "\n")
+
+    out_opt = str(d / f"opt_{seed}")
+    out_exact = str(d / f"exact_{seed}")
+    flatten(str(p), out_opt, spark=spark, ndjson=True)
+    flatten(str(p), out_exact, spark=spark, ndjson=True, _exact_schema=True)
+    walked = 0
+    for root, _, files in os.walk(out_exact):
+        for fn in files:
+            ex = os.path.join(root, fn)
+            op = os.path.join(out_opt, os.path.relpath(ex, out_exact))
+            with open(ex, "rb") as a, open(op, "rb") as b:
+                assert a.read() == b.read(), (drift, fn)
+            walked += 1
+    assert walked >= 4  # main+kids csv, fields, tables, datapackage
