@@ -719,6 +719,9 @@ def test_source_overlap_kmv_prunes_before_distinct(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # the bounded pair loop
     assert "kmvmins" in plan  # composes against the staged sketch table
     assert "explode" not in plan.lower()  # never re-derives the shingles
+
+
+def test_text_zipf_slope_partial_agg_no_join(spark, sf_dir):
     """Zipf fitting is agg-only: token-frequency agg (partial+final), a
     per-lang window over the tiny frequency table, one per-lang list agg
     -- no join anywhere in the plan."""
