@@ -45,6 +45,18 @@ EXACT_CSV_MAX_ROWS = 100_000
 # flow is otherwise the default at every scale).
 _FUSED_ENABLED = True
 
+# Default strategy for the large-input CSV phase.  "per-table" = N
+# concurrent per-table jobs (N pruned codegen'd parses -- fastest when
+# input bytes are cheap to re-read: local files in page cache; measured
+# round 9 at 1M: 5.5 s vs union's 8.0 s even on a constrained local[4]
+# pool, because the union's lambda-interpreted cell building costs more
+# CPU than the extra pruned parses save).  "union" = ONE scan serializes
+# every table (sinks/union_csv.py) -- the right shape when re-reading the
+# input is the expensive part: object-store inputs at cluster scale pay N
+# full remote reads under per-table mode, one under union.  "auto" picks
+# union exactly for remote inputs.
+_CSV_WRITE_DEFAULT = "auto"
+
 
 def flatten(
     source,
@@ -63,6 +75,8 @@ def flatten(
     force: bool = False,
     preview: int = 0,
     exact_csv: bool | str = "auto",
+    csv_write: str = "auto",  # "auto" | "per-table" | "union" (see
+    # _CSV_WRITE_DEFAULT for the tradeoff)
     # pipeline options (see flatten_api.FlattenOptions)
     main_table_name: str = "main",
     path_separator: str = "_",
@@ -170,9 +184,12 @@ def flatten(
     log.info("flatten: source=%s output_dir=%s", source, output_dir)
     result = None
     try:
-        result = flatten_dataframes(
-            spark,
-            source,
+        csv_pass_early = csv or dataframe or sqlite or sqlite_path
+        multi_sink = bool(
+            sqlite or sqlite_path or postgres or xlsx or dataframe
+            or sql_scripts or stats or preview
+        )
+        fd_kwargs = dict(
             main_table_name=main_table_name,
             path_separator=path_separator,
             table_prefix=table_prefix,
@@ -201,14 +218,32 @@ def flatten(
             # files (see flatten_api: the cache costs more than the
             # re-parses it saves there); any extra sink re-scans every
             # table, which is exactly what the cache is for
-            _multi_sink=bool(
-                sqlite or sqlite_path or postgres or xlsx or dataframe
-                or sql_scripts or stats or preview
+            _multi_sink=multi_sink,
+            # CSV writes will run: defer the schema-guard join to after
+            # them (flatten checks _guards_ok and redoes on a miss), so
+            # the background exact inference overlaps the write jobs
+            _defer_guards=csv_pass_early,
+            # the optimistic text-ordinal fast path only arms when the
+            # caller is committed to a guarded full-scan CSV write (union
+            # or classic): csv pass, fused flow possible, large input
+            # (flatten_api re-checks strict/local/line-based and the row
+            # threshold)
+            _text_ordinals=(
+                EXACT_CSV_MAX_ROWS
+                if (
+                    _FUSED_ENABLED
+                    and csv_pass_early
+                    and exact_csv is not False
+                    and preview == 0
+                    and not multi_sink
+                )
+                else 0
             ),
         )
+        result = flatten_dataframes(spark, source, **fd_kwargs)
         data: dict[str, object] = {}
         csv_dir = os.path.join(output_dir, "csv")
-        csv_pass = csv or dataframe or sqlite or sqlite_path
+        csv_pass = csv_pass_early
 
         # Fused single-pass path: when the input is large enough that every
         # table takes the executor-side merged CSV writer anyway, the
@@ -224,97 +259,110 @@ def flatten(
         # two-pass flow (its metadata is full-data while its writes are
         # limited -- F13); partition-mode ordinals carry no input_rows, so
         # they keep it too (no exact routing basis).
-        fused = (
-            _FUSED_ENABLED
-            and csv_pass
-            and exact_csv is not False
-            and preview == 0
-            and result.input_rows is not None
-        )
-        if not fused:
-            compute_metadata(result)
+        def _fused(res) -> bool:
+            return (
+                _FUSED_ENABLED
+                and csv_pass
+                and exact_csv is not False
+                and preview == 0
+                and res.input_rows is not None
+            )
 
-        # Fused mode routes writers per table, not on the main table's size
-        # (ADVICE r6): a 10-row child should not pay a distributed write job
-        # + temp dir + concat just because the main table is big.  Child
-        # cardinalities normally come EXACTLY (and job-free) from the
-        # strict-ordinal aggregate, which sums a per-table HOF count
-        # expression in the same pass that counts splits
-        # (flatten_api._sum_count_expr); the main table's count IS
-        # input_rows.  Tables that pass couldn't price (unpriceable plan
-        # shapes) fall back to one bounded-count action: limit(MAX+1) legs
-        # over the persisted parse, so big children stop after one
-        # partition.
-        fused_small: set[str] = set()
-        if fused:
-            def _is_main(name: str) -> bool:
-                plan = result.plans.get(name)
-                return plan is not None and not plan.ancestors
-
-            missing = [
-                name
-                for name in result.tables
-                if not _is_main(name) and name not in result.row_counts
-            ]
-            if missing:
-                import pyspark.sql.functions as F
-                from functools import reduce
-
-                legs = [
-                    result.tables[name]
-                    .limit(EXACT_CSV_MAX_ROWS + 1)
-                    .groupBy()
-                    .count()
-                    .select(F.lit(name).alias("t"), F.col("count").alias("n"))
-                    for name in missing
-                ]
-                for r in reduce(lambda a, b: a.unionAll(b), legs).collect():
-                    if r["n"] <= EXACT_CSV_MAX_ROWS:
-                        # exact (not truncated) -- safe to record
-                        result.row_counts[r["t"]] = r["n"]
-            fused_small = {
-                name
-                for name in result.tables
-                if (
-                    result.input_rows <= EXACT_CSV_MAX_ROWS
-                    if _is_main(name)
-                    else result.row_counts.get(
-                        name, EXACT_CSV_MAX_ROWS + 1
-                    ) <= EXACT_CSV_MAX_ROWS
-                )
-            }
-
-        def _write_table_csv(name: str, df) -> str:
-            p = os.path.join(csv_dir, f"{name}.csv")
-            # exact (single-file, byte-deterministic) CSV is the default
-            # contract at ANY size: small tables collect on the driver
-            # (one job, no temp dir), larger ones serialize on the
-            # executors and byte-concat the parts (write_csv_exact_merged
-            # -- byte-identical output, no driver data).  exact_csv=False
-            # opts into the sharded directory layout for consumers that
-            # would rather read parts in parallel.
-            if exact_csv is False:
-                writers.write_csv_distributed(df, p, preview=preview)
-            elif (
-                name in fused_small
-                if fused
-                else result.row_counts.get(name, 0) <= EXACT_CSV_MAX_ROWS
-            ):
-                writers.write_csv_exact(
-                    df, p, preview=preview, titles=result.titles_for(name)
-                )
-            else:
-                writers.write_csv_exact_merged(
-                    df, p, preview=preview, titles=result.titles_for(name)
-                )
-            return p
-
-        # Per-table sink jobs are independent Spark actions over the shared
-        # persisted parse -- submit them concurrently so wall time tracks
-        # the slowest table, not the sum (compute_metadata does the same).
         from concurrent.futures import ThreadPoolExecutor
 
-        if csv_pass:
+        def _classic_csv_pass(res) -> dict[str, str]:
+            """Per-table CSV jobs (the pre-union flow): each table is an
+            independent Spark action over the shared persisted parse,
+            submitted concurrently so wall time tracks the slowest table,
+            not the sum.  Still the path for small inputs (driver-exact
+            writers win below the threshold) and the fallback after an
+            optimistic-guard redo."""
+            fused = _fused(res)
+            if not fused:
+                compute_metadata(res)
+
+            # Fused mode routes writers per table, not on the main table's
+            # size (ADVICE r6): a 10-row child should not pay a distributed
+            # write job + temp dir + concat just because the main table is
+            # big.  Child cardinalities normally come EXACTLY (and
+            # job-free) from the strict-ordinal aggregate, which sums a
+            # per-table HOF count expression in the same pass that counts
+            # splits (flatten_api._sum_count_expr); the main table's count
+            # IS input_rows.  Tables that pass couldn't price (unpriceable
+            # plan shapes) fall back to one bounded-count action:
+            # limit(MAX+1) legs over the persisted parse, so big children
+            # stop after one partition.
+            fused_small: set[str] = set()
+            if fused:
+                def _is_main(name: str) -> bool:
+                    plan = res.plans.get(name)
+                    return plan is not None and not plan.ancestors
+
+                missing = [
+                    name
+                    for name in res.tables
+                    if not _is_main(name) and name not in res.row_counts
+                ]
+                # deferred-guard (optimistic text-ordinal) mode: the guard
+                # observation must fire on a FULL scan, and these legs are
+                # LIMIT-bounded -- skip them (missing counts route to the
+                # merged writer, which is always safe)
+                if missing and res.guards_deferred:
+                    missing = []
+                if missing:
+                    import pyspark.sql.functions as F
+                    from functools import reduce
+
+                    legs = [
+                        res.tables[name]
+                        .limit(EXACT_CSV_MAX_ROWS + 1)
+                        .groupBy()
+                        .count()
+                        .select(F.lit(name).alias("t"), F.col("count").alias("n"))
+                        for name in missing
+                    ]
+                    for r in reduce(lambda a, b: a.unionAll(b), legs).collect():
+                        if r["n"] <= EXACT_CSV_MAX_ROWS:
+                            # exact (not truncated) -- safe to record
+                            res.row_counts[r["t"]] = r["n"]
+                fused_small = {
+                    name
+                    for name in res.tables
+                    if (
+                        res.input_rows <= EXACT_CSV_MAX_ROWS
+                        if _is_main(name)
+                        else res.row_counts.get(
+                            name, EXACT_CSV_MAX_ROWS + 1
+                        ) <= EXACT_CSV_MAX_ROWS
+                    )
+                }
+
+            def _write_table_csv(name: str, df) -> str:
+                p = os.path.join(csv_dir, f"{name}.csv")
+                # exact (single-file, byte-deterministic) CSV is the
+                # default contract at ANY size: small tables collect on the
+                # driver (one job, no temp dir), larger ones serialize on
+                # the executors and byte-concat the parts
+                # (write_csv_exact_merged -- byte-identical output, no
+                # driver data).  exact_csv=False opts into the sharded
+                # directory layout for consumers that would rather read
+                # parts in parallel.
+                if exact_csv is False:
+                    writers.write_csv_distributed(df, p, preview=preview)
+                elif (
+                    name in fused_small
+                    if fused
+                    else res.row_counts.get(name, 0) <= EXACT_CSV_MAX_ROWS
+                ):
+                    writers.write_csv_exact(
+                        df, p, preview=preview, titles=res.titles_for(name)
+                    )
+                else:
+                    writers.write_csv_exact_merged(
+                        df, p, preview=preview, titles=res.titles_for(name)
+                    )
+                return p
+
             from flatterer_spark.flatten_api import (
                 build_metadata,
                 metadata_agg_exprs,
@@ -333,18 +381,104 @@ def flatten(
 
             items = [
                 (name, _observed(name, df))
-                for name, df in result.tables.items()
+                for name, df in res.tables.items()
             ]
+            written: dict[str, str] = {}
             with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:
                 for name, p in zip(
                     (n for n, _ in items),
                     ex.map(lambda nd: _write_table_csv(*nd), items),
                 ):
-                    data[name] = p
+                    written[name] = p
             if fused:
                 build_metadata(
-                    result, {n: observations[n].get for n in observations}
+                    res, {n: observations[n].get for n in observations}
                 )
+            return written
+
+        def _guards_ok(res) -> bool:
+            """Join the deferred optimistic guards (schema: background
+            exact inference equality; ordinals: the _ord_bad observation
+            that fired on the write scan).  True when nothing was
+            deferred."""
+            if not res.guards_deferred:
+                return True
+            from flatterer_spark.flatten_api import ordinal_guard_ok
+            from flatterer_spark.sources.json_input import schema_guard_ok
+
+            return schema_guard_ok(res.src_df) and ordinal_guard_ok(res)
+
+        def _redo_exact():
+            """Optimistic guard missed: discard everything derived from
+            the optimistic read and rebuild on the exact path (staged
+            paths stand in for a possibly-consumed source)."""
+            nonlocal result
+            log.info(
+                "optimistic schema/ordinal guard missed; "
+                "redoing on the exact path"
+            )
+            staged = list(result.src_df._flatterer_staged_paths)
+            result.unpersist()
+            result = flatten_dataframes(
+                spark,
+                staged,
+                **{
+                    **fd_kwargs,
+                    "ndjson": True,
+                    "json_stream": False,
+                    "_exact_schema": True,
+                    "_text_ordinals": 0,
+                },
+            )
+            return _classic_csv_pass(result)
+
+        if not csv_pass:
+            compute_metadata(result)
+        else:
+            # Single-pass union write: above the exact-CSV threshold every
+            # table's body, the fused metadata, and (in optimistic
+            # text-ordinal mode) the ordinal guard ride ONE scan of the
+            # input -- one job and one parse instead of one per table
+            # (sinks/union_csv.py).  Guards are verified after the job but
+            # BEFORE any final artifact exists; a miss discards the temp
+            # parts and redoes the whole pipeline on the exact path.
+            mode = csv_write if csv_write != "auto" else _CSV_WRITE_DEFAULT
+            if mode == "auto":
+                mode = (
+                    "union"
+                    if getattr(
+                        result.src_df, "_flatterer_remote_input", False
+                    )
+                    else "per-table"
+                )
+            use_union = (
+                mode == "union"
+                and _fused(result)
+                and result.input_rows > EXACT_CSV_MAX_ROWS
+                and len(result.tables) > 0
+            )
+            if use_union:
+                from flatterer_spark.flatten_api import build_metadata
+                from flatterer_spark.sinks import union_csv
+
+                os.makedirs(csv_dir, exist_ok=True)
+                union_tmp = os.path.join(csv_dir, "._union_tmp")
+                run = union_csv.run_union_write(result, union_tmp)
+                if _guards_ok(result):
+                    data = union_csv.finalize_union_csv(
+                        run, csv_dir, result.titles_for
+                    )
+                    build_metadata(result, union_csv.observed_metadata(run))
+                    shutil.rmtree(union_tmp, ignore_errors=True)
+                else:
+                    shutil.rmtree(union_tmp, ignore_errors=True)
+                    data = _redo_exact()
+            else:
+                data = _classic_csv_pass(result)
+                if not _guards_ok(result):
+                    # classic writes already landed: discard and rewrite
+                    shutil.rmtree(csv_dir, ignore_errors=True)
+                    data = _redo_exact()
         if parquet:
             items = list(result.tables.items())
             with ThreadPoolExecutor(max_workers=max(1, min(8, len(items)))) as ex:

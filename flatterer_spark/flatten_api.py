@@ -55,6 +55,18 @@ class FlattenResult:
     input_df: DataFrame = None  # persisted parsed input (see unpersist())
     input_rows: int | None = None  # exact root-object count when the strict
     # ordinal pass already computed it (free main-table cardinality)
+    ordinal_df: DataFrame = None  # post-ordinal source rows: the union CSV
+    # writer's input (one row per root object, _ord assigned)
+    ordinal_expected_rows: int | None = None  # text-ordinal guard total
+    # (None = exact aggregate path, no guard needed)
+    ordinal_guard_obs = None  # Observation on the ordinal_df scan: fires
+    # on the first full-scan write action (union OR classic), carrying
+    # sum(_ord_bad) + row count for ordinal_guard_ok()
+    guards_deferred: bool = False  # optimistic text-ordinal mode: the
+    # schema guard join AND the ordinal guard are the CALLER's job, checked
+    # against the union write's observation before any artifact is final
+    src_df: DataFrame = None  # the raw parsed read (guard attrs + staged
+    # paths for a redo)
 
     def unpersist(self) -> None:
         """Release the persisted parsed-input cache.
@@ -214,11 +226,64 @@ def flatten_dataframes(
         df, "_flatterer_remote_input", False
     )
     df = prepare_ordinal_columns(df)
+    # Optimistic text-ordinal fast path (the union-CSV single-pass flow):
+    # per-split offsets come from a raw text scan (0.18 s vs the JSON
+    # aggregate's 0.64 s at 1M) and the caller verifies the _ord_bad guard
+    # + row-count equality on the write scan itself, redoing everything on
+    # a miss.  Only taken for large line-based local inputs on the
+    # no-cache csv-only flow (flatten() passes the threshold), where the
+    # caller is committed to the guarded union write.
+    text_ordinals = False
+    thr = kw.get("_text_ordinals")
+    if (
+        thr
+        and opts.ordinals == "strict"
+        and not opts.json_path
+        and not want_cache
+        and not kw.get("low_memory")
+        and getattr(src_df, "_flatterer_line_based", False)
+        and not getattr(src_df, "_flatterer_remote_input", True)
+    ):
+        from flatterer_spark.sources.json_input import with_ordinal_text
+
+        tout = with_ordinal_text(df, spark, src_df._flatterer_staged_paths)
+        if tout is not None and tout._flatterer_input_rows > int(thr):
+            rows = tout._flatterer_input_rows
+            # the guard rides the FIRST full-scan write action over this
+            # node (the union write job, or the classic main-table write):
+            # both scan every root row, so the observed counts are exact.
+            # flatten() checks ordinal_guard_ok() after its writes and
+            # redoes everything on the exact path on a miss.
+            from pyspark.sql import Observation
+
+            guard_obs = Observation()
+            tout = tout.observe(
+                guard_obs,
+                F.sum(F.col("_ord_bad").cast("long")).alias("bad"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            tout._flatterer_input_rows = rows
+            df, text_ordinals = tout, True
+
+    def _kick_inference():
+        # start the background exact-inference parse NOW: after the text
+        # agg (so the cheap fast-path job never queues behind the full
+        # parse under FIFO -- it then overlaps the write jobs), or just
+        # before the exact ordinal aggregate (the two overlap, the
+        # pre-round-9 behavior)
+        g = getattr(src_df, "_flatterer_schema_guard", None)
+        if g and hasattr(g[0], "kick"):
+            g[0].kick()
+
+    if text_ordinals:
+        _kick_inference()
     if not kw.get("low_memory") and want_cache:
         from pyspark import StorageLevel
 
         cached = df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df = with_ordinal(df, opts.ordinals, count_exprs=count_exprs)
+    if not text_ordinals:
+        _kick_inference()
+        df = with_ordinal(df, opts.ordinals, count_exprs=count_exprs)
     input_rows = getattr(df, "_flatterer_input_rows", None)
     child_counts = getattr(df, "_flatterer_child_counts", None)
     root_link = (
@@ -236,13 +301,29 @@ def flatten_dataframes(
         titles=title_map,
         input_df=cached,
         input_rows=input_rows,
+        ordinal_df=df,
+        ordinal_expected_rows=input_rows if text_ordinals else None,
+        # _defer_guards (flatten() passes it whenever CSV writes will run)
+        # moves the schema-guard join past the writes even on the exact-
+        # ordinal path, so the background inference overlaps them
+        guards_deferred=text_ordinals or bool(kw.get("_defer_guards")),
+        src_df=src_df,
     )
+    if text_ordinals:
+        result.ordinal_guard_obs = guard_obs
     if child_counts:
         # exact child-table cardinalities, free from the ordinal pass;
         # build_metadata later overwrites with the (identical) observed
         # counts.  flatten() routes exact-CSV writers on these.
         result.row_counts.update(child_counts)
     _apply_field_table_csv(result)
+
+    if result.guards_deferred:
+        # the caller (flatten()'s csv pass) joins the background exact
+        # inference AND verifies the ordinal guard observation after its
+        # write jobs, redoing on a miss -- so the inference fully overlaps
+        # the writes instead of being joined here on the critical path
+        return result
 
     from flatterer_spark.sources.json_input import schema_guard_ok
 
@@ -266,6 +347,31 @@ def flatten_dataframes(
             spark, list(src_df._flatterer_staged_paths), **kw2
         )
     return result
+
+
+def ordinal_guard_ok(result: FlattenResult) -> bool:
+    """Optimistic text-ordinal guard verdict; call only after a full-scan
+    write action has run over ``result.ordinal_df`` (the observation
+    blocks until one completes).
+
+    The text-scan split map is EXACTLY right iff (a) no row fell outside
+    its claimed split interval (``_ord_bad``: map miss, or monotonic id
+    below the claimed min / at-or-past min+count) and (b) the total row
+    count matches the text count.  Proof sketch
+    (tests/test_union_csv.py pins the adversarial cases): per split, rows
+    are contiguous in monotonic-id order; if every row of a split lies
+    inside the claimed [mn, mn+n) and totals match, per-split counts
+    cannot disagree (an over-count violates (a); an under-count then
+    forces an over-count elsewhere), and n contiguous ids inside an
+    n-sized interval force the split's min id to equal the claimed mn --
+    so every assigned ``_ord`` equals the exact two-pass value."""
+    if result.ordinal_expected_rows is None:
+        return True
+    got = result.ordinal_guard_obs.get
+    return (
+        int(got.get("bad") or 0) == 0
+        and int(got.get("rows") or 0) == int(result.ordinal_expected_rows)
+    )
 
 
 def _sum_count_expr(
@@ -470,6 +576,37 @@ def _find_col(plan: TablePlan, fpath: tuple[str, ...]) -> ColSpec:
 # Metadata: fields.csv / tables.csv rows (F10/F11)
 # ---------------------------------------------------------------------------
 
+def date_like(c: Column) -> Column:
+    """Boolean: does this string cell full-match the DATE pattern?
+
+    Structural pre-guards implied by the anchored pattern (exact length
+    10, dashes at positions 5 and 8): the codegen'd AND short-circuits, so
+    only date-shaped cells pay anything past the length test.  Under the
+    guards, DATE_RE is exactly "every other character is a digit", i.e.
+    stripping digits leaves the two dashes alone -- a translate() char
+    loop instead of a regex engine on the hot all-dates column
+    (byte-equivalence pinned by the golden fields.csv counts and
+    test_fused_metadata_matches_two_pass)."""
+    return (
+        (F.length(c) == 10)
+        & (F.substring(c, 5, 1) == "-")
+        & (F.substring(c, 8, 1) == "-")
+        & (F.translate(c, "0123456789", "") == "--")
+    )
+
+
+def datetime_like(c: Column) -> Column:
+    """Boolean: does this string cell full-match the DATETIME pattern?
+    Same pre-guard idea as :func:`date_like` (length >= 19, dashes at 5
+    and 8) in front of the regex."""
+    return (
+        (F.length(c) >= 19)
+        & (F.substring(c, 5, 1) == "-")
+        & (F.substring(c, 8, 1) == "-")
+        & c.rlike(DATETIME_RE)
+    )
+
+
 def metadata_agg_exprs(df: DataFrame) -> list[Column]:
     """The metadata aggregate set for one table: row count, non-null count
     per column, and full-match counts for the date/datetime string patterns
@@ -477,48 +614,22 @@ def metadata_agg_exprs(df: DataFrame) -> list[Column]:
     `fixtures/basic_expected/fields.csv:5`).  Used two ways: as a standalone
     ``df.agg`` job (``compute_metadata``) and as ``df.observe`` metrics
     piggybacked on the CSV-write action (flatten's fused single-pass path --
-    the write scans every row anyway, so the metadata comes free)."""
+    the write scans every row anyway, so the metadata comes free).  Counts
+    are unchanged by the pre-guards in date_like/datetime_like (each guard
+    is a superset of its pattern); on prose-heavy columns the guards
+    removed most of the metadata pass's cost at 4M+ rows."""
     from pyspark.sql.types import StringType
 
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in df.schema.fields:
-        q = f"`{c.name}`"
-        aggs.append(F.count(F.col(q)).alias(f"n::{c.name}"))
+        col = F.col(f"`{c.name}`")
+        aggs.append(F.count(col).alias(f"n::{c.name}"))
         if isinstance(c.dataType, StringType) and not c.name.startswith("_link"):
-            # Structural pre-guards implied by the anchored patterns
-            # (exact length 10 / length >= 19, dashes at positions 5 and
-            # 8): the codegen'd AND short-circuits, so the regex runs
-            # only on date-shaped cells.  Counts are unchanged (guard is
-            # a superset of each pattern); on prose-heavy columns this
-            # removed most of the metadata pass's cost at 4M+ rows.
-            dashes = (
-                f"substring({q}, 5, 1) = '-' AND substring({q}, 8, 1) = '-'"
-            )
-            # Under the guards (length 10, dashes at 5 and 8), DATE_RE is
-            # exactly "every other character is a digit", i.e. stripping
-            # digits leaves the two dashes alone -- a translate() char loop
-            # instead of a regex engine on the hot all-dates column
-            # (byte-equivalence pinned by the golden fields.csv counts and
-            # test_fused_metadata_matches_two_pass).
             aggs.append(
-                F.count(
-                    F.when(
-                        F.expr(
-                            f"length({q}) = 10 AND {dashes} AND "
-                            f"translate({q}, '0123456789', '') = '--'"
-                        ),
-                        1,
-                    )
-                ).alias(f"d::{c.name}")
+                F.count(F.when(date_like(col), 1)).alias(f"d::{c.name}")
             )
             aggs.append(
-                F.count(
-                    F.when(
-                        F.expr(f"length({q}) >= 19 AND {dashes}")
-                        & F.col(q).rlike(DATETIME_RE),
-                        1,
-                    )
-                ).alias(f"t::{c.name}")
+                F.count(F.when(datetime_like(col), 1)).alias(f"t::{c.name}")
             )
     return aggs
 

@@ -44,24 +44,34 @@ TYPE_TO_DATAPACKAGE = {
 }
 
 
+def render_cell(c, dtype) -> "F.Column":
+    """The reference's cell rendering for one column/expression: numerics
+    render whole doubles without the trailing ``.0``, everything else is a
+    plain string cast.  Shared by the all-string table projection below and
+    the single-pass union CSV writer (sinks/union_csv.py), whose cells live
+    inside ``transform`` lambdas and so cannot go through a DataFrame
+    projection."""
+    if isinstance(dtype, NumericType):
+        # whole doubles render as integers (1.0 -> "1"); +-inf must not
+        # take this branch (inf == floor(inf), but the decimal cast
+        # would silently null it -- render "Infinity" via plain cast)
+        d = c.cast("double")
+        as_str = F.when(
+            (d == F.floor(d)) & (F.abs(d) != F.lit(float("inf"))),
+            c.cast("decimal(38,0)").cast("string"),
+        ).otherwise(c.cast("string"))
+        return F.when(c.isNull(), F.lit(None)).otherwise(as_str)
+    return c.cast("string")
+
+
 def formatted_strings(df: DataFrame) -> DataFrame:
     """All-string projection with the reference's cell rendering."""
-    cols = []
-    for f in df.schema.fields:
-        c = F.col(f"`{f.name}`")
-        if isinstance(f.dataType, NumericType):
-            # whole doubles render as integers (1.0 -> "1"); +-inf must not
-            # take this branch (inf == floor(inf), but the decimal cast
-            # would silently null it -- render "Infinity" via plain cast)
-            d = c.cast("double")
-            as_str = F.when(
-                (d == F.floor(d)) & (F.abs(d) != F.lit(float("inf"))),
-                c.cast("decimal(38,0)").cast("string"),
-            ).otherwise(c.cast("string"))
-            cols.append(F.when(c.isNull(), F.lit(None)).otherwise(as_str).alias(f.name))
-        else:
-            cols.append(c.cast("string").alias(f.name))
-    return df.select(*cols)
+    return df.select(
+        *[
+            render_cell(F.col(f"`{f.name}`"), f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
 
 def _write_csv_row(f, w, cells: list) -> None:
@@ -134,6 +144,18 @@ def write_csv_exact_merged(
         .option("ignoreTrailingWhiteSpace", False)
         .csv(tmp)
     )
+    concat_csv_parts(path, df.columns, tmp, titles=titles)
+    shutil.rmtree(tmp)
+
+
+def concat_csv_parts(
+    path: str, columns: list[str], part_dir: str, titles: dict | None = None
+) -> None:
+    """Header + byte-concatenation of a part-file directory into one exact
+    CSV, in partition order (== collect() order).  Shared by
+    ``write_csv_exact_merged`` (per-table job) and the single-pass union
+    writer (sinks/union_csv.py, per-tag directory).  A missing/empty
+    ``part_dir`` yields a header-only file (0-row table)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     import io
 
@@ -141,13 +163,17 @@ def write_csv_exact_merged(
     _write_csv_row(
         hdr,
         csvmod.writer(hdr, lineterminator="\n"),
-        [(titles or {}).get(c, c) for c in df.columns],
+        [(titles or {}).get(c, c) for c in columns],
     )
-    parts = [
-        p
-        for p in os.listdir(tmp)
-        if p.startswith("part-") and not p.endswith(".crc")
-    ]
+    parts = (
+        [
+            p
+            for p in os.listdir(part_dir)
+            if p.startswith("part-") and not p.endswith(".crc")
+        ]
+        if os.path.isdir(part_dir)
+        else []
+    )
     # sort by the numeric partition index, not lexicographically: Spark's
     # %05d zero-pad widens to 6 digits past 99,999 partitions, where
     # "part-100000" would lexicographically precede "part-99999"
@@ -156,7 +182,7 @@ def write_csv_exact_merged(
         f.write(hdr.getvalue().encode("utf-8"))
         f.flush()  # raw-fd appends below bypass the Python buffer
         for part in parts:
-            with open(os.path.join(tmp, part), "rb") as pf:
+            with open(os.path.join(part_dir, part), "rb") as pf:
                 try:
                     # zero-copy kernel-side append (no userspace buffers);
                     # falls back to buffered copy where unsupported
@@ -164,7 +190,6 @@ def write_csv_exact_merged(
                         pass
                 except OSError:
                     shutil.copyfileobj(pf, f, 1 << 20)
-    shutil.rmtree(tmp)
 
 
 def write_csv_distributed(df: DataFrame, out_dir: str, preview: int = 0) -> None:

@@ -547,6 +547,133 @@ def _oracle_stream_ewma() -> str:
     return sql_events_ewma(Gen(spark=False))
 
 
+def stream_ewma_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-evicting per-user EWMA (``stream_flatten.ewma_stream_ttl``) --
+    the state-BOUNDED sibling of ``stream_ewma`` (cross-ref: that query's
+    state is per-user forever; this one's is per ACTIVE user, evicted by
+    event-time timeout after 24 h of inactivity, so the semantics are
+    per-activity-segment features, segments split at >24 h gaps).
+
+    The drain feeds 4 time-ordered chunk files with maxFilesPerTrigger=1
+    so the watermark advances BETWEEN batches: mid-stream evictions fire,
+    re-entries re-seed, and in-batch gap splits are exercised -- the
+    output is batch-invariant because emissions key on (user, seg_start)
+    and the final row per segment is the one with the highest n_events.
+    The oracle computes the same gap segmentation in SQL and folds each
+    segment with list_reduce in (ts, event_id) order -- the identical
+    IEEE op sequence (a*x + (1-a)*acc, seeded at the first value), so the
+    6-dp FLOOR snap has zero cross-engine rounding exposure."""
+    import shutil
+    import tempfile
+
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import (
+        ewma_stream_ttl,
+        run_available_now,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = spark.read.parquet(path)
+    if isinstance(schema["ts"].dataType, LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    src = src.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    # 4 time-ordered chunks (global (ts, event_id) order) so per-user
+    # event-time order holds ACROSS batches -- the operator's documented
+    # in-order arrival contract
+    work = tempfile.mkdtemp(prefix="stream_ewma_ttl_")
+    try:
+        n_chunks = 4
+        chunked = src.withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy("ts", "event_id")) - 1,
+        ).withColumn(
+            "_chunk",
+            F.floor(
+                F.col("_rn") * n_chunks
+                / F.sum(F.lit(1)).over(Window.partitionBy())
+            ),
+        )
+        for i in range(n_chunks):
+            (
+                chunked.where(F.col("_chunk") == i)
+                .drop("_rn", "_chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{work}/in/c{i}")
+            )
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{work}/in")
+        )
+        res = run_available_now(
+            ewma_stream_ttl(stream, ttl_minutes=1440),
+            f"stream_ewma_ttl_{_view_suffix(sf_dir)}",
+        )
+        w = Window.partitionBy("user_id", "seg_start").orderBy(
+            F.desc("n_events")
+        )
+        return (
+            res.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("seg_start").cast("timestamp_ntz").alias("seg_start"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+                F.expr(
+                    "CAST(FLOOR(ewma * 1000000 + 0.5) AS DOUBLE) / 1000000"
+                ).alias("ewma6"),
+            )
+            .orderBy("user_id", "seg_start")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _oracle_stream_ewma_ttl() -> str:
+    # the same gap segmentation + the same sequential fold op order as the
+    # Python recurrence (list_reduce seeds at the first element; DuckDB
+    # CAST(0.3 AS DOUBLE) == Python 0.3, and 1.0 - 0.3 == 0.7 in IEEE)
+    return """
+    WITH o AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               LAG(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    seg AS (
+        SELECT *,
+               SUM(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL '1440 minutes'
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS seg_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_ts,
+           CAST(FLOOR(list_reduce(
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+               (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                           + CAST(0.7 AS DOUBLE) * acc
+           ) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS ewma6
+    FROM seg
+    GROUP BY user_id, seg_id
+    ORDER BY user_id, seg_start
+    """
+
+
 def stream_quantile_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The histogram quantile sketch (``events_quantile_sketch``) under
     Structured Streaming -- the property that makes a mergeable sketch the
@@ -618,6 +745,7 @@ def stream_quantile_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_GATE_QUERIES = {
     "stream_quantile_sketch": stream_quantile_sketch_query,
     "stream_ewma": stream_ewma_query,
+    "stream_ewma_ttl": stream_ewma_ttl_query,
     "stream_dedup_minhash_indexed": stream_dedup_minhash_indexed_query,
     "stream_windowed_stats": stream_windowed_stats_query,
     "stream_dedup_exact": stream_dedup_exact_query,
@@ -653,6 +781,7 @@ STREAM_GATE_ORACLE = {
         ORDER BY window_start
     """,
     "stream_ewma": _oracle_stream_ewma(),
+    "stream_ewma_ttl": _oracle_stream_ewma_ttl(),
     "stream_dedup_minhash_indexed": _oracle_stream_dedup_minhash(),
     "stream_topk_per_window": """
         WITH c AS (

@@ -353,7 +353,9 @@ def _finish_drain(q, query_name: str, timeout_sec: float) -> None:
         DRAIN_PROGRESS[query_name] = []
 
 
-BAND_INDEX_SCHEMA = "band string, owner long"
+# seen = micro-batch id of the band's last activity (the retention axis:
+# compact_band_index(retain_seen_after=...) is the dedup-horizon DELETE)
+BAND_INDEX_SCHEMA = "band string, owner long, seen long"
 BAND_FLAGS_SCHEMA = "doc_id long, band_dup boolean"
 
 
@@ -363,6 +365,7 @@ def minhash_band_probe_stream(
     flags_dir: str,
     query_name: str,
     timeout_sec: float = 300.0,
+    seen_base: int = 0,
 ) -> DataFrame:
     """Streaming near-duplicate band detector, state-store-FREE: each
     micro-batch probes and maintains a PERSISTED band index (band ->
@@ -385,11 +388,16 @@ def minhash_band_probe_stream(
        owner, batch min) -- dup-vs-original resolves by doc_id, not
        arrival order, so the result is deterministic however the source
        partitions the drain (identical semantics to the r7 operator);
-     - maintain: only NEW or IMPROVED owners are appended (delta writes);
-       duplicate band rows from successive deltas are resolved min-on-read
-       and squashed offline by :func:`compact_band_index` -- the standard
+     - maintain: every band SEEN in the batch appends one (band, owner,
+       seen=batch_id) delta row; duplicate band rows from successive
+       deltas are resolved min-on-read (owner) / max-on-read (seen) and
+       squashed offline by :func:`compact_band_index` -- the standard
        delta+compaction lifecycle, where retention/TTL is an offline
-       DELETE on the table instead of a per-key state-store timeout.
+       DELETE on the table (compact's ``retain_seen_after``) instead of a
+       per-key state-store timeout.  (Round 8 appended only NEW/IMPROVED
+       owners; round 9 appends every seen band so ``seen`` tracks
+       last-activity and the dedup-horizon retention can evict idle bands
+       without ever evicting an active one.)
 
     Runs the availableNow drain itself (foreachBatch has no memory-sink
     form) and returns the accumulated flags as a batch DataFrame; progress
@@ -436,10 +444,17 @@ def minhash_band_probe_stream(
                 .parquet(flags_dir)
             )
             (
-                merged.where(
-                    F.col("old").isNull() | (F.col("cur") < F.col("old"))
+                # seen = seen_base + batch_id: availableNow drains restart
+                # batch ids at 0 (no checkpoint), so a caller running
+                # periodic drains passes a monotonic seen_base (epoch /
+                # cycle counter) to keep the retention axis advancing
+                merged.select(
+                    "band",
+                    F.col("cur").alias("owner"),
+                    F.lit(int(seen_base) + int(batch_id))
+                    .cast("long")
+                    .alias("seen"),
                 )
-                .select("band", F.col("cur").alias("owner"))
                 .write.mode("append")
                 .parquet(index_dir)
             )
@@ -457,11 +472,23 @@ def minhash_band_probe_stream(
     return spark.read.schema(BAND_FLAGS_SCHEMA).parquet(flags_dir)
 
 
-def compact_band_index(spark: SparkSession, index_dir: str) -> int:
-    """Squash a delta-appended band index to one (band, owner) row per band
-    (owner = min across deltas).  Returns the compacted row count.  At
-    100 TB this is the table format's compaction/rewrite job; here: rewrite
-    to a sibling dir and atomically swap."""
+def compact_band_index(
+    spark: SparkSession,
+    index_dir: str,
+    retain_seen_after: int | None = None,
+) -> int:
+    """Squash a delta-appended band index to one (band, owner, seen) row
+    per band (owner = min across deltas, seen = max) and, when
+    ``retain_seen_after`` is given, DELETE bands whose last activity is at
+    or before it -- the dedup-horizon retention that bounds the index on
+    an unbounded stream (a band idle past the horizon can no longer own a
+    within-horizon duplicate, so dropping it only re-admits content older
+    than the configured dedup window; the same tradeoff every TTL'd
+    streaming dedup makes, incl. dropDuplicatesWithinWatermark).  Returns
+    the compacted row count.  At 100 TB this is the table format's
+    compaction/rewrite + retention DELETE job; here: rewrite to a sibling
+    dir and atomically swap.  test_streaming.py pins that file count AND
+    row count stay bounded across probe/compact cycles."""
     import os as _os
     import shutil as _shutil
 
@@ -469,8 +496,10 @@ def compact_band_index(spark: SparkSession, index_dir: str) -> int:
         spark.read.schema(BAND_INDEX_SCHEMA)
         .parquet(index_dir)
         .groupBy("band")
-        .agg(F.min("owner").alias("owner"))
+        .agg(F.min("owner").alias("owner"), F.max("seen").alias("seen"))
     )
+    if retain_seen_after is not None:
+        compacted = compacted.where(F.col("seen") > int(retain_seen_after))
     tmp = index_dir.rstrip("/") + ".compacting"
     compacted.write.mode("overwrite").parquet(tmp)
     n = spark.read.schema(BAND_INDEX_SCHEMA).parquet(tmp).count()
@@ -484,6 +513,128 @@ def compact_band_index(spark: SparkSession, index_dir: str) -> int:
 EWMA_OUT_SCHEMA = "user_id long, n_events long, last_ts timestamp, ewma double"
 EWMA_STATE_SCHEMA = "ewma double, n long, last_us long"
 
+EWMA_TTL_OUT_SCHEMA = (
+    "user_id long, seg_start timestamp, n_events long, "
+    "last_ts timestamp, ewma double, closed boolean"
+)
+EWMA_TTL_STATE_SCHEMA = "ewma double, n long, first_us long, last_us long"
+
+
+def ewma_stream_ttl(
+    events: DataFrame,
+    alpha: float = 0.3,
+    ttl_minutes: int = 1440,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-user EWMA with an inactivity TTL: the state-BOUNDED sibling of
+    :func:`ewma_stream` (VERDICT r8 #3 / its watch item #2).
+
+    ``ewma_stream`` holds one (ewma, n, last_ts) triple per user FOREVER
+    (NoTimeout) -- bounded by key cardinality, not event count, which on
+    a 100 TB stream with unbounded user churn grows with distinct users
+    without limit.  This variant gives the recurrence an explicit
+    inactivity horizon, which changes the SEMANTICS from "one running
+    feature per user" to "one running feature per user ACTIVITY SEGMENT"
+    (segments split where the inter-event gap exceeds ``ttl_minutes``):
+
+     - state: (ewma, n, first_us, last_us) per ACTIVE user; an
+       event-time timeout (the sessionizer's mechanism,
+       :func:`sessionize`) fires once the watermark passes
+       ``last_ts + ttl``, emits the segment's final row
+       (``closed=true``) and REMOVES the state -- so state tracks
+       currently-active users only, not all users ever seen;
+     - re-entry after eviction is exact, not approximate: the recurrence
+       seeds afresh at the next segment's first value, which is precisely
+       the segment semantics (and the segment-associative affine algebra
+       documented in ``events_ewma`` lets a downstream consumer compose
+       segment folds if it wants the unbroken per-user fold back);
+     - the same gap rule is applied INSIDE a batch (a batch may span the
+       horizon), so segmentation is identical however the stream is
+       micro-batched -- emissions are keyed by (user, seg_start), where
+       seg_start (the segment's first event time) is batch-invariant.
+
+    Emissions: one running row per (user, batch) plus one ``closed`` row
+    per expired segment; for any (user_id, seg_start) the row with the
+    highest n_events is the segment's final feature, which equals the
+    batch gap-segmentation fold bit-for-bit (identical IEEE op order:
+    the DuckDB oracle folds list_reduce(a*x + (1-a)*acc) over the same
+    (ts, event_id)-ordered values -- see gate_queries._oracle_stream_ewma_ttl)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+    one_m = 1.0 - a
+    ttl_us = int(ttl_minutes) * 60 * 1_000_000
+    ttl_ms = int(ttl_minutes) * 60 * 1000
+
+    events = events.withWatermark("ts", watermark)
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        out: list[tuple[int, int, int, float, bool]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                ewma, n, first_us, last_us = state.get
+                out.append((first_us, int(n), last_us, float(ewma), True))
+                state.remove()
+        else:
+            rows: list[tuple[int, int, float]] = []
+            for pdf in pdfs:
+                ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
+                rows.extend(
+                    zip(
+                        (int(t) for t in ts_us),
+                        (int(e) for e in pdf["event_id"]),
+                        (float(v) for v in pdf["value"]),
+                    )
+                )
+            rows.sort()
+            cur = None  # [ewma, n, first_us, last_us]
+            if state.exists:
+                ewma, n, first_us, last_us = state.get
+                cur = [float(ewma), int(n), int(first_us), int(last_us)]
+            for t, _eid, v in rows:
+                if cur is not None and t - cur[3] > ttl_us:
+                    # horizon crossed inside the batch: close the segment
+                    # exactly where the timeout would have
+                    out.append((cur[2], cur[1], cur[3], cur[0], True))
+                    cur = None
+                if cur is None:
+                    cur = [v, 1, t, t]
+                else:
+                    cur[0] = a * v + one_m * cur[0]
+                    cur[1] += 1
+                    cur[3] = max(cur[3], t)
+            if cur is not None:
+                state.update((cur[0], cur[1], cur[2], cur[3]))
+                # fire once the watermark passes last event + ttl; must
+                # stay ahead of the current watermark or Spark rejects it
+                state.setTimeoutTimestamp(
+                    max(
+                        cur[3] // 1000 + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+                out.append((cur[2], cur[1], cur[3], cur[0], False))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "seg_start": [pd.Timestamp(o[0], unit="us") for o in out],
+                "n_events": [o[1] for o in out],
+                "last_ts": [pd.Timestamp(o[2], unit="us") for o in out],
+                "ewma": [o[3] for o in out],
+                "closed": [o[4] for o in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_TTL_OUT_SCHEMA,
+        stateStructType=EWMA_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
 
 def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Streaming per-user EWMA: the O(1)-state counterpart of the batch
@@ -493,7 +644,11 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     into the carried ewma and emits the updated running feature.  This is
     the bounded-state shape a 100 TB/day feature pipeline needs (contrast
     the sessionizer, whose state is an open interval, or a naive
-    rank-feature, which would need the full history).
+    rank-feature, which would need the full history).  Bounded by KEY
+    cardinality, though, not by activity: state lives forever (NoTimeout),
+    so under unbounded user churn prefer :func:`ewma_stream_ttl`, the
+    sibling whose event-time timeout evicts idle users (at the price of
+    per-activity-segment semantics).
 
     Ordering contract: the recurrence is order-dependent, so the operator
     assumes per-key event-time order ACROSS micro-batches (in-order

@@ -233,10 +233,19 @@ def test_fused_small_child_keeps_driver_exact_writer(spark, tmp_path,
     table's size (ADVICE r6): a tiny child table takes the cheap driver
     collect writer (no distributed write job + temp dir), the big main
     table keeps the merged writer, and the observed metadata (fields.csv,
-    counts) stays byte-identical to the two-pass flow either way."""
+    counts) stays byte-identical to the two-pass flow either way.  This
+    routing needs the exact ordinal aggregate's child counts, so pin the
+    exact path (the optimistic text-ordinal mode deliberately skips the
+    bounded-count legs -- they are LIMIT-bounded and would race the
+    full-scan guard observation -- and routes unknown children to the
+    merged writer; test_union_csv.py covers that flow)."""
     import flatterer_spark.flatten as fl
     from flatterer_spark.sinks import writers
+    from flatterer_spark.sources import json_input
 
+    monkeypatch.setattr(
+        json_input, "with_ordinal_text", lambda *a, **k: None
+    )
     src = _write(tmp_path, "wide.json", [
         {"id": i, "name": f"n{i}",
          "kids": ([{"k": 1}, {"k": 2}] if i == 0 else [])}

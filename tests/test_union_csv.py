@@ -1,0 +1,269 @@
+"""Single-pass union CSV write (sinks/union_csv.py): byte parity against
+the classic per-table flow across the option matrix, text-ordinal guard
+behavior, and ordering under forced multi-partition scans.
+
+The union writer re-derives every table's rows inside transform() lambdas
+instead of re-running the posexplode plans, so these tests are the
+correctness contract: for any input/options, flatten() with the union
+write enabled must produce byte-identical artifacts to the classic flow
+(which itself is golden-pinned against the reference fixtures)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _write(tmp_path, name: str, objs: list, blank_lines: bool = False) -> str:
+    p = tmp_path / name
+    with open(p, "w", encoding="utf-8") as f:
+        for i, o in enumerate(objs):
+            f.write(json.dumps(o, ensure_ascii=False) + "\n")
+            if blank_lines and i % 3 == 0:
+                f.write("\n" if i % 2 else "   \n")
+    return str(p)
+
+
+def _flatten_both(spark, tmp_path, src, monkeypatch, threshold=5, **kw):
+    """Run flatten() twice (union on / union off at a forced-low
+    threshold) and return the two output dirs."""
+    import flatterer_spark.flatten as fl
+
+    monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", threshold)
+    out_u = str(tmp_path / "out_union")
+    out_c = str(tmp_path / "out_classic")
+    fl.flatten(src, out_u, spark=spark, ndjson=str(src).endswith(".ndjson"),
+               csv_write="union", **kw)
+    fl.flatten(src, out_c, spark=spark, ndjson=str(src).endswith(".ndjson"),
+               csv_write="per-table", **kw)
+    return out_u, out_c
+
+
+def _assert_trees_equal(a: str, b: str) -> None:
+    def walk(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                out[os.path.relpath(p, root)] = p
+        return out
+
+    fa, fb = walk(a), walk(b)
+    assert set(fa) == set(fb), (sorted(fa), sorted(fb))
+    for rel in sorted(fa):
+        with open(fa[rel], "rb") as x, open(fb[rel], "rb") as y:
+            assert x.read() == y.read(), rel
+
+
+ADVERSARIAL = [
+    {
+        "id": 0,
+        "title": 'comma, "quote" and\nnewline',
+        "cr": "bare\rreturn",
+        "released": "2020-01-02",
+        "seen": "2020-01-02T03:04:05Z",
+        "score": 2.0,
+        "frac": 2.5,
+        "rating": {"code": "E", "name": "Everyone"},
+        "devs": [
+            {"name": "α-studio", "country": {"iso": "JP"},
+             "titles": [{"t": "a"}, {"t": "b"}]},
+            None,
+            {"name": "", "country": None, "titles": []},
+        ],
+        "tags": ["x", "y"],
+    },
+    {"id": 1, "title": "", "score": -0.0, "devs": [], "never": None},
+    {"id": 2, "rating": {"code": "T"}, "devs": [{"titles": [{"t": "c"}]}]},
+] + [
+    {"id": 3 + i, "title": f"row {i}", "score": i * 1.5,
+     "devs": [{"name": f"d{i}", "titles": [{"t": str(i)}]}]}
+    for i in range(20)
+]
+
+
+def test_union_parity_adversarial_ndjson(spark, tmp_path, monkeypatch):
+    """Whole-tree byte parity on the adversarial corpus: nested
+    grandchild tables, null/empty array elements, quotes/commas/newlines/
+    bare-\\r cells, whole-vs-fractional numbers, date/datetime detection,
+    scalar-array JSON cells, empty strings vs nulls."""
+    src = _write(tmp_path, "adv.ndjson", ADVERSARIAL)
+    out_u, out_c = _flatten_both(spark, tmp_path, src, monkeypatch)
+    _assert_trees_equal(out_u, out_c)
+
+
+def test_union_parity_option_matrix(spark, tmp_path, monkeypatch):
+    """pushdown + emit_obj + table_prefix + id_prefix ride the lambda
+    chain: pushed ancestor fields must be captured at the right level and
+    emit_obj children keep the fixed .0 ordinal."""
+    src = _write(tmp_path, "opt.ndjson", ADVERSARIAL)
+    out_u, out_c = _flatten_both(
+        spark, tmp_path, src, monkeypatch,
+        pushdown=("title", "name"),
+        emit_obj=(("rating",),),
+        table_prefix="p_",
+        id_prefix="run7.",
+    )
+    _assert_trees_equal(out_u, out_c)
+
+
+def test_union_parity_no_link(spark, tmp_path, monkeypatch):
+    src = _write(tmp_path, "nolink.ndjson", ADVERSARIAL)
+    out_u, out_c = _flatten_both(
+        spark, tmp_path, src, monkeypatch, no_link=True
+    )
+    _assert_trees_equal(out_u, out_c)
+
+
+def test_union_parity_multi_partition_order(spark, tmp_path, monkeypatch):
+    """Force a many-split scan (tiny maxPartitionBytes): part-file concat
+    order and within-partition row order must still reproduce the classic
+    single-writer bytes -- this pins the stable-sort assumption under the
+    partitionBy(tag) planned write."""
+    objs = [
+        {"id": i, "title": f"pad-{i}-" + "x" * 50,
+         "kids": [{"k": i * 2}, {"k": i * 2 + 1}]}
+        for i in range(4000)
+    ]
+    src = _write(tmp_path, "many.ndjson", objs)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+    try:
+        out_u, out_c = _flatten_both(
+            spark, tmp_path, src, monkeypatch, threshold=100
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    _assert_trees_equal(out_u, out_c)
+    with open(os.path.join(out_u, "csv", "main.csv")) as f:
+        assert sum(1 for _ in f) == 4001
+
+
+def test_union_parity_multi_file_and_blank_lines(spark, tmp_path, monkeypatch):
+    """Text-ordinal alignment across several files in caller order, with
+    blank and whitespace-only lines interleaved (the JSON reader emits no
+    row for them; the text count must agree or the guard redoes)."""
+    srcs = [
+        _write(tmp_path, f"f{i}.ndjson",
+               [{"id": i * 1000 + j, "kids": [{"k": j}]} for j in range(n)],
+               blank_lines=True)
+        for i, n in enumerate([37, 5, 211])
+    ]
+    import flatterer_spark.flatten as fl
+
+    monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", 5)
+    out_u = str(tmp_path / "mf_union")
+    out_c = str(tmp_path / "mf_classic")
+    fl.flatten(srcs, out_u, spark=spark, ndjson=True, csv_write="union")
+    fl.flatten(srcs, out_c, spark=spark, ndjson=True, csv_write="per-table")
+    _assert_trees_equal(out_u, out_c)
+
+
+def test_text_ordinals_used_and_guard_clean(spark, tmp_path, monkeypatch):
+    """Above the threshold on local NDJSON the optimistic text-ordinal map
+    must actually arm (guards deferred, _ord_bad present) and pass its own
+    guard -- i.e. the fast path is exercised, not silently skipped."""
+    import flatterer_spark.flatten as fl
+    from flatterer_spark.flatten_api import flatten_dataframes
+
+    src = _write(tmp_path, "g.ndjson",
+                 [{"id": i, "kids": [{"k": i}]} for i in range(50)])
+    res = flatten_dataframes(spark, src, ndjson=True, _text_ordinals=5,
+                             _multi_sink=False)
+    assert res.guards_deferred
+    assert "_ord_bad" in res.ordinal_df.columns
+    assert res.ordinal_expected_rows == 50
+    # and end-to-end via flatten(): output equals the exact path
+    out_u, out_c = _flatten_both(spark, tmp_path, src, monkeypatch)
+    _assert_trees_equal(out_u, out_c)
+
+
+def test_ordinal_guard_miss_redoes_exact(spark, tmp_path, monkeypatch):
+    """A corrupted optimistic split map (wrong count) must be caught by the
+    observed guard and redone on the exact path -- final bytes identical
+    to the classic flow, never silently wrong links."""
+    import flatterer_spark.flatten as fl
+    from flatterer_spark.sources import json_input
+
+    real = json_input.with_ordinal_text
+    calls = {"n": 0}
+
+    def corrupt(df, spark_, paths):
+        out = real(df, spark_, paths)
+        if out is None:
+            return None
+        calls["n"] += 1
+        # shift every ordinal by 1: total stays plausible-looking to the
+        # naive eye but the range check + row-count equality must fire
+        import pyspark.sql.functions as F
+
+        rows = out._flatterer_input_rows
+        out2 = out.withColumn("_ord", F.col("_ord") + F.lit(1))
+        out2._flatterer_input_rows = rows + 1
+        return out2
+
+    monkeypatch.setattr(json_input, "with_ordinal_text", corrupt)
+    src = _write(tmp_path, "bad.ndjson",
+                 [{"id": i, "kids": [{"k": i}]} for i in range(40)])
+    monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", 5)
+    out_u = str(tmp_path / "out_bad_union")
+    fl.flatten(src, out_u, spark=spark, ndjson=True, csv_write="union")
+    assert calls["n"] == 1  # the optimistic path genuinely armed
+    # ... and the same corruption through the default per-table flow
+    # (guard rides the classic main-table write observe there)
+    out_d = str(tmp_path / "out_bad_default")
+    fl.flatten(src, out_d, spark=spark, ndjson=True)
+    assert calls["n"] == 2
+    monkeypatch.setattr(json_input, "with_ordinal_text", real)
+    out_c = str(tmp_path / "out_bad_classic")
+    fl.flatten(src, out_c, spark=spark, ndjson=True, csv_write="per-table")
+    _assert_trees_equal(out_d, out_c)
+    _assert_trees_equal(out_u, out_c)
+    assert not os.path.exists(
+        os.path.join(out_u, "csv", "._union_tmp")
+    )
+
+
+def test_schema_drift_past_head_sample_redoes(spark, tmp_path, monkeypatch):
+    """A key first seen past the head sample (optimistic schema miss) with
+    guards DEFERRED: the union flow must discard its parts, redo on the
+    exact path, and emit the drifted column -- byte-identical to classic."""
+    objs = [{"id": i, "kids": [{"k": i}]} for i in range(3000)]
+    objs.append({"id": 3000, "kids": [{"k": 1, "extra": "tail"}],
+                 "surprise": True})
+    src = _write(tmp_path, "drift.ndjson", objs)
+    out_u, out_c = _flatten_both(
+        spark, tmp_path, src, monkeypatch, threshold=100
+    )
+    _assert_trees_equal(out_u, out_c)
+    with open(os.path.join(out_u, "fields.csv")) as f:
+        body = f.read()
+    assert "surprise" in body and "extra" in body
+
+
+def test_union_near_empty_child_table(spark, tmp_path, monkeypatch):
+    """A child table that is empty/null-element in almost every row (one
+    real element fixes the schema) keeps exact rows and links through the
+    union flow."""
+    objs = [{"id": i, "kids": []} for i in range(30)]
+    objs[7]["kids"] = [None, {"k": 42}]  # ordinal 1 after the null
+    src = _write(tmp_path, "empty.ndjson", objs)
+    out_u, out_c = _flatten_both(spark, tmp_path, src, monkeypatch)
+    _assert_trees_equal(out_u, out_c)
+    with open(os.path.join(out_u, "csv", "kids.csv")) as f:
+        lines = f.read().splitlines()
+    assert lines[1:] == ["7.kids.1,7,42"]
+
+
+def test_concat_missing_tag_dir_header_only(tmp_path):
+    """A 0-row table produces no tag directory in the union temp tree; the
+    concat helper must still emit the header-only CSV (the classic
+    writers' 0-row contract)."""
+    from flatterer_spark.sinks.writers import concat_csv_parts
+
+    p = str(tmp_path / "csv" / "none.csv")
+    concat_csv_parts(p, ["_link", "a"], str(tmp_path / "t=missing"))
+    with open(p) as f:
+        assert f.read() == "_link,a\n"
