@@ -158,6 +158,50 @@ def op_stream_ewma(spark, d: str, name: str):
     return run_available_now(ewma_stream(s), name, timeout_sec=900).count()
 
 
+def _churned_event_stream(spark, d: str):
+    """The real events corpus has 150 users active for the whole 30-day
+    range -- no churn, so a per-user state map is trivially bounded.  The
+    unbounded-churn claim (VERDICT r8 watch item #2) needs users that
+    come and go: remap user ids by 5-day generation (6 generations x the
+    base users), so an evicting operator's state tracks the ACTIVE
+    generation while a NoTimeout operator accumulates every generation
+    ever seen."""
+    import pyspark.sql.functions as F
+
+    s = _event_stream(spark, f"{d}/events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    gen = F.floor(F.unix_timestamp("ts") / (5 * 86400)).cast("long")
+    return s.withColumn("user_id", F.col("user_id") + gen * F.lit(100000))
+
+
+def op_stream_ewma_churn(spark, d: str, name: str):
+    """Plain ewma_stream under churn: the measured BASELINE showing the
+    NoTimeout map growing with distinct users forever."""
+    from flatterer_spark.streaming.stream_flatten import (
+        ewma_stream,
+        run_available_now,
+    )
+
+    s = _churned_event_stream(spark, d)
+    return run_available_now(ewma_stream(s), name, timeout_sec=900).count()
+
+
+def op_stream_ewma_ttl_churn(spark, d: str, name: str):
+    """ewma_stream_ttl under the same churn: event-time-timeout eviction
+    keeps state at the active generation (VERDICT r8 #3 done-criterion:
+    state_rows_last << the NoTimeout sibling's)."""
+    from flatterer_spark.streaming.stream_flatten import (
+        ewma_stream_ttl,
+        run_available_now,
+    )
+
+    s = _churned_event_stream(spark, d)
+    return run_available_now(
+        ewma_stream_ttl(s, ttl_minutes=1440), name, timeout_sec=900
+    ).count()
+
+
 def op_stream_custom_session(spark, d: str, name: str):
     from flatterer_spark.streaming.stream_flatten import (
         run_available_now,
@@ -228,7 +272,32 @@ def op_stream_dedup_minhash_indexed(spark, d: str, name: str):
             query_name=name,
             timeout_sec=900,
         )
-        return flags.count()
+        n = flags.count()
+        # index size audit (VERDICT r8 #4): delta file/row counts after the
+        # drain, then after one compaction cycle -- the artifact that
+        # replaces state-store rows for this operator must itself stay
+        # bounded under the compaction lifecycle
+        import glob
+
+        from flatterer_spark.streaming.stream_flatten import (
+            BAND_INDEX_SCHEMA,
+            compact_band_index,
+        )
+
+        pre_files = len(glob.glob(f"{work}/index/part-*"))
+        pre_rows = (
+            spark.read.schema(BAND_INDEX_SCHEMA)
+            .parquet(f"{work}/index")
+            .count()
+        )
+        post_rows = compact_band_index(spark, f"{work}/index")
+        post_files = len(glob.glob(f"{work}/index/part-*"))
+        return n, {
+            "index_files_pre_compact": pre_files,
+            "index_rows_pre_compact": pre_rows,
+            "index_files_post_compact": post_files,
+            "index_rows_post_compact": post_rows,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -265,6 +334,19 @@ OPS = {
     "stream_ewma": (
         op_stream_ewma,
         "one row per user by design (running feature; never event-prop.)",
+    ),
+    "stream_ewma_churn": (
+        op_stream_ewma_churn,
+        "CONTRAST BASELINE under 5-day user-generation churn: NoTimeout "
+        "keeps every generation forever -- state_rows_last == all users "
+        "ever seen (the unbounded-churn growth mode of watch item r8#2)",
+    ),
+    "stream_ewma_ttl_churn": (
+        op_stream_ewma_ttl_churn,
+        "same churned stream, 24h event-time-timeout eviction: "
+        "state_rows_last tracks the ACTIVE generation only, << the "
+        "NoTimeout sibling's all-generations map; removals > 0 show the "
+        "timeout actually firing (r9 operator ewma_stream_ttl)",
     ),
     "stream_custom_session": (
         op_stream_custom_session,
@@ -316,6 +398,9 @@ def main() -> None:
             t0 = time.time()
             n_out = fn(spark, d, qname)
             wall = time.time() - t0
+            extras = {}
+            if isinstance(n_out, tuple):
+                n_out, extras = n_out
             progs = DRAIN_PROGRESS.get(qname, [])
             # the chunked drain must yield >= CHUNKS micro-batches (one per
             # file, plus possibly trailing timeout/no-data batches), and
@@ -346,6 +431,7 @@ def main() -> None:
                 # watermark is actively removing state, not just bounding
                 # its growth statically
                 "state_rows_removed": removed,
+                **extras,
             }
             if best is None or rec["wall_sec"] < best["wall_sec"]:
                 state = {k: rec[k] for k in rec}

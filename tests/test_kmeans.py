@@ -190,3 +190,26 @@ def test_ivfpq_recall_vs_bruteforce(spark, sf_dir, X):
         total += k
     recall = hits / total
     assert recall >= 0.5, f"recall@{k} = {recall}"
+
+
+def test_early_stop_is_result_invariant(spark):
+    """The quantized-fixed-point early stop (VERDICT r8 #5): on a corpus
+    that converges before the iteration cap, fitting with a much larger
+    cap returns bit-identical centroids/codebooks -- the stop is a pure
+    job saver, never a model change.  (At sf0.1 the embeddings never
+    freeze at 6 dp within 12 iterations -- movement 0.19 -> 0.0096 while
+    quantization error falls 0.775 -> 0.582 with 98% of that by iter 5 --
+    so there the cap of 5 is load-bearing and the early stop simply never
+    fires; recorded in COVERAGE.md round 9.)"""
+    import pyspark.sql.functions as F
+
+    # 3 exactly-repeated points: Lloyd reaches its fixed point at iter 1
+    pts = [[0.0, 0.0, 1.0, 1.0], [4.0, 4.0, 5.0, 5.0], [9.0, 9.0, 8.0, 8.0]]
+    rows = [(i, pts[i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c2 = K.kmeans_fit(df, "embedding", "vec_id", k=3, iters=2)
+    c50 = K.kmeans_fit(df, "embedding", "vec_id", k=3, iters=50)
+    assert c2 == c50
+    b2 = K.pq_fit(df, "embedding", "vec_id", m=2, k=3, iters=2)
+    b50 = K.pq_fit(df, "embedding", "vec_id", m=2, k=3, iters=50)
+    assert b2 == b50
