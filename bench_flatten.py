@@ -92,7 +92,18 @@ def handwritten_flatten(src: str, out_dir: str) -> int:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [5000, 200000]
+    # --reps N: paired same-session protocol (VERDICT r8 #1 fallback):
+    # N reps of BOTH sides interleaved in one session, raw per-rep walls
+    # recorded, so the engine/python ratio is measured under identical
+    # ambient conditions and the 7x-at-1M question is settled as
+    # conditions-bound or code-bound rather than argued across sessions.
+    args = sys.argv[1:]
+    reps = 2
+    if "--reps" in args:
+        i = args.index("--reps")
+        reps = int(args[i + 1])
+        del args[i:i + 2]
+    sizes = [int(a) for a in args] or [5000, 200000]
 
     from flatterer_spark.flatten import flatten
     from flatterer_spark.session import get_spark
@@ -115,20 +126,20 @@ def main() -> None:
             src = os.path.join(base, f"in_{n}.ndjson")
             gen_ndjson(src, n)
 
-            # min-of-2 both sides: single runs carry +-20% ambient VM noise
-            # (same protocol as bench.py)
-            py_sec = float("inf")
-            for _ in range(2):
+            # min-of-N both sides, INTERLEAVED py/spark pairs: single runs
+            # carry +-20% ambient VM noise (same protocol as bench.py), and
+            # interleaving keeps each pair under the same ambient window so
+            # the per-rep ratio is meaningful, not just the min-merge.
+            out = os.path.join(base, f"spark_{n}")
+            py_reps, spark_reps = [], []
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 handwritten_flatten(src, os.path.join(base, f"py_{n}"))
-                py_sec = min(py_sec, time.perf_counter() - t0)
-
-            out = os.path.join(base, f"spark_{n}")
-            spark_sec = float("inf")
-            for _ in range(2):
+                py_reps.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 flatten(src, out, spark=spark, ndjson=True, force=True)
-                spark_sec = min(spark_sec, time.perf_counter() - t0)
+                spark_reps.append(time.perf_counter() - t0)
+            py_sec, spark_sec = min(py_reps), min(spark_reps)
 
             # sanity: same main-table cardinality
             with open(os.path.join(out, "csv", "main.csv")) as f:
@@ -141,6 +152,10 @@ def main() -> None:
                 "handwritten_py_objs_per_sec": round(n / py_sec),
                 "spark_objs_per_sec": round(n / spark_sec),
                 "spark_over_py_speedup": round(py_sec / spark_sec, 2),
+                "py_reps_sec": [round(v, 3) for v in py_reps],
+                "spark_reps_sec": [round(v, 3) for v in spark_reps],
+                "paired_ratios": [round(p / s, 2)
+                                  for p, s in zip(py_reps, spark_reps)],
             }
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -240,7 +240,10 @@ def flatten(
                 else 0
             ),
         )
-        result = flatten_dataframes(spark, source, **fd_kwargs)
+        from flatterer_spark.logutil import prof
+
+        with prof("flatten_dataframes"):
+            result = flatten_dataframes(spark, source, **fd_kwargs)
         data: dict[str, object] = {}
         csv_dir = os.path.join(output_dir, "csv")
         csv_pass = csv_pass_early
@@ -338,6 +341,12 @@ def flatten(
                 }
 
             def _write_table_csv(name: str, df) -> str:
+                from flatterer_spark.logutil import prof as _prof
+
+                with _prof(f"write:{name}"):
+                    return _write_table_csv_inner(name, df)
+
+            def _write_table_csv_inner(name: str, df) -> str:
                 p = os.path.join(csv_dir, f"{name}.csv")
                 # exact (single-file, byte-deterministic) CSV is the
                 # default contract at ANY size: small tables collect on the
@@ -474,8 +483,11 @@ def flatten(
                     shutil.rmtree(union_tmp, ignore_errors=True)
                     data = _redo_exact()
             else:
-                data = _classic_csv_pass(result)
-                if not _guards_ok(result):
+                with prof("csv_pass"):
+                    data = _classic_csv_pass(result)
+                with prof("guard_join"):
+                    guards = _guards_ok(result)
+                if not guards:
                     # classic writes already landed: discard and rewrite
                     shutil.rmtree(csv_dir, ignore_errors=True)
                     data = _redo_exact()

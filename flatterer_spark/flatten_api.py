@@ -151,18 +151,21 @@ def flatten_dataframes(
     opts = FlattenOptions(**{k: v for k, v in kw.items() if k in FlattenOptions.__dataclass_fields__})
     opts._raw = kw
 
-    df, key_order = read_json_source(
-        spark,
-        source,
-        ndjson=opts.ndjson,
-        json_stream=opts.json_stream,
-        path=tuple(opts.path),
-        json_path=opts.json_path,
-        # overlap the exact full-data schema inference with the ordinal
-        # pass; the guard join below redoes everything on a head-sample
-        # miss, so results are exact either way
-        optimistic=not kw.get("_exact_schema"),
-    )
+    from flatterer_spark.logutil import prof
+
+    with prof("read_source"):
+        df, key_order = read_json_source(
+            spark,
+            source,
+            ndjson=opts.ndjson,
+            json_stream=opts.json_stream,
+            path=tuple(opts.path),
+            json_path=opts.json_path,
+            # overlap the exact full-data schema inference with the ordinal
+            # pass; the guard join below redoes everything on a head-sample
+            # miss, so results are exact either way
+            optimistic=not kw.get("_exact_schema"),
+        )
     src_df = df
 
     title_map: dict[str, str] = {}
@@ -246,7 +249,8 @@ def flatten_dataframes(
     ):
         from flatterer_spark.sources.json_input import with_ordinal_text
 
-        tout = with_ordinal_text(df, spark, src_df._flatterer_staged_paths)
+        with prof("ordinal_text_map"):
+            tout = with_ordinal_text(df, spark, src_df._flatterer_staged_paths)
         if tout is not None and tout._flatterer_input_rows > int(thr):
             rows = tout._flatterer_input_rows
             # the guard rides the FIRST full-scan write action over this
@@ -283,7 +287,8 @@ def flatten_dataframes(
         cached = df = df.persist(StorageLevel.MEMORY_AND_DISK)
     if not text_ordinals:
         _kick_inference()
-        df = with_ordinal(df, opts.ordinals, count_exprs=count_exprs)
+        with prof("ordinal_exact_agg"):
+            df = with_ordinal(df, opts.ordinals, count_exprs=count_exprs)
     input_rows = getattr(df, "_flatterer_input_rows", None)
     child_counts = getattr(df, "_flatterer_child_counts", None)
     root_link = (

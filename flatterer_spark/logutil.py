@@ -20,6 +20,34 @@ _LEVELS = {
 }
 
 
+import contextlib
+import time
+
+#: Per-run phase walls collected when ``FLATTERER_PROFILE`` is set; the
+#: bench harness reads this to decompose a flatten() wall into phases
+#: (read/plan/ordinals/writes/guards) without touching the hot path when
+#: profiling is off.  Cleared by the caller between runs.
+PHASES: list[tuple[str, float]] = []
+
+
+@contextlib.contextmanager
+def prof(name: str):
+    """Opt-in phase timer (C4): no-op unless ``FLATTERER_PROFILE`` is set;
+    appends ``(name, seconds)`` to :data:`PHASES` and logs at INFO."""
+    if not os.environ.get("FLATTERER_PROFILE"):
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        PHASES.append((name, dt))
+        logging.getLogger("flatterer_spark.profile").info(
+            "phase %-28s %7.3fs", name, dt
+        )
+
+
 def setup_logging(default_level: str = "warning") -> logging.Logger:
     """Configure the ``flatterer_spark`` logger once; later calls only
     adjust the level if ``FLATTERER_LOG`` is set."""

@@ -129,22 +129,27 @@ def write_csv_exact_merged(
     a single-file output contract costs at any scale.  This replaced a
     driver-side collect that dominated flatten throughput (12s of a 22s
     1M-object run)."""
+    from flatterer_spark.logutil import prof
+
     if preview:
         df = df.limit(preview)
     tmp = path + "._dir"
-    (
-        formatted_strings(df)
-        .write.mode("overwrite")
-        .option("header", False)
-        .option("nullValue", "")
-        .option("emptyValue", "")
-        .option("escape", '"')
-        .option("lineSep", "\n")
-        .option("ignoreLeadingWhiteSpace", False)
-        .option("ignoreTrailingWhiteSpace", False)
-        .csv(tmp)
-    )
-    concat_csv_parts(path, df.columns, tmp, titles=titles)
+    name = os.path.basename(path)
+    with prof(f"csv_job:{name}"):
+        (
+            formatted_strings(df)
+            .write.mode("overwrite")
+            .option("header", False)
+            .option("nullValue", "")
+            .option("emptyValue", "")
+            .option("escape", '"')
+            .option("lineSep", "\n")
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(tmp)
+        )
+    with prof(f"csv_concat:{name}"):
+        concat_csv_parts(path, df.columns, tmp, titles=titles)
     shutil.rmtree(tmp)
 
 
