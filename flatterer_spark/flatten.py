@@ -113,6 +113,13 @@ def flatten(
 
     log = setup_logging("warning")  # C4: FLATTERER_LOG overrides
     _ = (threads, low_disk)
+    if csv_write not in ("auto", "per-table", "union"):
+        # a typo here would silently fall back to N parses of a remote
+        # input -- the exact cost the option exists to avoid
+        raise ValueError(
+            f"csv_write must be 'auto', 'per-table' or 'union', "
+            f"got {csv_write!r}"
+        )
     if files and not isinstance(source, str):
         # reference flatten(files=True): an iterable of file paths
         # (flatterer/__init__.py:121-134); a plain list of paths already
@@ -306,11 +313,18 @@ def flatten(
                     for name in res.tables
                     if not _is_main(name) and name not in res.row_counts
                 ]
-                # deferred-guard (optimistic text-ordinal) mode: the guard
+                # optimistic text-ordinal mode: the ordinal-guard
                 # observation must fire on a FULL scan, and these legs are
-                # LIMIT-bounded -- skip them (missing counts route to the
-                # merged writer, which is always safe)
-                if missing and res.guards_deferred:
+                # LIMIT-bounded (a limit action would fix the observation
+                # with partial counts and force a spurious redo) -- skip
+                # them (missing counts route to the merged writer, which
+                # is always safe).  The schema-only guard deferral
+                # (guards_deferred without an armed observation) has no
+                # such conflict: a schema-guard miss redoes the whole
+                # pipeline, recomputing these counts, so the small-child
+                # exact-writer routing stays live on the exact-ordinal
+                # path.
+                if missing and res.ordinal_guard_obs is not None:
                     missing = []
                 if missing:
                     import pyspark.sql.functions as F

@@ -17,6 +17,7 @@ pipeline is the optional strict-ordinal two-pass (see sources/json_input.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field as dc_field
 
 import pyspark.sql.functions as F
@@ -249,8 +250,23 @@ def flatten_dataframes(
     ):
         from flatterer_spark.sources.json_input import with_ordinal_text
 
-        with prof("ordinal_text_map"):
-            tout = with_ordinal_text(df, spark, src_df._flatterer_staged_paths)
+        # driver-side pre-gate: an NDJSON object line is >= 2 bytes, so a
+        # source smaller than 2*threshold bytes cannot clear the row
+        # threshold -- skip the text scan instead of running a Spark job
+        # just to learn the count and then discarding it (the dominant
+        # small-local-file case)
+        try:
+            total_bytes = sum(
+                os.path.getsize(p) for p in src_df._flatterer_staged_paths
+            )
+        except OSError:
+            total_bytes = None
+        tout = None
+        if total_bytes is None or total_bytes >= 2 * int(thr):
+            with prof("ordinal_text_map"):
+                tout = with_ordinal_text(
+                    df, spark, src_df._flatterer_staged_paths
+                )
         if tout is not None and tout._flatterer_input_rows > int(thr):
             rows = tout._flatterer_input_rows
             # the guard rides the FIRST full-scan write action over this

@@ -34,12 +34,14 @@ constrained local[4] pool).  Tags are synthetic (``t0``, ``t1``...) so
 table names never meet the partition-path escaper.
 
 Ordering contract: rows flow scan-ordered through the narrow
-project/observe/explode chain; the planned-write sort that
-``partitionBy`` inserts is per-task by tag only, and Spark's in-task
-sorters (radix / TimSort) are stable, so within a tag the (root row,
-element position) order -- the classic writers' exact order -- survives
-to the part files; ``tests/test_union_csv.py`` pins byte-parity across a
-forced many-partition scan.
+project/observe/explode chain; a unique per-task sequence id extends the
+write sort's key to the TOTAL order (t, _seq), so within a tag the
+(root row, element position) order -- the classic writers' exact order
+-- survives to the part files even when the sort spills (sort
+STABILITY, the previous design's load-bearing assumption, does not
+survive UnsafeExternalSorter's spill merge for equal keys);
+``tests/test_union_csv.py`` pins byte-parity across a forced
+many-partition scan.
 
 Reference parity anchor: the output contract is the reference's
 one-CSV-per-table directory (`/root/reference/docs/outputs.md:18-34`);
@@ -190,9 +192,11 @@ def union_metadata_aggs(
     """The fused metadata aggregates (flatten_api.metadata_agg_exprs) as
     flat conditional counts over the exploded (tag, cells) stream --
     codegen'd row-at-a-time, no per-metric array traversal.  Rendered
-    cells preserve nullity (render_cell maps NULL -> NULL) and equal the
-    raw value on StringType columns, so the counts match the classic
-    per-table observe exactly."""
+    cells preserve nullity in BOTH directions (render_cell maps NULL ->
+    NULL and non-null -> non-null; the decimal-overflow edge that once
+    nulled NaN / >=1e38 whole doubles is coalesced back to the plain
+    cast) and equal the raw value on StringType columns, so the counts
+    match the classic per-table observe exactly."""
     from flatterer_spark.flatten_api import date_like, datetime_like
 
     mine = tag_col == tag
@@ -247,7 +251,7 @@ def run_union_write(result, tmp_dir: str) -> UnionWriteRun:
     tags = {name: f"t{i}" for i, name in enumerate(names)}
     width = max(len(result.tables[n].columns) for n in names)
 
-    def tagged_arr(i: int, name: str) -> Column:
+    def tagged_arr(name: str) -> Column:
         cells = table_cells_expr(
             result.plans[name], result.plans, opts, root_link,
             result.tables[name], pad_to=width,
@@ -257,7 +261,7 @@ def run_union_write(result, tmp_dir: str) -> UnionWriteRun:
             lambda r: F.struct(F.lit(tags[name]).alias("t"), r.alias("r")),
         )
 
-    tagged = F.concat(*[tagged_arr(i, n) for i, n in enumerate(names)])
+    tagged = F.concat(*[tagged_arr(n) for n in names])
     exploded = df.select(F.explode(tagged).alias("x")).select(
         F.col("x.t").alias("t"), F.col("x.r").alias("r")
     )
@@ -287,8 +291,19 @@ def run_union_write(result, tmp_dir: str) -> UnionWriteRun:
             if line is None
             else line.when(F.col("t") == tags[name], body)
         )
+    # Spill-safe ordering: the write's per-task sort must order by tag
+    # WITHOUT permuting rows within a tag, but sort stability only holds
+    # while the sort stays in memory -- UnsafeExternalSorter's spill merge
+    # interleaves equal-key records from different runs in heap order.  A
+    # unique per-task sequence id makes the key (t, _seq) a TOTAL order:
+    # identical to the stable in-memory result, deterministic under any
+    # spill.  The explicit sortWithinPartitions satisfies the writer's
+    # required (t) ordering (prefix), so no second sort is planned.
     (
         observed.select(F.col("t"), line.alias("value"))
+        .withColumn("_seq", F.monotonically_increasing_id())
+        .sortWithinPartitions("t", "_seq")
+        .select("t", "value")
         .write.mode("overwrite")
         .partitionBy("t")
         .text(tmp_dir)

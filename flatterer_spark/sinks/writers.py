@@ -54,11 +54,19 @@ def render_cell(c, dtype) -> "F.Column":
     if isinstance(dtype, NumericType):
         # whole doubles render as integers (1.0 -> "1"); +-inf must not
         # take this branch (inf == floor(inf), but the decimal cast
-        # would silently null it -- render "Infinity" via plain cast)
+        # would silently null it -- render "Infinity" via plain cast).
+        # The decimal(38,0) cast also nulls whole doubles >= 1e38 and NaN
+        # (which satisfies d == floor(d) under Spark's NaN = NaN rule) --
+        # coalesce back to the plain cast so a non-null value NEVER
+        # renders as an empty cell, and the union writer's rendered-cell
+        # non-null counts stay equal to the raw-column counts the classic
+        # per-table observe takes.
         d = c.cast("double")
         as_str = F.when(
             (d == F.floor(d)) & (F.abs(d) != F.lit(float("inf"))),
-            c.cast("decimal(38,0)").cast("string"),
+            F.coalesce(
+                c.cast("decimal(38,0)").cast("string"), c.cast("string")
+            ),
         ).otherwise(c.cast("string"))
         return F.when(c.isNull(), F.lit(None)).otherwise(as_str)
     return c.cast("string")

@@ -12,6 +12,8 @@ out-of-order batches -- an oracle can't see dropped rows.)
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import LongType
@@ -599,6 +601,9 @@ def stream_ewma_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.lit(1)).over(Window.partitionBy())
             ),
         )
+        import time as _time
+
+        base_mtime = int(_time.time()) - 10 * n_chunks
         for i in range(n_chunks):
             (
                 chunked.where(F.col("_chunk") == i)
@@ -607,6 +612,17 @@ def stream_ewma_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .write.mode("overwrite")
                 .parquet(f"{work}/in/c{i}")
             )
+            # strictly increasing mtimes with real spacing: the file
+            # source admits files oldest-first, and the four write jobs
+            # can land inside one filesystem-timestamp granule -- without
+            # this a later chunk could drain BEFORE an earlier one,
+            # breaking the operator's in-order arrival contract (same
+            # discipline as bench_scale_stream.build_stream_corpus)
+            for fn in os.listdir(f"{work}/in/c{i}"):
+                os.utime(
+                    os.path.join(f"{work}/in/c{i}", fn),
+                    (base_mtime + 10 * i, base_mtime + 10 * i),
+                )
         stream = (
             spark.readStream.schema(src.schema)
             .option("maxFilesPerTrigger", 1)

@@ -267,3 +267,105 @@ def test_concat_missing_tag_dir_header_only(tmp_path):
     concat_csv_parts(p, ["_link", "a"], str(tmp_path / "t=missing"))
     with open(p) as f:
         assert f.read() == "_link,a\n"
+
+
+def test_extreme_whole_doubles_render_nonempty(spark, tmp_path, monkeypatch):
+    """Whole doubles past decimal(38,0) range (>= 1e38) must render via
+    the plain string cast, not silently as an empty cell (the decimal
+    overflow used to null them), and the union flow's rendered-cell
+    metadata counts must equal the classic raw-column counts -- pinned by
+    whole-tree parity including fields.csv."""
+    objs = [
+        {"id": 0, "big": 1e38, "kids": [{"k": 1e40}]},
+        {"id": 1, "big": -1e39, "kids": [{"k": 2.5}]},
+        {"id": 2, "big": 7.0, "kids": []},
+    ] + [{"id": 3 + i, "big": float(i), "kids": [{"k": i}]} for i in range(10)]
+    src = _write(tmp_path, "big.ndjson", objs)
+    out_u, out_c = _flatten_both(spark, tmp_path, src, monkeypatch)
+    _assert_trees_equal(out_u, out_c)
+    with open(os.path.join(out_u, "csv", "main.csv")) as f:
+        header = f.readline().strip().split(",")
+        rows = [ln.split(",") for ln in f.read().splitlines()]
+    big = header.index("big")
+    # every non-null input value produced a NON-EMPTY cell
+    assert all(r[big] != "" for r in rows), rows
+    # and the in-range whole double still renders without the .0
+    assert rows[2][big] == "7"
+
+
+def test_text_ordinal_pregate_skips_small_inputs(spark, tmp_path, monkeypatch):
+    """An input below 2*threshold bytes cannot clear the row threshold, so
+    flatten() must not launch the text-ordinal scan job at all (the
+    pre-gate reads file sizes driver-side); a large input still takes it."""
+    import flatterer_spark.sources.json_input as ji
+
+    calls = []
+    real = ji.with_ordinal_text
+
+    def spy(df, spark_, paths):
+        calls.append(list(paths))
+        return real(df, spark_, paths)
+
+    monkeypatch.setattr(ji, "with_ordinal_text", spy)
+
+    # default EXACT_CSV_MAX_ROWS (100k): a 20-row file is far below the
+    # 2*threshold byte gate -- the text scan must be skipped
+    small = _write(tmp_path, "small.ndjson",
+                   [{"id": i, "kids": [{"k": i}]} for i in range(20)])
+    import flatterer_spark.flatten as fl
+
+    fl.flatten(small, str(tmp_path / "out_small"), spark=spark, ndjson=True)
+    assert calls == [], "text-ordinal scan ran on a sub-threshold input"
+
+    # forced-low threshold: the same input is now over the byte gate and
+    # the fast path arms
+    monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", 5)
+    fl.flatten(small, str(tmp_path / "out_low"), spark=spark, ndjson=True)
+    assert len(calls) == 1
+
+
+def test_small_child_exact_routing_without_priced_counts(
+    spark, tmp_path, monkeypatch
+):
+    """Exact-ordinal path with unpriceable child counts: the bounded-count
+    legs must still run (they conflict only with an ARMED text-ordinal
+    guard observation, not with the schema-only guard deferral), so small
+    child tables keep the driver-exact writer instead of silently taking
+    the distributed merged writer (the ADVICE-r6 routing)."""
+    import flatterer_spark.flatten as fl
+    import flatterer_spark.flatten_api as fa
+    from flatterer_spark.sinks import writers
+
+    monkeypatch.setattr(fa, "_child_count_exprs", lambda schema, plans: {})
+
+    exact_calls, merged_calls = [], []
+    real_exact = writers.write_csv_exact
+    real_merged = writers.write_csv_exact_merged
+
+    def spy_exact(df, p, **kw):
+        exact_calls.append(os.path.basename(p))
+        return real_exact(df, p, **kw)
+
+    def spy_merged(df, p, **kw):
+        merged_calls.append(os.path.basename(p))
+        return real_merged(df, p, **kw)
+
+    monkeypatch.setattr(writers, "write_csv_exact", spy_exact)
+    monkeypatch.setattr(writers, "write_csv_exact_merged", spy_merged)
+
+    src = _write(tmp_path, "route.ndjson",
+                 [{"id": i, "kids": [{"k": i}]} for i in range(20)])
+    fl.flatten(src, str(tmp_path / "out_route"), spark=spark, ndjson=True)
+    assert "kids.csv" in exact_calls, (exact_calls, merged_calls)
+    assert merged_calls == [], merged_calls
+
+
+def test_csv_write_typo_raises(spark, tmp_path):
+    """A misspelled csv_write must error loudly, not silently degrade to
+    N parses of the input."""
+    import flatterer_spark.flatten as fl
+
+    src = _write(tmp_path, "typo.ndjson", [{"id": 1}])
+    with pytest.raises(ValueError, match="csv_write"):
+        fl.flatten(src, str(tmp_path / "out_typo"), spark=spark,
+                   ndjson=True, csv_write="Union")
