@@ -48,6 +48,12 @@ from pyspark.sql import DataFrame
 
 _Q = 6  # centroid quantization decimals (see module docstring)
 
+# diagnostics: Lloyd passes the last kmeans_fit / pq_fit actually executed
+# (early stop makes this < iters when the quantized model reaches its
+# fixed point) -- read by the scale audit to answer whether the iteration
+# budget is load-bearing at a given corpus size
+LAST_FIT_ITERS: dict[str, int] = {}
+
 
 def _quant(x: float) -> float:
     m = 10 ** _Q
@@ -117,7 +123,8 @@ def kmeans_fit(
             return []  # empty corpus: no model (callers emit empty results)
         cents = [[_quant(float(x)) for x in r[0]] for r in seed_rows]
         d = len(cents[0])
-        for _ in range(iters):
+        for it in range(iters):
+            LAST_FIT_ITERS["kmeans"] = it + 1
             assigned = assign_clusters(df, vec_col, cents)
             vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
             cells = (
@@ -512,7 +519,8 @@ def _pq_fit_cached(df, vec_col, id_col, m, k, iters):
         for j in range(m)
     ]
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for _ in range(iters):
+    for it in range(iters):
+        LAST_FIT_ITERS["pq"] = it + 1
         code_cols, _, sub_cols = _pq_assign_cols(vecd, books, sub)
         stacked = df.select(
             F.explode(

@@ -591,36 +591,33 @@ def stream_ewma_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_ewma_ttl_")
     try:
         n_chunks = 4
+        # ntile over one global (ts, event_id) sort assigns balanced
+        # time-ordered chunks in a single window pass (the earlier
+        # row_number + count-window pair cost two), and partitionBy
+        # writes all four chunk directories in ONE job instead of four
+        # filtered ones.  The partition column must not start with "_"
+        # (the file source ignores underscore-prefixed paths).
         chunked = src.withColumn(
-            "_rn",
-            F.row_number().over(Window.orderBy("ts", "event_id")) - 1,
-        ).withColumn(
-            "_chunk",
-            F.floor(
-                F.col("_rn") * n_chunks
-                / F.sum(F.lit(1)).over(Window.partitionBy())
-            ),
+            "cpart",
+            F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")) - 1,
         )
+        chunked.repartition("cpart").write.mode("overwrite").partitionBy(
+            "cpart"
+        ).parquet(f"{work}/in")
         import time as _time
 
         base_mtime = int(_time.time()) - 10 * n_chunks
         for i in range(n_chunks):
-            (
-                chunked.where(F.col("_chunk") == i)
-                .drop("_rn", "_chunk")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(f"{work}/in/c{i}")
-            )
             # strictly increasing mtimes with real spacing: the file
-            # source admits files oldest-first, and the four write jobs
-            # can land inside one filesystem-timestamp granule -- without
-            # this a later chunk could drain BEFORE an earlier one,
-            # breaking the operator's in-order arrival contract (same
-            # discipline as bench_scale_stream.build_stream_corpus)
-            for fn in os.listdir(f"{work}/in/c{i}"):
+            # source admits files oldest-first, and one write job lands
+            # every chunk inside the same filesystem-timestamp granule --
+            # without this a later chunk could drain BEFORE an earlier
+            # one, breaking the operator's in-order arrival contract
+            # (same discipline as bench_scale_stream.build_stream_corpus)
+            d = f"{work}/in/cpart={i}"
+            for fn in os.listdir(d):
                 os.utime(
-                    os.path.join(f"{work}/in/c{i}", fn),
+                    os.path.join(d, fn),
                     (base_mtime + 10 * i, base_mtime + 10 * i),
                 )
         stream = (
