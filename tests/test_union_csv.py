@@ -369,3 +369,68 @@ def test_csv_write_typo_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="csv_write"):
         fl.flatten(src, str(tmp_path / "out_typo"), spark=spark,
                    ndjson=True, csv_write="Union")
+
+
+def test_union_parity_fuzz(spark, tmp_path):
+    """Hypothesis sweep of the union-writer parity: random nested
+    documents (optional keys, null/empty child arrays, grandchild
+    nesting, adversarial strings, whole-vs-fractional numbers) through
+    the union and classic flows must produce identical artifact trees --
+    the lambda-land row derivation (table_cells_expr) fuzz-pinned against
+    the posexplode plans it mirrors."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Zs"),
+        include_characters='",\n\r éß',
+    )
+    cell = st.one_of(
+        st.none(),
+        st.integers(-9, 9),
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6),
+        st.sampled_from([2.0, -0.0, 7.5, 1e3]),
+        st.text(alphabet, max_size=8),
+        st.booleans(),
+    )
+    grand = st.fixed_dictionaries({"t": cell})
+    child = st.one_of(
+        st.none(),
+        st.fixed_dictionaries(
+            {"k": cell},
+            optional={"g": st.lists(grand, max_size=2)},
+        ),
+    )
+    doc = st.fixed_dictionaries(
+        {"id": st.integers(0, 10**6)},
+        optional={
+            "s": cell,
+            "obj": st.fixed_dictionaries({"x": cell}),
+            "kids": st.lists(child, max_size=3),
+        },
+    )
+    counter = iter(range(10**6))
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(doc, min_size=3, max_size=12))
+    def check(docs):
+        i = next(counter)
+        import flatterer_spark.flatten as fl
+
+        src = _write(tmp_path, f"fuzz{i}.ndjson", docs)
+        mp = pytest.MonkeyPatch()
+        try:
+            mp.setattr(fl, "EXACT_CSV_MAX_ROWS", 2)
+            out_u = str(tmp_path / f"fz_union{i}")
+            out_c = str(tmp_path / f"fz_classic{i}")
+            fl.flatten(src, out_u, spark=spark, ndjson=True,
+                       csv_write="union")
+            fl.flatten(src, out_c, spark=spark, ndjson=True,
+                       csv_write="per-table")
+        finally:
+            mp.undo()
+        _assert_trees_equal(out_u, out_c)
+
+    check()
