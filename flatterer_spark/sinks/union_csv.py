@@ -291,19 +291,8 @@ def run_union_write(result, tmp_dir: str) -> UnionWriteRun:
             if line is None
             else line.when(F.col("t") == tags[name], body)
         )
-    # Spill-safe ordering: the write's per-task sort must order by tag
-    # WITHOUT permuting rows within a tag, but sort stability only holds
-    # while the sort stays in memory -- UnsafeExternalSorter's spill merge
-    # interleaves equal-key records from different runs in heap order.  A
-    # unique per-task sequence id makes the key (t, _seq) a TOTAL order:
-    # identical to the stable in-memory result, deterministic under any
-    # spill.  The explicit sortWithinPartitions satisfies the writer's
-    # required (t) ordering (prefix), so no second sort is planned.
     (
-        observed.select(F.col("t"), line.alias("value"))
-        .withColumn("_seq", F.monotonically_increasing_id())
-        .sortWithinPartitions("t", "_seq")
-        .select("t", "value")
+        spill_safe_write_frame(observed, line)
         .write.mode("overwrite")
         .partitionBy("t")
         .text(tmp_dir)
@@ -313,6 +302,26 @@ def run_union_write(result, tmp_dir: str) -> UnionWriteRun:
         tags=tags,
         observation=obs,
         columns={n: list(result.tables[n].columns) for n in names},
+    )
+
+
+def spill_safe_write_frame(observed: DataFrame, line: Column) -> DataFrame:
+    """The final (t, value) frame the partitionBy(t) text write consumes.
+
+    Spill-safe ordering: the write's per-task sort must order by tag
+    WITHOUT permuting rows within a tag, but sort stability only holds
+    while the sort stays in memory -- UnsafeExternalSorter's spill merge
+    interleaves equal-key records from different runs in heap order.  A
+    unique per-task sequence id makes the key (t, _seq) a TOTAL order:
+    identical to the stable in-memory result, deterministic under any
+    spill.  The explicit sortWithinPartitions satisfies the writer's
+    required (t) ordering (prefix), so no second sort is planned --
+    pinned by tests/test_union_csv.py::test_union_write_plan_contract."""
+    return (
+        observed.select(F.col("t"), line.alias("value"))
+        .withColumn("_seq", F.monotonically_increasing_id())
+        .sortWithinPartitions("t", "_seq")
+        .select("t", "value")
     )
 
 

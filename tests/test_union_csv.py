@@ -434,3 +434,28 @@ def test_union_parity_fuzz(spark, tmp_path):
         _assert_trees_equal(out_u, out_c)
 
     check()
+
+
+def test_union_write_plan_contract(spark):
+    """The union write's final frame must plan as a narrow chain: a Sort
+    on (t, _seq ascending) with NO Exchange (the sort is per-task, the
+    total key is what makes within-tag order spill-deterministic) and no
+    second sort above it."""
+    import pyspark.sql.functions as F
+
+    from flatterer_spark.sinks.union_csv import spill_safe_write_frame
+    from tests.conftest import plan_of
+
+    base = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, "t0").otherwise("t1").alias("t"),
+        F.col("id").cast("string").alias("r"),
+    )
+    frame = spill_safe_write_frame(base, F.col("r"))
+    plan = plan_of(frame)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+    assert "Exchange" not in plan, plan
+    # the sort key is the total (t, _seq) order, ascending
+    m = re.search(r"Arguments: \[t#\d+ ASC NULLS FIRST, _seq#\d+L ASC", plan)
+    assert m, plan
