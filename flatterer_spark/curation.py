@@ -314,7 +314,11 @@ def _global_cum_tok(spark: SparkSession, sf_dir: str, n_buckets: int) -> DataFra
     if lo is None:  # empty corpus: any width works, everything stays empty
         lo = hi = 0
     width = max(1, (hi - lo + n_buckets) // n_buckets)
-    tok = tok.withColumn("_b", ((F.col("doc_id") - lo) / width).cast("long"))
+    # integer DIV (not double division): doc_id ranges past 2^43 would
+    # round in binary before the truncation and misbucket boundary ids
+    tok = tok.withColumn(
+        "_b", F.expr(f"(doc_id - {int(lo)}L) DIV {int(width)}L")
+    )
 
     partials = {
         r["_b"]: r["s"]
@@ -346,9 +350,12 @@ def pack_shards_query(
     return (
         _global_cum_tok(spark, sf_dir, n_buckets)
         .withColumn(
+            # integer DIV, not double division + cast: the float path
+            # rounds in binary before truncating and diverges from the
+            # oracle's DIV once the quotient exceeds ~2^43 (verified:
+            # 17592186044417999/2000 truncates differently)
             "shard",
-            ((F.col("cum_tok") - F.col("n_tok")) / shard_tokens)
-            .cast("long"),
+            F.expr(f"(cum_tok - n_tok) DIV {int(shard_tokens)}"),
         )
         .select("doc_id", "n_tok", "cum_tok", "shard")
         .orderBy("doc_id")
@@ -399,8 +406,10 @@ def pack_sequences_query(
     :func:`pack_shards_query` -- the two share :func:`_global_cum_tok`."""
     import pyspark.sql.functions as F
 
-    start = ((F.col("cum_tok") - F.col("n_tok")) / seq_tokens).cast("long")
-    end = ((F.col("cum_tok") - 1) / seq_tokens).cast("long")
+    # integer DIV to match the oracle exactly at any magnitude (see
+    # pack_shards_query's shard column)
+    start = F.expr(f"(cum_tok - n_tok) DIV {int(seq_tokens)}")
+    end = F.expr(f"(cum_tok - 1) DIV {int(seq_tokens)}")
     return (
         _global_cum_tok(spark, sf_dir, n_buckets)
         .withColumn("start_seq", start)
@@ -456,21 +465,13 @@ def _data_fingerprint(sf_dir: str) -> tuple:
     """Cheap fingerprint of the documents table backing the cluster labels:
     (mtime_ns, size) over the parquet file(s).  Keying the label cache on it
     means regenerating testdata at the same path within a session invalidates
-    the staged labels instead of serving stale clusters (ADVICE r3)."""
-    import os
+    the staged labels instead of serving stale clusters (ADVICE r3).  The
+    staged shingle/span/pairs views the labels are built FROM carry the
+    same fingerprint in their own cache keys (functions/fingerprint.py),
+    so a regenerated source rebuilds the whole chain, not just the tail."""
+    from flatterer_spark.functions.fingerprint import table_fingerprint
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    paths = [path]
-    if os.path.isdir(path):
-        paths = [os.path.join(path, p) for p in sorted(os.listdir(path))]
-    fp = []
-    for p in paths:
-        try:
-            st = os.stat(p)
-            fp.append((p, st.st_mtime_ns, st.st_size))
-        except OSError:
-            fp.append((p, 0, 0))
-    return tuple(fp)
+    return table_fingerprint(sf_dir, "documents")
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ from collections.abc import Callable
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
+from flatterer_spark.functions.fingerprint import fresh_cache_key
 from flatterer_spark.functions.textgen import Gen
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
@@ -3301,7 +3302,7 @@ def _view_suffix(sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
-_sh_cache: dict[tuple[int, str], DataFrame] = {}
+_sh_cache: dict[tuple, DataFrame] = {}
 
 
 def _shingle_view(spark: SparkSession, sf_dir: str) -> str:
@@ -3313,7 +3314,7 @@ def _shingle_view(spark: SparkSession, sf_dir: str) -> str:
     once, run every dedup pass against it."""
     from flatterer_spark.queries import T
 
-    key = (id(spark), sf_dir)
+    key = fresh_cache_key(_sh_cache, spark, sf_dir, "documents")
     name = f"sh_materialized_{_view_suffix(sf_dir)}"
     if key not in _sh_cache:
         T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
@@ -3334,7 +3335,7 @@ def _make_sh_query(builder):
     return run
 
 
-_span_cache: dict[tuple[int, str], DataFrame] = {}
+_span_cache: dict[tuple, DataFrame] = {}
 
 
 def _span_view(spark: SparkSession, sf_dir: str) -> str:
@@ -3343,7 +3344,7 @@ def _span_view(spark: SparkSession, sf_dir: str) -> str:
     (corpus bitmap, batch probes, exact check) and Spark inlines CTEs."""
     from flatterer_spark.queries import T
 
-    key = (id(spark), sf_dir)
+    key = fresh_cache_key(_span_cache, spark, sf_dir, "documents")
     name = f"span_materialized_{_view_suffix(sf_dir)}"
     if key not in _span_cache:
         g = Gen(spark=True)
@@ -3377,7 +3378,7 @@ def _make_span_query(builder):
     return run
 
 
-_en_cache: dict[tuple[int, str], DataFrame] = {}
+_en_cache: dict[tuple, DataFrame] = {}
 
 
 def _emb_view(spark: SparkSession, sf_dir: str) -> str:
@@ -3386,7 +3387,7 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> str:
     CTEs; dedup_embedding_lsh alone references it 3x)."""
     from flatterer_spark.queries import T
 
-    key = (id(spark), sf_dir)
+    key = fresh_cache_key(_en_cache, spark, sf_dir, "embeddings")
     name = f"en_materialized_{_view_suffix(sf_dir)}"
     if key not in _en_cache:
         T(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
@@ -3396,7 +3397,7 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
-_bl_cache: dict[tuple[int, str], DataFrame] = {}
+_bl_cache: dict[tuple, DataFrame] = {}
 
 
 def _emb_band_view(spark: SparkSession, sf_dir: str) -> str:
@@ -3405,7 +3406,7 @@ def _emb_band_view(spark: SparkSession, sf_dir: str) -> str:
     would otherwise evaluate it on BOTH sides (Spark inlines CTEs).  At
     cluster scale this is the staged-signature pattern: compute signatures in
     one pass, then all candidate joins read the staged table."""
-    key = (id(spark), sf_dir)
+    key = fresh_cache_key(_bl_cache, spark, sf_dir, "embeddings")
     name = f"embl_materialized_{_view_suffix(sf_dir)}"
     if key not in _bl_cache:
         en = _emb_view(spark, sf_dir)
@@ -3441,7 +3442,7 @@ def _make_en_query(builder):
     return run
 
 
-_pairs_cache: dict[tuple[int, str], str] = {}
+_pairs_cache: dict[tuple, str] = {}
 
 
 def _pairs_view(spark: SparkSession, sf_dir: str) -> str:
@@ -3460,7 +3461,7 @@ def _pairs_view(spark: SparkSession, sf_dir: str) -> str:
 
     from flatterer_spark.queries import T
 
-    key = (id(spark), sf_dir)
+    key = fresh_cache_key(_pairs_cache, spark, sf_dir, "documents")
     name = f"pairs_materialized_{_view_suffix(sf_dir)}"
     if key not in _pairs_cache:
         sh = _shingle_view(spark, sf_dir)
@@ -3515,7 +3516,7 @@ def _make_pairs_query(builder):
     return run
 
 
-_phash_cache: dict[tuple[int, str], DataFrame] = {}
+_phash_cache: dict[tuple, DataFrame] = {}
 
 
 def _phash_view(spark: SparkSession, sf_dir: str) -> str:
@@ -3525,7 +3526,7 @@ def _phash_view(spark: SparkSession, sf_dir: str) -> str:
     inlines CTEs, which would re-run the Python decode pass each time."""
     from flatterer_spark.operators import multimodal as MM
 
-    key = (id(spark), sf_dir)
+    key = fresh_cache_key(_phash_cache, spark, sf_dir, "documents")
     name = f"phash_materialized_{_view_suffix(sf_dir)}"
     if key not in _phash_cache:
         df = MM.phash_signatures(spark, sf_dir).persist()

@@ -42,14 +42,20 @@ def write_bucketed(
     )
 
 
-def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, str] | None:
-    """(num_buckets, bucket_columns) from the catalog, or None."""
+def _bucket_spec(
+    spark: SparkSession, table: str
+) -> tuple[int, list[str]] | None:
+    """(num_buckets, [bucket_columns...]) from the catalog, or None."""
     n, cols = None, None
     for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
         if row.col_name == "Num Buckets":
             n = int(row.data_type)
         elif row.col_name == "Bucket Columns":
-            cols = row.data_type.strip("[]` ")
+            cols = [
+                c.strip("` ")
+                for c in row.data_type.strip("[] ").split(",")
+                if c.strip("` ")
+            ]
     return (n, cols) if n is not None else None
 
 
@@ -68,8 +74,12 @@ def colocated_join(
     for t, spec in specs.items():
         if spec is None:
             raise ValueError(f"{t} is not bucketed (write with write_bucketed)")
-        if spec[1].split("`, `")[0].strip("` ") != on:
-            raise ValueError(f"{t} is bucketed on {spec[1]!r}, not {on!r}")
+        # the FULL bucket-column list must be exactly [on]: a table
+        # bucketed on (on, other) hash-distributes by the pair, which does
+        # NOT co-locate rows by `on` alone -- Spark would plan an Exchange
+        # and the zero-shuffle contract would fail silently
+        if spec[1] != [on]:
+            raise ValueError(f"{t} is bucketed on {spec[1]!r}, not [{on!r}]")
     if specs[left_table][0] != specs[right_table][0]:
         raise ValueError(
             f"bucket counts differ: {specs[left_table][0]} vs "

@@ -718,20 +718,9 @@ _model_cache: dict[tuple, tuple] = {}
 
 
 def _emb_fingerprint(sf_dir: str) -> tuple:
-    import os
+    from flatterer_spark.functions.fingerprint import table_fingerprint
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    paths = [path]
-    if os.path.isdir(path):
-        paths = [os.path.join(path, p) for p in sorted(os.listdir(path))]
-    fp = []
-    for p in paths:
-        try:
-            st = os.stat(p)
-            fp.append((p, st.st_mtime_ns, st.st_size))
-        except OSError:
-            fp.append((p, None, None))
-    return tuple(fp)
+    return table_fingerprint(sf_dir, "embeddings")
 
 
 def clear_ivfpq_cache() -> None:

@@ -57,8 +57,11 @@ def _make_decode_stub():
             "n_bytes": len(payload),
             "header_hex": payload[:4].hex(),
             "checksum_prefix": h[:8],
-            "fake_width": 1 + payload[0] % 64 if payload else 0,
-            "fake_height": 1 + payload[-1] % 64 if payload else 0,
+            # empty payload -> 1, matching the SQL spec's
+            # 1 + ascii(substring(text,1,1)) % 64 (ascii('') = 0 in both
+            # DuckDB and Spark), so an empty document cannot diverge
+            "fake_width": 1 + payload[0] % 64 if payload else 1,
+            "fake_height": 1 + payload[-1] % 64 if payload else 1,
         }
 
     return decode_stub

@@ -894,7 +894,14 @@ STREAM_GATE_ORACLE = {
         )
         SELECT user_id, session_start, session_end, n_events
         FROM g, mx
-        WHERE session_end + INTERVAL 30 MINUTE < mx.wm
+        -- ms truncation on BOTH sides: Spark's event-time watermark and
+        -- state timeouts are MILLISECOND-granular (EventTimeStats floors
+        -- us -> ms), so a us-exact predicate would include a session
+        -- whose boundary lands in the same millisecond as the final
+        -- watermark while the engine's timer (strictly-less on floored
+        -- ms) does not fire -- a latent flake on ~every-row-sub-ms data
+        WHERE date_trunc('milliseconds', session_end + INTERVAL 30 MINUTE)
+              < date_trunc('milliseconds', mx.wm)
         ORDER BY user_id, session_start
     """,
 }

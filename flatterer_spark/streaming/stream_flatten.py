@@ -235,10 +235,27 @@ def dedup_stream(
     keeps every fingerprint forever even under a watermark -- measured in
     the round-7 eviction probe (2000 keys live with the watermark 9 days
     past their event times, numRowsRemoved=0; BENCH_SCALE_STREAM_r07
-    carries the fixed, evicting shape).  The fingerprint is md5 of the
-    named content columns, the same hash the batch operator groups on, so
-    a batch backfill and the streaming path agree on identity."""
-    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    carries the fixed, evicting shape).  A single content column hashes
+    as md5(col) -- the same hash the batch operator groups on, so a batch
+    backfill and the streaming path agree on identity.  Multi-column keys
+    hash the JSON encoding of the column struct: concat_ws would SKIP
+    null columns and does not escape its separator, so (a='x', b=NULL)
+    and (a=NULL, b='x') -- or values containing the separator -- would
+    collide and silently drop distinct events; JSON field names + escaping
+    make the encoding injective."""
+    if len(content_cols) == 1:
+        fp = F.md5(F.col(content_cols[0]).cast("string"))
+    else:
+        fp = F.md5(
+            F.to_json(
+                F.struct(
+                    *[
+                        F.col(c).cast("string").alias(c)
+                        for c in content_cols
+                    ]
+                )
+            )
+        )
     return (
         events.withColumn("_fingerprint", fp)
         .withWatermark(ts_col, watermark)
@@ -356,7 +373,27 @@ def _finish_drain(q, query_name: str, timeout_sec: float) -> None:
 # seen = micro-batch id of the band's last activity (the retention axis:
 # compact_band_index(retain_seen_after=...) is the dedup-horizon DELETE)
 BAND_INDEX_SCHEMA = "band string, owner long, seen long"
-BAND_FLAGS_SCHEMA = "doc_id long, band_dup boolean"
+# raw (doc, band) pairs spooled per batch; band_dup is resolved at READ
+# time against the final index so the result is batch-invariant
+BAND_FLAGS_SCHEMA = "doc_id long, band string"
+
+
+def _recover_band_index(index_dir: str) -> None:
+    """Make the band index crash-consistent around compact_band_index's
+    two-rename swap: a crash between the renames leaves only ``.old``
+    (restore it); a crash after the second rename but before cleanup
+    leaves both (drop the stale ``.old``).  Idempotent; called by every
+    reader/writer of the index so no probe can ever run against a
+    silently-empty index after a mid-compaction crash."""
+    import os as _os
+    import shutil as _shutil
+
+    old = index_dir.rstrip("/") + ".old"
+    if _os.path.exists(old):
+        if not _os.path.exists(index_dir):
+            _os.rename(old, index_dir)
+        else:
+            _shutil.rmtree(old, ignore_errors=True)
 
 
 def minhash_band_probe_stream(
@@ -384,10 +421,6 @@ def minhash_band_probe_stream(
     and the whole per-batch plan is JVM expressions (join + min + compare;
     the r7 operator forced a Python state boundary per batch):
 
-     - probe: ``batch JOIN index`` on the band key, owner = min(index
-       owner, batch min) -- dup-vs-original resolves by doc_id, not
-       arrival order, so the result is deterministic however the source
-       partitions the drain (identical semantics to the r7 operator);
      - maintain: every band SEEN in the batch appends one (band, owner,
        seen=batch_id) delta row; duplicate band rows from successive
        deltas are resolved min-on-read (owner) / max-on-read (seen) and
@@ -398,6 +431,16 @@ def minhash_band_probe_stream(
        owners; round 9 appends every seen band so ``seen`` tracks
        last-activity and the dedup-horizon retention can evict idle bands
        without ever evicting an active one.)
+     - flag: each batch spools only its raw (doc_id, band) pairs; the
+       ``band_dup`` decision joins those pairs against the FINAL
+       min-on-read index when the returned DataFrame is read.  (Round 9
+       fix: the earlier per-batch ``doc_id > owner-so-far`` flags were
+       micro-batch-ARRIVAL-dependent -- a later batch introducing a lower
+       owner could not revise an already-written false -- so a
+       multi-batch drain could disagree with the batch band-owner oracle;
+       read-time resolution is batch-invariant AND removes the per-batch
+       probe join entirely.)  A band evicted by retention before the read
+       simply stops owning duplicates (left join, coalesce to self).
 
     Runs the availableNow drain itself (foreachBatch has no memory-sink
     form) and returns the accumulated flags as a batch DataFrame; progress
@@ -406,6 +449,7 @@ def minhash_band_probe_stream(
     spark = bands.sparkSession
     import os as _os
 
+    _recover_band_index(index_dir)
     _os.makedirs(index_dir, exist_ok=True)
     _os.makedirs(flags_dir, exist_ok=True)
 
@@ -424,22 +468,8 @@ def minhash_band_probe_stream(
                 .groupBy("band")
                 .agg(F.min("owner").alias("owner"))
             )
-            merged = (
-                batch_min.join(idx, "band", "left")
-                .select(
-                    "band",
-                    F.least(
-                        F.col("bmin"), F.coalesce("owner", F.col("bmin"))
-                    ).alias("cur"),
-                    F.col("owner").alias("old"),
-                )
-                .persist()
-            )
             (
-                batch_df.join(merged, "band")
-                .select(
-                    "doc_id", (F.col("doc_id") > F.col("cur")).alias("band_dup")
-                )
+                batch_df.select("doc_id", "band")
                 .write.mode("append")
                 .parquet(flags_dir)
             )
@@ -448,9 +478,12 @@ def minhash_band_probe_stream(
                 # batch ids at 0 (no checkpoint), so a caller running
                 # periodic drains passes a monotonic seen_base (epoch /
                 # cycle counter) to keep the retention axis advancing
-                merged.select(
+                batch_min.join(idx, "band", "left")
+                .select(
                     "band",
-                    F.col("cur").alias("owner"),
+                    F.least(
+                        F.col("bmin"), F.coalesce("owner", F.col("bmin"))
+                    ).alias("owner"),
                     F.lit(int(seen_base) + int(batch_id))
                     .cast("long")
                     .alias("seen"),
@@ -458,7 +491,6 @@ def minhash_band_probe_stream(
                 .write.mode("append")
                 .parquet(index_dir)
             )
-            merged.unpersist()
         finally:
             batch_df.unpersist()
 
@@ -469,7 +501,24 @@ def minhash_band_probe_stream(
         .start()
     )
     _finish_drain(q, query_name, timeout_sec)
-    return spark.read.schema(BAND_FLAGS_SCHEMA).parquet(flags_dir)
+    owners = (
+        spark.read.schema(BAND_INDEX_SCHEMA)
+        .parquet(index_dir)
+        .groupBy("band")
+        .agg(F.min("owner").alias("owner"))
+    )
+    return (
+        spark.read.schema(BAND_FLAGS_SCHEMA)
+        .parquet(flags_dir)
+        .join(owners, "band", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("doc_id")
+                > F.coalesce("owner", F.col("doc_id"))
+            ).alias("band_dup"),
+        )
+    )
 
 
 def compact_band_index(
@@ -487,11 +536,15 @@ def compact_band_index(
     streaming dedup makes, incl. dropDuplicatesWithinWatermark).  Returns
     the compacted row count.  At 100 TB this is the table format's
     compaction/rewrite + retention DELETE job; here: rewrite to a sibling
-    dir and atomically swap.  test_streaming.py pins that file count AND
-    row count stay bounded across probe/compact cycles."""
+    dir and swap via two renames, with :func:`_recover_band_index` (run
+    by every reader/writer first) making a crash between the renames
+    recoverable instead of silently emptying the index.
+    test_streaming.py pins that file count AND row count stay bounded
+    across probe/compact cycles."""
     import os as _os
     import shutil as _shutil
 
+    _recover_band_index(index_dir)
     compacted = (
         spark.read.schema(BAND_INDEX_SCHEMA)
         .parquet(index_dir)

@@ -49,3 +49,30 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse):
         .count()
     )
     assert joined.count() == want
+
+
+def test_colocated_join_rejects_multicolumn_bucketing(spark, tmp_path):
+    """A table bucketed on (key, other) hash-distributes by the PAIR --
+    joining on key alone would silently re-shuffle.  The validator must
+    reject it, not just check the first bucket column."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from flatterer_spark.operators.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("other")
+    )
+    (
+        df.write.mode("overwrite")
+        .bucketBy(4, "k", "other")
+        .sortBy("k")
+        .format("parquet")
+        .saveAsTable("bkt_multi")
+    )
+    write_bucketed(df, "bkt_single", "k", n_buckets=4)
+    with pytest.raises(ValueError, match="bucketed on"):
+        colocated_join(spark, "bkt_multi", "bkt_single", on="k")

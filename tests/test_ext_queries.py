@@ -847,3 +847,44 @@ def test_minhash_calibration_bounds_and_bias(spark, sf_dir):
     low = df.iloc[0]
     if low["bucket"] <= 2:
         assert low["avg_est4"] > low["avg_exact4"]
+
+
+def test_staged_views_invalidate_on_regenerated_source(spark, tmp_path):
+    """Regenerating a source parquet at the SAME path within one session
+    must rebuild the staged shingle/norm views (fingerprint-keyed cache,
+    functions/fingerprint.py) -- the round-9 review found the staged views
+    served artifacts computed from the OLD file while the oracle read the
+    new one."""
+    import os
+    import time
+
+    import flatterer_spark.ext_queries as EQ
+
+    sf = str(tmp_path)
+
+    def write_docs(texts):
+        spark.createDataFrame(
+            [(i, t, "src", "2024-01-01") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string, created string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    write_docs(["alpha beta gamma delta", "epsilon zeta eta theta"])
+    v1 = EQ._shingle_view(spark, sf)
+    n1 = spark.table(v1).count()
+
+    # regenerate with MORE documents; bump mtime past fs granularity
+    time.sleep(0.05)
+    write_docs(["alpha beta gamma delta", "epsilon zeta eta theta",
+                "iota kappa lambda mu", "nu xi omicron pi"])
+    for root, _dirs, files in os.walk(f"{sf}/documents.parquet"):
+        for fn in files:
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            os.utime(p, ns=(st.st_mtime_ns + 10**6, st.st_mtime_ns + 10**6))
+
+    v2 = EQ._shingle_view(spark, sf)
+    n2 = spark.table(v2).count()
+    assert n2 > n1, (n1, n2)
+    # superseded cache entries for this (session, sf_dir) were evicted
+    keys = [k for k in EQ._sh_cache if k[1] == sf]
+    assert len(keys) == 1

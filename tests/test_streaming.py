@@ -688,3 +688,127 @@ def test_dedup_stream_state_evicts_past_watermark(spark, tmp_path):
     assert any(
         removed >= 1000 and total <= 1000 for total, removed in per_batch
     ), f"no watermark eviction observed: {per_batch}"
+
+
+def test_minhash_band_flags_batch_invariant(spark, tmp_path):
+    """A LOWER doc_id arriving in a LATER micro-batch must still own the
+    band: the round-9 read-time flag resolution makes band_dup equal to
+    the batch band-owner oracle (doc_id > global min per band) however
+    the drain is chunked -- the earlier per-batch flags could never
+    revise an already-written false for the earlier document."""
+    import os
+    import time
+
+    from flatterer_spark.streaming.stream_flatten import (
+        minhash_band_probe_stream,
+    )
+
+    d = tmp_path / "inv_in"
+    d.mkdir()
+    base = int(time.time()) - 100
+    # batch 1: doc 10 in band B (becomes provisional owner)
+    spark.createDataFrame(
+        [(10, "B"), (10, "X")], "doc_id long, band string"
+    ).coalesce(1).write.parquet(str(d / "c0"))
+    # batch 2: doc 3 in band B (the true owner arrives late)
+    spark.createDataFrame(
+        [(3, "B")], "doc_id long, band string"
+    ).coalesce(1).write.parquet(str(d / "c1"))
+    for i in range(2):
+        for fn in os.listdir(str(d / f"c{i}")):
+            os.utime(os.path.join(str(d / f"c{i}"), fn),
+                     (base + 10 * i, base + 10 * i))
+    bl = (
+        spark.readStream.schema("doc_id long, band string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    res = minhash_band_probe_stream(
+        bl,
+        index_dir=str(tmp_path / "inv_idx"),
+        flags_dir=str(tmp_path / "inv_flags"),
+        query_name="mh_inv_test",
+    )
+    out = {(r.doc_id, r.band_dup) for r in res.collect()}
+    assert (10, True) in out, out   # band B finally owned by 3 < 10
+    assert (3, False) in out, out   # the late owner itself is original
+    assert (10, False) in out, out  # band X stays owned by 10
+
+
+def test_band_index_compaction_crash_recovery(spark, tmp_path):
+    """compact_band_index's two-rename swap must be crash-consistent:
+    a leftover .old with the index missing (crash between renames)
+    restores; a leftover .old with the index present (crash before
+    cleanup) is dropped -- no probe may ever run against a silently
+    emptied index."""
+    import os
+    import shutil
+
+    from flatterer_spark.streaming.stream_flatten import (
+        BAND_INDEX_SCHEMA,
+        _recover_band_index,
+        compact_band_index,
+    )
+
+    idx_dir = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [("b1", 5, 0), ("b2", 7, 0)], BAND_INDEX_SCHEMA
+    ).write.mode("append").parquet(idx_dir)
+
+    # crash window 1: index renamed away, replacement never moved in
+    os.rename(idx_dir, idx_dir + ".old")
+    assert not os.path.exists(idx_dir)
+    _recover_band_index(idx_dir)
+    got = spark.read.schema(BAND_INDEX_SCHEMA).parquet(idx_dir)
+    assert {r.band: r.owner for r in got.collect()} == {"b1": 5, "b2": 7}
+
+    # crash window 2: swap completed but stale .old remains -- the next
+    # compact must not raise on the rename and must drop the leftover
+    shutil.copytree(idx_dir, idx_dir + ".old")
+    n = compact_band_index(spark, idx_dir)
+    assert n == 2
+    assert not os.path.exists(idx_dir + ".old")
+    got = spark.read.schema(BAND_INDEX_SCHEMA).parquet(idx_dir)
+    assert {r.band: r.owner for r in got.collect()} == {"b1": 5, "b2": 7}
+
+
+def test_dedup_stream_multicol_fingerprint_no_collision(spark, tmp_path):
+    """Multi-column fingerprints must be injective: (a='x', b=NULL) and
+    (a=NULL, b='x') are DIFFERENT events (concat_ws would collide them by
+    skipping nulls), as are values containing the old separator byte."""
+    import pyspark.sql.functions as SF
+
+    from flatterer_spark.streaming.stream_flatten import (
+        dedup_stream,
+        run_available_now,
+    )
+
+    d = tmp_path / "fp_in"
+    d.mkdir()
+    rows = [
+        ("x", None, "2024-01-01 00:00:01"),
+        (None, "x", "2024-01-01 00:00:02"),
+        ("p\x1fq", "r", "2024-01-01 00:00:03"),
+        ("p", "q\x1fr", "2024-01-01 00:00:04"),
+        ("x", None, "2024-01-01 00:00:05"),  # true duplicate of row 1
+    ]
+    spark.createDataFrame(
+        rows, "a string, b string, ts_s string"
+    ).withColumn("ts", SF.col("ts_s").cast("timestamp")).drop(
+        "ts_s"
+    ).coalesce(1).write.parquet(str(d / "c0"))
+    stream = (
+        spark.readStream.schema("a string, b string, ts timestamp")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    res = run_available_now(
+        dedup_stream(stream, ["a", "b"], watermark="1 hour"),
+        "fp_collision_test",
+    )
+    kept = {(r.a, r.b) for r in res.collect()}
+    assert kept == {
+        ("x", None), (None, "x"), ("p\x1fq", "r"), ("p", "q\x1fr")
+    }, kept
+    assert res.count() == 4  # the true duplicate was dropped
