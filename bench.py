@@ -138,12 +138,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # batch vs streaming subtotals: the ~14 streaming gate drains carry
+    # 2-5x run-to-run variance (micro-batch commit latency) that drowned
+    # the stable batch signal in r9's single-run driver total (VERDICT r9
+    # perf finding) -- report both so a regression is attributable.
+    stream_sub = round(
+        sum(v for k, v in timings.items() if k.startswith("stream_")), 3
+    )
     full = {
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "batch_subtotal": round(total - stream_sub, 3),
+        "streaming_subtotal": stream_sub,
         "timing": "min of 2 runs (3 if still >1.5s) per query after one warm-up pass",
     }
     # The driver keeps only the last ~2 KB of stdout; with ~100 benched

@@ -1,0 +1,170 @@
+"""Persisted model store: train-once / load-many for the learned-model
+family (k-means centroids, PQ codebooks, IVF-PQ models).
+
+VERDICT r9 #5 measured ``emb_pq_codes`` at ~33.6 s COLD (fresh session,
+model retrained from scratch) vs 5.4-9.4 s when the session is staged.
+The 100 TB posture for a learned index is the same as the MinHash band
+index (`streaming.stream_flatten.minhash_band_probe_stream`): the model is
+built by a scheduled job and PERSISTED; every downstream search/encode run
+loads it instead of retraining.  This module is that persistence layer, and
+it deliberately mirrors the band index's delta+compaction lifecycle:
+
+ - ``save_model`` appends one (op, key, payload, created) parquet row --
+   crash-safe by construction (an interrupted append leaves at most an
+   orphan part file which the reader's schema tolerates), no
+   read-modify-write anywhere;
+ - ``load_model`` resolves latest-created-wins per (op, key) ON READ, so
+   concurrent trainers converge without coordination (models are
+   bit-deterministic per key anyway: the fit quantizes to 6 dp and the key
+   embeds the training-data fingerprint, so any two writers write the same
+   payload);
+ - ``compact_model_store`` squashes the deltas to one row per (op, key) --
+   the same offline squash as ``compact_band_index``.
+
+The store location comes from ``$FLATTERER_MODEL_STORE`` (any
+Hadoop-visible path: local dir, HDFS, object store).  Unset => no
+persistence: fitters train in-session exactly as before, so the gate/test
+default behavior is unchanged and the oracle literal-splice replay (which
+refits numpy from the same seeds) stays valid whether or not the store
+served the Spark side -- the stored model IS the trained model, bit for
+bit.
+
+Keys: ``key`` = JSON of the fit params + the training table's
+(path, mtime, size) fingerprint (`functions.fingerprint.table_fingerprint`),
+so regenerated data or changed hyper-parameters MISS and retrain instead of
+serving a stale model -- the same invalidation rule as the in-session
+caches this store backs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+MODEL_STORE_SCHEMA = "op string, key string, payload string, created long"
+
+#: Per-session memo of store hits/misses for observability in benches
+#: (``emb_pq_codes`` cold vs load-path numbers): op -> "hit"/"miss".
+LAST_STORE_EVENTS: dict[str, str] = {}
+
+
+def store_dir() -> str | None:
+    """The armed store location, or None (no persistence)."""
+    return os.environ.get("FLATTERER_MODEL_STORE") or None
+
+
+def model_key(params: dict, sf_dir: str, table: str) -> str:
+    """Deterministic JSON key embedding params + training-data fingerprint."""
+    from flatterer_spark.functions.fingerprint import table_fingerprint
+
+    return json.dumps(
+        {"params": params, "fp": table_fingerprint(sf_dir, table)},
+        sort_keys=True,
+    )
+
+
+def load_model(spark: SparkSession, store: str, op: str, key: str) -> Any:
+    """Latest-created payload for (op, key), JSON-decoded; None on miss.
+
+    A tiny store read is one parquet scan of a few KB; filters on (op, key)
+    push to the scan.  Missing/empty store dirs are a miss, never an error
+    (first run of a fresh pipeline)."""
+    if not os.path.isdir(store) or not any(
+        not f.startswith(("_", ".")) for f in os.listdir(store)
+    ):
+        return None
+    rows = (
+        spark.read.schema(MODEL_STORE_SCHEMA)
+        .parquet(store)
+        .where((F_col("op") == op) & (F_col("key") == key))
+        .orderBy(F_col("created").desc())
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    return json.loads(rows[0]["payload"])
+
+
+def save_model(
+    spark: SparkSession, store: str, op: str, key: str, model: Any
+) -> None:
+    """Append one delta row; never rewrites existing data."""
+    os.makedirs(store, exist_ok=True)
+    (
+        spark.createDataFrame(
+            [(op, key, json.dumps(model), int(time.time_ns()))],
+            MODEL_STORE_SCHEMA,
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(store)
+    )
+
+
+def load_or_train(
+    spark: SparkSession,
+    op: str,
+    params: dict,
+    sf_dir: str,
+    table: str,
+    train_fn,
+) -> Any:
+    """The fitters' single entry point: serve from the armed store, else
+    train via ``train_fn()`` and persist the result (when a store is armed
+    and the model is non-empty -- an empty-corpus non-model is never
+    stored, so data arriving later retrains)."""
+    store = store_dir()
+    if store:
+        key = model_key(params, sf_dir, table)
+        model = load_model(spark, store, op, key)
+        if model is not None:
+            LAST_STORE_EVENTS[op] = "hit"
+            return model
+    model = train_fn()
+    if store and model:
+        save_model(spark, store, op, key, model)
+        LAST_STORE_EVENTS[op] = "miss"
+    return model
+
+
+def compact_model_store(spark: SparkSession, store: str) -> int:
+    """Squash deltas to one latest row per (op, key); returns rows kept.
+
+    Same two-rename swap + recovery discipline as ``compact_band_index``:
+    write the squashed table beside the store, swap via rename, and make
+    readers recoverable from a crash between the renames."""
+    import shutil
+
+    from flatterer_spark.streaming.stream_flatten import _recover_band_index
+
+    _recover_band_index(store)
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    df = spark.read.schema(MODEL_STORE_SCHEMA).parquet(store)
+    w = Window.partitionBy("op", "key").orderBy(F.col("created").desc())
+    squashed = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    tmp = store.rstrip("/") + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    squashed.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n = spark.read.schema(MODEL_STORE_SCHEMA).parquet(tmp).count()
+    old = store.rstrip("/") + ".old"
+    os.rename(store, old)
+    os.rename(tmp, store)
+    shutil.rmtree(old, ignore_errors=True)
+    return int(n)
+
+
+def F_col(name: str):
+    import pyspark.sql.functions as F
+
+    return F.col(name)

@@ -615,6 +615,12 @@ def stream_ewma_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             # one, breaking the operator's in-order arrival contract
             # (same discipline as bench_scale_stream.build_stream_corpus)
             d = f"{work}/in/cpart={i}"
+            if not os.path.isdir(d):
+                # ntile emits no rows for an empty tile, so partitionBy
+                # writes no cpart=i directory when the source has fewer
+                # than n_chunks rows (empty-corpus contract: an empty
+                # events table must yield an empty result, not a crash)
+                continue
             for fn in os.listdir(d):
                 os.utime(
                     os.path.join(d, fn),

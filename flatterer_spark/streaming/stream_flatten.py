@@ -17,6 +17,8 @@ idempotent, which is what a Delta/exactly-once sink wants)."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -303,6 +305,55 @@ def interval_join_stream(
 DRAIN_PROGRESS: dict[str, list] = {}
 
 
+def _drain_checkpoint_dir(query_name: str) -> str:
+    """Fresh per-drain checkpoint dir, RAM-backed when the host has a tmpfs.
+
+    Spark's implicit temp checkpoint lands in java.io.tmpdir (/tmp), which
+    on this host is DISK-backed: an availableNow drain of N micro-batches
+    commits offsets/state/commit files per batch per state partition, and
+    those small fsync-heavy writes measured 2-5x run-to-run bench variance
+    in the streaming gates (VERDICT r9 perf finding).  A drain checkpoint
+    is transient by construction (fresh every run, deleted on finish), so
+    durability of /dev/shm is irrelevant -- but its latency is RAM.
+    ``FLATTERER_CKPT_BASE`` overrides (e.g. a real HDFS/objstore path on a
+    cluster, where the checkpoint must survive the driver)."""
+    import tempfile as _tempfile
+
+    base = os.environ.get("FLATTERER_CKPT_BASE")
+    if not base:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    return _tempfile.mkdtemp(prefix=f"ckpt_{query_name}_", dir=base)
+
+
+class _drain_shuffle_dial:
+    """Temporarily lower spark.sql.shuffle.partitions for a drain.
+
+    Each stateful operator keeps one state-store instance PER shuffle
+    partition, and every micro-batch commits one delta file per instance:
+    at 32 session partitions a 17-batch drain writes 544+ checkpoint files
+    per stateful op and schedules 32 tasks per stage per batch -- pure
+    overhead at gate/bench scale where whole drains carry a few thousand
+    rows.  8 partitions cut that 4x with identical results (state is
+    hash-partitioned by key either way).  On a real cluster the dial is
+    env-set to match executor count (``FLATTERER_DRAIN_SHUFFLE``);
+    setting it to 0 disables the override entirely."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.dial = int(os.environ.get("FLATTERER_DRAIN_SHUFFLE", "8"))
+
+    def __enter__(self):
+        if self.dial > 0:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.dial))
+        return self
+
+    def __exit__(self, *exc):
+        if self.dial > 0:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
@@ -315,16 +366,22 @@ def run_available_now(
     still-open windows in a single drain.  ``timeout_sec`` hard-gates the
     drain: a query that has not terminated by then is stopped and raises,
     so a mis-wired stateful operator can never hang a test run."""
-    import json as _json
+    import shutil as _shutil
 
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _finish_drain(q, query_name, timeout_sec)
+    ckpt = _drain_checkpoint_dir(query_name)
+    try:
+        with _drain_shuffle_dial(stream_df.sparkSession):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(query_name)
+                .option("checkpointLocation", ckpt)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _finish_drain(q, query_name, timeout_sec)
+    finally:
+        _shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(query_name)
 
 
@@ -376,6 +433,45 @@ BAND_INDEX_SCHEMA = "band string, owner long, seen long"
 # raw (doc, band) pairs spooled per batch; band_dup is resolved at READ
 # time against the final index so the result is batch-invariant
 BAND_FLAGS_SCHEMA = "doc_id long, band string"
+#: Version sentinel written into every flags_dir.  The r9 schema change
+#: ((doc_id, band_dup boolean) -> (doc_id, band string)) meant a spool dir
+#: written by the old code read back as all-null band columns, silently
+#: resolving every flag to band_dup=false (ADVICE r9).  Bump this whenever
+#: BAND_FLAGS_SCHEMA changes shape so a stale spool errors instead.
+_FLAGS_SCHEMA_VERSION = "2"
+
+
+def _check_flags_schema(flags_dir: str) -> None:
+    """Fail loudly on a flags_dir spooled under a different schema version.
+
+    The sentinel is an underscore-prefixed file (ignored by the parquet
+    reader).  A non-empty dir with NO sentinel predates versioning -- its
+    shape is unknowable, so it errors too."""
+    import os as _os
+
+    sentinel = _os.path.join(flags_dir, "_FLAGS_SCHEMA_V")
+    if _os.path.exists(sentinel):
+        with open(sentinel) as f:
+            found = f.read().strip()
+        if found != _FLAGS_SCHEMA_VERSION:
+            raise ValueError(
+                f"flags_dir {flags_dir!r} was spooled with band-flags schema "
+                f"v{found}, but this code writes v{_FLAGS_SCHEMA_VERSION} "
+                f"({BAND_FLAGS_SCHEMA!r}); reading it would silently yield "
+                "null columns. Delete or migrate the stale spool."
+            )
+        return
+    has_parts = any(
+        not fn.startswith(("_", ".")) for fn in _os.listdir(flags_dir)
+    )
+    if has_parts:
+        raise ValueError(
+            f"flags_dir {flags_dir!r} contains spooled files but no schema "
+            "sentinel (written before band-flags versioning); its shape is "
+            "unknowable. Delete or migrate the stale spool."
+        )
+    with open(sentinel, "w") as f:
+        f.write(_FLAGS_SCHEMA_VERSION)
 
 
 def _recover_band_index(index_dir: str) -> None:
@@ -452,6 +548,7 @@ def minhash_band_probe_stream(
     _recover_band_index(index_dir)
     _os.makedirs(index_dir, exist_ok=True)
     _os.makedirs(flags_dir, exist_ok=True)
+    _check_flags_schema(flags_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # micro-batch DataFrames carry their own session clone; read the
@@ -494,13 +591,21 @@ def minhash_band_probe_stream(
         finally:
             batch_df.unpersist()
 
-    q = (
-        bands.writeStream.foreachBatch(_process)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _finish_drain(q, query_name, timeout_sec)
+    import shutil as _shutil
+
+    ckpt = _drain_checkpoint_dir(query_name)
+    try:
+        with _drain_shuffle_dial(spark):
+            q = (
+                bands.writeStream.foreachBatch(_process)
+                .queryName(query_name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _finish_drain(q, query_name, timeout_sec)
+    finally:
+        _shutil.rmtree(ckpt, ignore_errors=True)
     owners = (
         spark.read.schema(BAND_INDEX_SCHEMA)
         .parquet(index_dir)

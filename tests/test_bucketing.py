@@ -63,16 +63,21 @@ def test_colocated_join_rejects_multicolumn_bucketing(spark, tmp_path):
         write_bucketed,
     )
 
-    df = spark.range(100).select(
-        F.col("id").alias("k"), (F.col("id") % 7).alias("other")
-    )
-    (
-        df.write.mode("overwrite")
-        .bucketBy(4, "k", "other")
-        .sortBy("k")
-        .format("parquet")
-        .saveAsTable("bkt_multi")
-    )
-    write_bucketed(df, "bkt_single", "k", n_buckets=4)
-    with pytest.raises(ValueError, match="bucketed on"):
-        colocated_join(spark, "bkt_multi", "bkt_single", on="k")
+    try:
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("other")
+        )
+        (
+            df.write.mode("overwrite")
+            .bucketBy(4, "k", "other")
+            .sortBy("k")
+            .format("parquet")
+            .saveAsTable("bkt_multi")
+        )
+        write_bucketed(df, "bkt_single", "k", n_buckets=4)
+        with pytest.raises(ValueError, match="bucketed on"):
+            colocated_join(spark, "bkt_multi", "bkt_single", on="k")
+    finally:
+        # rerun-safety: managed-table residue must never outlive the test
+        for t in ("bkt_multi", "bkt_single"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

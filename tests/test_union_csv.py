@@ -459,3 +459,43 @@ def test_union_write_plan_contract(spark):
     # the sort key is the total (t, _seq) order, ascending
     m = re.search(r"Arguments: \[t#\d+ ASC NULLS FIRST, _seq#\d+L ASC", plan)
     assert m, plan
+
+
+def test_union_write_executed_plan_contract(spark, tmp_path):
+    """ADVICE r9: the pre-write frame's plan says nothing about sorts the
+    WRITER inserts -- if a future Spark stops eliding its required (t)
+    sort across the projection that drops _seq, a second Sort on t alone
+    would silently reintroduce the spill nondeterminism
+    spill_safe_write_frame exists to fix.  So pin the EXECUTED physical
+    plan of a real partitionBy('t').text() write, captured from the SQL
+    status store: exactly one Sort, keyed (t, _seq), no Exchange."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from flatterer_spark.sinks.union_csv import spill_safe_write_frame
+
+    base = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, "t0").otherwise("t1").alias("t"),
+        F.col("id").cast("string").alias("r"),
+    )
+    out = str(tmp_path / "w")
+    spill_safe_write_frame(base, F.col("r")).write.mode(
+        "overwrite"
+    ).partitionBy("t").text(out)
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    plan = None
+    for i in range(execs.size() - 1, -1, -1):
+        desc = execs.apply(i).physicalPlanDescription()
+        if "InsertIntoHadoopFsRelationCommand" in desc and out in desc:
+            plan = desc
+            break
+    assert plan is not None, "write execution not found in SQL status store"
+    sorts = re.findall(r"\(\d+\) Sort.*?Arguments: (\[[^\]]*\])", plan, re.S)
+    assert len(sorts) == 1, plan
+    assert re.match(
+        r"\[t#\d+ ASC NULLS FIRST, _seq#\d+L ASC NULLS FIRST\]", sorts[0]
+    ), sorts[0]
+    assert "Exchange" not in plan, plan
