@@ -549,6 +549,74 @@ def _oracle_stream_ewma() -> str:
     return sql_events_ewma(Gen(spark=False))
 
 
+#: Session-lifetime staged chunk corpora: (sf_dir, n_chunks, events
+#: fingerprint) -> staged directory.  Cleared (and dirs removed) at exit.
+_CHUNK_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _scratch_base() -> str | None:
+    """RAM-backed scratch when the host has one (mkdtemp dir= argument)."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def _staged_event_chunks(
+    spark: SparkSession, sf_dir: str, src: DataFrame, n_chunks: int
+) -> str:
+    """Stage the events table as ``n_chunks`` time-ordered parquet chunk
+    dirs with strictly increasing mtimes; reuse across calls in a session.
+
+    Chunking: ntile over one global (ts, event_id) sort assigns balanced
+    time-ordered chunks in a single window pass, and partitionBy writes
+    all chunk directories in ONE job.  The partition column must not
+    start with "_" (the file source ignores underscore-prefixed paths).
+
+    mtime spacing: the file source admits files oldest-first with no
+    tiebreak, and one write job lands every chunk inside the same
+    filesystem-timestamp granule -- without the explicit 10 s utime
+    spacing a later chunk could drain BEFORE an earlier one, breaking the
+    in-order arrival contract (same discipline as
+    bench_scale_stream.build_stream_corpus).
+
+    The cache key embeds the events parquet fingerprint (mtime+size), so
+    regenerated testdata re-stages instead of serving stale chunks."""
+    import atexit
+    import shutil
+    import tempfile
+    import time as _time
+
+    from flatterer_spark.functions.fingerprint import table_fingerprint
+
+    key = (sf_dir, n_chunks, table_fingerprint(sf_dir, "events"))
+    cached = _CHUNK_STAGE_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    work = tempfile.mkdtemp(prefix="stream_chunks_", dir=_scratch_base())
+    in_dir = f"{work}/in"
+    chunked = src.withColumn(
+        "cpart",
+        F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")) - 1,
+    )
+    chunked.repartition("cpart").write.mode("overwrite").partitionBy(
+        "cpart"
+    ).parquet(in_dir)
+    base_mtime = int(_time.time()) - 10 * n_chunks
+    for i in range(n_chunks):
+        d = f"{in_dir}/cpart={i}"
+        if not os.path.isdir(d):
+            # ntile emits no rows for an empty tile, so partitionBy writes
+            # no cpart=i directory when the source has fewer than n_chunks
+            # rows (empty-corpus contract: empty events -> empty result)
+            continue
+        for fn in os.listdir(d):
+            os.utime(
+                os.path.join(d, fn),
+                (base_mtime + 10 * i, base_mtime + 10 * i),
+            )
+    _CHUNK_STAGE_CACHE[key] = in_dir
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return in_dir
+
+
 def stream_ewma_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL-evicting per-user EWMA (``stream_flatten.ewma_stream_ttl``) --
     the state-BOUNDED sibling of ``stream_ewma`` (cross-ref: that query's
@@ -564,10 +632,14 @@ def stream_ewma_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same gap segmentation in SQL and folds each
     segment with list_reduce in (ts, event_id) order -- the identical
     IEEE op sequence (a*x + (1-a)*acc, seeded at the first value), so the
-    6-dp FLOOR snap has zero cross-engine rounding exposure."""
-    import shutil
-    import tempfile
+    6-dp FLOOR snap has zero cross-engine rounding exposure.
 
+    The chunk corpus is STAGED once per session (fingerprint-keyed, RAM-
+    backed scratch): it is a pure function of the events table, so
+    rewriting it per call charged every drain ~1.5-4 s of redundant write
+    I/O and was half the r9 bench variance in this gate (VERDICT r9 perf
+    item 2 -- "pre-stage the chunk corpora once per session like the
+    other staged views")."""
     from flatterer_spark.ext_queries import _view_suffix
     from flatterer_spark.streaming.stream_flatten import (
         ewma_stream_ttl,
@@ -585,77 +657,35 @@ def stream_ewma_ttl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "value",
     )
-    # 4 time-ordered chunks (global (ts, event_id) order) so per-user
-    # event-time order holds ACROSS batches -- the operator's documented
-    # in-order arrival contract
-    work = tempfile.mkdtemp(prefix="stream_ewma_ttl_")
-    try:
-        n_chunks = 4
-        # ntile over one global (ts, event_id) sort assigns balanced
-        # time-ordered chunks in a single window pass (the earlier
-        # row_number + count-window pair cost two), and partitionBy
-        # writes all four chunk directories in ONE job instead of four
-        # filtered ones.  The partition column must not start with "_"
-        # (the file source ignores underscore-prefixed paths).
-        chunked = src.withColumn(
-            "cpart",
-            F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")) - 1,
+    in_dir = _staged_event_chunks(spark, sf_dir, src, n_chunks=4)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    res = run_available_now(
+        ewma_stream_ttl(stream, ttl_minutes=1440),
+        f"stream_ewma_ttl_{_view_suffix(sf_dir)}",
+    )
+    w = Window.partitionBy("user_id", "seg_start").orderBy(
+        F.desc("n_events")
+    )
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("seg_start").cast("timestamp_ntz").alias("seg_start"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+            F.expr(
+                "CAST(FLOOR(ewma * 1000000 + 0.5) AS DOUBLE) / 1000000"
+            ).alias("ewma6"),
         )
-        chunked.repartition("cpart").write.mode("overwrite").partitionBy(
-            "cpart"
-        ).parquet(f"{work}/in")
-        import time as _time
-
-        base_mtime = int(_time.time()) - 10 * n_chunks
-        for i in range(n_chunks):
-            # strictly increasing mtimes with real spacing: the file
-            # source admits files oldest-first, and one write job lands
-            # every chunk inside the same filesystem-timestamp granule --
-            # without this a later chunk could drain BEFORE an earlier
-            # one, breaking the operator's in-order arrival contract
-            # (same discipline as bench_scale_stream.build_stream_corpus)
-            d = f"{work}/in/cpart={i}"
-            if not os.path.isdir(d):
-                # ntile emits no rows for an empty tile, so partitionBy
-                # writes no cpart=i directory when the source has fewer
-                # than n_chunks rows (empty-corpus contract: an empty
-                # events table must yield an empty result, not a crash)
-                continue
-            for fn in os.listdir(d):
-                os.utime(
-                    os.path.join(d, fn),
-                    (base_mtime + 10 * i, base_mtime + 10 * i),
-                )
-        stream = (
-            spark.readStream.schema(src.schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", "true")
-            .parquet(f"{work}/in")
-        )
-        res = run_available_now(
-            ewma_stream_ttl(stream, ttl_minutes=1440),
-            f"stream_ewma_ttl_{_view_suffix(sf_dir)}",
-        )
-        w = Window.partitionBy("user_id", "seg_start").orderBy(
-            F.desc("n_events")
-        )
-        return (
-            res.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(
-                "user_id",
-                F.col("seg_start").cast("timestamp_ntz").alias("seg_start"),
-                F.col("n_events").cast("long").alias("n_events"),
-                F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
-                F.expr(
-                    "CAST(FLOOR(ewma * 1000000 + 0.5) AS DOUBLE) / 1000000"
-                ).alias("ewma6"),
-            )
-            .orderBy("user_id", "seg_start")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        .orderBy("user_id", "seg_start")
+        .localCheckpoint(eager=True)
+    )
 
 
 def _oracle_stream_ewma_ttl() -> str:
