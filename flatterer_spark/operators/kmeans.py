@@ -258,8 +258,14 @@ def emb_kmeans(spark, sf_dir: str, k: int = 10, iters: int = 5) -> DataFrame:
     """
     from flatterer_spark.queries import T, round_half_up
 
+    from flatterer_spark.operators.model_store import load_or_train
+
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_fit(emb, "embedding", "vec_id", k=k, iters=iters)
+    cents = load_or_train(
+        spark, "kmeans_centroids", {"k": k, "iters": iters}, sf_dir,
+        "embeddings",
+        lambda: kmeans_fit(emb, "embedding", "vec_id", k=k, iters=iters),
+    )
     if not cents:  # empty corpus
         return spark.createDataFrame([], "vec_id long, cluster long, dist double")
     wide = emb.repartition(spark.sparkContext.defaultParallelism)
@@ -677,10 +683,15 @@ def pq_codes(
     ``tests/test_kmeans.py`` additionally checks codes and errors against
     numpy end-to-end.
     """
+    from flatterer_spark.operators.model_store import load_or_train
     from flatterer_spark.queries import T, round_half_up
 
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    books = pq_fit(emb, "embedding", "vec_id", m=m, k=k, iters=iters)
+    books = load_or_train(
+        spark, "pq_codebooks", {"m": m, "k": k, "iters": iters}, sf_dir,
+        "embeddings",
+        lambda: pq_fit(emb, "embedding", "vec_id", m=m, k=k, iters=iters),
+    )
     if not books:  # empty corpus
         return spark.createDataFrame(
             [], "vec_id long, codes string, quant_err2 double"
@@ -728,10 +739,20 @@ def clear_ivfpq_cache() -> None:
 
 
 def _ivfpq_model(spark, sf_dir, emb, cells, nprobe, m, kc):
+    from flatterer_spark.operators.model_store import load_or_train
+
     key = (id(spark), sf_dir, cells, m, kc, _emb_fingerprint(sf_dir))
     if key not in _model_cache:
-        cents = kmeans_fit(emb, "embedding", "vec_id", k=cells, iters=3)
-        books = pq_fit(emb, "embedding", "vec_id", m=m, k=kc, iters=2)
+
+        def _fit():
+            cents = kmeans_fit(emb, "embedding", "vec_id", k=cells, iters=3)
+            books = pq_fit(emb, "embedding", "vec_id", m=m, k=kc, iters=2)
+            return [cents, books]
+
+        cents, books = load_or_train(
+            spark, "ivfpq_model", {"cells": cells, "m": m, "kc": kc},
+            sf_dir, "embeddings", _fit,
+        )
         _model_cache[key] = (cents, books)
     return _model_cache[key]
 

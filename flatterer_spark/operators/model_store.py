@@ -43,7 +43,8 @@ import os
 import time
 from typing import Any
 
-from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession, Window
 
 MODEL_STORE_SCHEMA = "op string, key string, payload string, created long"
 
@@ -80,8 +81,8 @@ def load_model(spark: SparkSession, store: str, op: str, key: str) -> Any:
     rows = (
         spark.read.schema(MODEL_STORE_SCHEMA)
         .parquet(store)
-        .where((F_col("op") == op) & (F_col("key") == key))
-        .orderBy(F_col("created").desc())
+        .where((F.col("op") == op) & (F.col("key") == key))
+        .orderBy(F.col("created").desc())
         .limit(1)
         .collect()
     )
@@ -143,9 +144,6 @@ def compact_model_store(spark: SparkSession, store: str) -> int:
     from flatterer_spark.streaming.stream_flatten import _recover_band_index
 
     _recover_band_index(store)
-    from pyspark.sql import Window
-    import pyspark.sql.functions as F
-
     df = spark.read.schema(MODEL_STORE_SCHEMA).parquet(store)
     w = Window.partitionBy("op", "key").orderBy(F.col("created").desc())
     squashed = (
@@ -162,9 +160,3 @@ def compact_model_store(spark: SparkSession, store: str) -> int:
     os.rename(tmp, store)
     shutil.rmtree(old, ignore_errors=True)
     return int(n)
-
-
-def F_col(name: str):
-    import pyspark.sql.functions as F
-
-    return F.col(name)

@@ -1,0 +1,111 @@
+"""Persisted model store (VERDICT r9 #5): train-once / load-many for the
+learned-model family, delta+compaction lifecycle like the MinHash band
+index.  The stored model must be BIT-IDENTICAL to the trained one (the
+fits quantize to 6 dp and JSON round-trips doubles exactly), so a
+store-served query equals a cold-trained one value-for-value."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_load_or_train_miss_then_hit(spark, tmp_path, monkeypatch):
+    from flatterer_spark.operators import model_store as MS
+
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("FLATTERER_MODEL_STORE", store)
+    calls = []
+
+    def fit():
+        calls.append(1)
+        return [[1.25, -2.5], [0.000001, 3.0]]
+
+    sf = "/root/testdata/sf0.001"
+    m1 = MS.load_or_train(spark, "op_a", {"k": 2}, sf, "embeddings", fit)
+    m2 = MS.load_or_train(spark, "op_a", {"k": 2}, sf, "embeddings", fit)
+    assert m1 == m2 == [[1.25, -2.5], [0.000001, 3.0]]
+    assert len(calls) == 1, "second call must be served from the store"
+    assert MS.LAST_STORE_EVENTS["op_a"] == "hit"
+    # different params or different op -> miss -> retrain
+    MS.load_or_train(spark, "op_a", {"k": 3}, sf, "embeddings", fit)
+    MS.load_or_train(spark, "op_b", {"k": 2}, sf, "embeddings", fit)
+    assert len(calls) == 3
+
+
+def test_unarmed_store_trains_every_time(spark, tmp_path, monkeypatch):
+    from flatterer_spark.operators import model_store as MS
+
+    monkeypatch.delenv("FLATTERER_MODEL_STORE", raising=False)
+    calls = []
+
+    def fit():
+        calls.append(1)
+        return [[1.0]]
+
+    sf = "/root/testdata/sf0.001"
+    MS.load_or_train(spark, "op_c", {}, sf, "embeddings", fit)
+    MS.load_or_train(spark, "op_c", {}, sf, "embeddings", fit)
+    assert len(calls) == 2
+
+
+def test_store_served_pq_codes_bit_identical(spark, tmp_path, monkeypatch):
+    """emb_pq_codes cold vs store-served must be value-identical -- the
+    persistence story cannot change the gate result."""
+    from flatterer_spark.operators.kmeans import pq_codes
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.delenv("FLATTERER_MODEL_STORE", raising=False)
+    cold = [tuple(r) for r in pq_codes(spark, sf).collect()]
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("FLATTERER_MODEL_STORE", store)
+    trained = [tuple(r) for r in pq_codes(spark, sf).collect()]  # miss+save
+    served = [tuple(r) for r in pq_codes(spark, sf).collect()]   # hit
+    assert cold == trained == served
+    from flatterer_spark.operators.model_store import LAST_STORE_EVENTS
+
+    assert LAST_STORE_EVENTS["pq_codebooks"] == "hit"
+
+
+def test_compaction_squashes_and_latest_wins(spark, tmp_path):
+    from flatterer_spark.operators import model_store as MS
+
+    store = str(tmp_path / "store")
+    MS.save_model(spark, store, "op", "k1", [[1.0]])
+    MS.save_model(spark, store, "op", "k1", [[2.0]])  # newer delta wins
+    MS.save_model(spark, store, "op", "k2", [[9.0]])
+    assert MS.load_model(spark, store, "op", "k1") == [[2.0]]
+    n = MS.compact_model_store(spark, store)
+    assert n == 2
+    assert MS.load_model(spark, store, "op", "k1") == [[2.0]]
+    assert MS.load_model(spark, store, "op", "k2") == [[9.0]]
+    assert MS.load_model(spark, store, "op", "k3") is None
+
+
+def test_fingerprint_invalidation(spark, tmp_path, monkeypatch):
+    """Regenerated training data must MISS (key embeds the parquet
+    fingerprint), never serve a stale model."""
+    import shutil
+
+    from flatterer_spark.operators import model_store as MS
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        sf / "embeddings.parquet",
+    )
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("FLATTERER_MODEL_STORE", store)
+    calls = []
+
+    def fit():
+        calls.append(1)
+        return [[float(len(calls))]]
+
+    MS.load_or_train(spark, "op_f", {}, str(sf), "embeddings", fit)
+    import os
+    import time
+
+    os.utime(sf / "embeddings.parquet", (time.time() + 5, time.time() + 5))
+    m = MS.load_or_train(spark, "op_f", {}, str(sf), "embeddings", fit)
+    assert len(calls) == 2 and m == [[2.0]]
