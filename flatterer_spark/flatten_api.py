@@ -169,6 +169,49 @@ def flatten_dataframes(
         )
     src_df = df
 
+    # Optimistic text-ordinal fast path, distributed half: the per-split
+    # offset aggregate depends only on (session, paths), so when the
+    # gates pass, kick it on a background thread NOW -- it overlaps the
+    # driver-side schema-guide/plan-derivation py4j work below (the r9 1M
+    # fixed-overhead decomposition's two biggest non-JVM items, ~0.2 s
+    # each; the overlap shaves the smaller off the wall).  The join point
+    # (and the guard/threshold logic) stays below, after the plans exist.
+    want_cache = kw.get("_multi_sink", True) or getattr(
+        df, "_flatterer_remote_input", False
+    )
+    text_fut = None
+    thr = kw.get("_text_ordinals")
+    if (
+        thr
+        and opts.ordinals == "strict"
+        and not opts.json_path
+        and not want_cache
+        and not kw.get("low_memory")
+        and getattr(src_df, "_flatterer_line_based", False)
+        and not getattr(src_df, "_flatterer_remote_input", True)
+    ):
+        # driver-side pre-gate: an NDJSON object line is >= 2 bytes, so a
+        # source smaller than 2*threshold bytes cannot clear the row
+        # threshold -- skip the text scan instead of running a Spark job
+        # just to learn the count and then discarding it (the dominant
+        # small-local-file case)
+        try:
+            total_bytes = sum(
+                os.path.getsize(p) for p in src_df._flatterer_staged_paths
+            )
+        except OSError:
+            total_bytes = None
+        if total_bytes is None or total_bytes >= 2 * int(thr):
+            from concurrent.futures import ThreadPoolExecutor
+
+            from flatterer_spark.sources.json_input import text_ordinal_rows
+
+            ex = ThreadPoolExecutor(max_workers=1)
+            text_fut = ex.submit(
+                text_ordinal_rows, spark, src_df._flatterer_staged_paths
+            )
+            ex.shutdown(wait=False)
+
     title_map: dict[str, str] = {}
     if opts.schema:
         # F12: JSONSchema-driven field order (+ optional titles)
@@ -226,9 +269,6 @@ def flatten_dataframes(
     # the cache: their consumption pattern is unknown.
     cached = None
     count_exprs = _child_count_exprs(df.schema, plans)
-    want_cache = kw.get("_multi_sink", True) or getattr(
-        df, "_flatterer_remote_input", False
-    )
     df = prepare_ordinal_columns(df)
     # Optimistic text-ordinal fast path (the union-CSV single-pass flow):
     # per-split offsets come from a raw text scan (0.18 s vs the JSON
@@ -236,37 +276,18 @@ def flatten_dataframes(
     # + row-count equality on the write scan itself, redoing everything on
     # a miss.  Only taken for large line-based local inputs on the
     # no-cache csv-only flow (flatten() passes the threshold), where the
-    # caller is committed to the guarded union write.
+    # caller is committed to the guarded union write.  The distributed
+    # aggregate was kicked on a background thread before plan derivation
+    # (text_fut above); this is the join point.
     text_ordinals = False
-    thr = kw.get("_text_ordinals")
-    if (
-        thr
-        and opts.ordinals == "strict"
-        and not opts.json_path
-        and not want_cache
-        and not kw.get("low_memory")
-        and getattr(src_df, "_flatterer_line_based", False)
-        and not getattr(src_df, "_flatterer_remote_input", True)
-    ):
+    if text_fut is not None:
         from flatterer_spark.sources.json_input import with_ordinal_text
 
-        # driver-side pre-gate: an NDJSON object line is >= 2 bytes, so a
-        # source smaller than 2*threshold bytes cannot clear the row
-        # threshold -- skip the text scan instead of running a Spark job
-        # just to learn the count and then discarding it (the dominant
-        # small-local-file case)
-        try:
-            total_bytes = sum(
-                os.path.getsize(p) for p in src_df._flatterer_staged_paths
+        with prof("ordinal_text_map"):
+            tout = with_ordinal_text(
+                df, spark, src_df._flatterer_staged_paths,
+                rows=text_fut.result(),
             )
-        except OSError:
-            total_bytes = None
-        tout = None
-        if total_bytes is None or total_bytes >= 2 * int(thr):
-            with prof("ordinal_text_map"):
-                tout = with_ordinal_text(
-                    df, spark, src_df._flatterer_staged_paths
-                )
         if tout is not None and tout._flatterer_input_rows > int(thr):
             rows = tout._flatterer_input_rows
             # the guard rides the FIRST full-scan write action over this

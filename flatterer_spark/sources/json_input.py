@@ -606,8 +606,35 @@ def prepare_ordinal_columns(df: DataFrame) -> DataFrame:
     return out
 
 
+def text_ordinal_rows(spark, paths: list[str]) -> list | None:
+    """The distributed half of :func:`with_ordinal_text`: collect the
+    (partition id, file, split start) -> (row count, min monotonic id)
+    map rows from a raw text scan.  Depends only on the session and the
+    paths, so it is safe to run from a background thread."""
+    try:
+        tdf = spark.read.text([str(p) for p in paths])
+        return (
+            # the JSON reader emits no row for blank/whitespace-only lines;
+            # mirror it BEFORE assigning monotonic ids so per-split ids
+            # stay dense over exactly the rows the JSON scan will produce
+            # (pinned by test_union_csv.py::test_text_ordinals_blank_lines)
+            tdf.where(F.trim(F.col("value")) != "")
+            .select(
+                F.spark_partition_id().alias("_pid"),
+                F.col("_metadata.file_path").alias("_f"),
+                F.col("_metadata.file_block_start").alias("_b"),
+                F.monotonically_increasing_id().alias("_mid"),
+            )
+            .groupBy("_pid", "_f", "_b")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("_mid").alias("mn"))
+            .collect()
+        )
+    except Exception:
+        return None
+
+
 def with_ordinal_text(
-    df: DataFrame, spark, paths: list[str]
+    df: DataFrame, spark, paths: list[str], rows: list | None = None
 ) -> DataFrame | None:
     """Optimistic strict ordinals: the per-split offset map from a raw TEXT
     scan instead of the JSON aggregate pass.
@@ -629,27 +656,15 @@ def with_ordinal_text(
     the two checks together are complete (see
     ``union_csv.check_union_guard``).  Returns None when the text scan is
     unavailable or the input is empty -- caller falls back to the exact
-    aggregate."""
-    try:
-        tdf = spark.read.text([str(p) for p in paths])
-        rows = (
-            # the JSON reader emits no row for blank/whitespace-only lines;
-            # mirror it BEFORE assigning monotonic ids so per-split ids
-            # stay dense over exactly the rows the JSON scan will produce
-            # (pinned by test_union_csv.py::test_text_ordinals_blank_lines)
-            tdf.where(F.trim(F.col("value")) != "")
-            .select(
-                F.spark_partition_id().alias("_pid"),
-                F.col("_metadata.file_path").alias("_f"),
-                F.col("_metadata.file_block_start").alias("_b"),
-                F.monotonically_increasing_id().alias("_mid"),
-            )
-            .groupBy("_pid", "_f", "_b")
-            .agg(F.count(F.lit(1)).alias("n"), F.min("_mid").alias("mn"))
-            .collect()
-        )
-    except Exception:
-        return None
+    aggregate.
+
+    ``rows`` lets the caller pass a pre-collected :func:`text_ordinal_rows`
+    result, so the distributed aggregate can run in a background thread
+    OVERLAPPING the driver's plan-derivation py4j work (the r9 1M
+    fixed-overhead decomposition named these two as the biggest non-JVM
+    items; overlapping them shaves the smaller of the pair off the wall)."""
+    if rows is None:
+        rows = text_ordinal_rows(spark, paths)
     if not rows:
         return None
     file_order = getattr(df, "_flatterer_input_order", None)

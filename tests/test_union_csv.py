@@ -190,8 +190,8 @@ def test_ordinal_guard_miss_redoes_exact(spark, tmp_path, monkeypatch):
     real = json_input.with_ordinal_text
     calls = {"n": 0}
 
-    def corrupt(df, spark_, paths):
-        out = real(df, spark_, paths)
+    def corrupt(df, spark_, paths, rows=None):
+        out = real(df, spark_, paths, rows=rows)
         if out is None:
             return None
         calls["n"] += 1
@@ -302,9 +302,9 @@ def test_text_ordinal_pregate_skips_small_inputs(spark, tmp_path, monkeypatch):
     calls = []
     real = ji.with_ordinal_text
 
-    def spy(df, spark_, paths):
+    def spy(df, spark_, paths, rows=None):
         calls.append(list(paths))
-        return real(df, spark_, paths)
+        return real(df, spark_, paths, rows=rows)
 
     monkeypatch.setattr(ji, "with_ordinal_text", spy)
 
