@@ -894,3 +894,54 @@ def test_band_flags_schema_sentinel_rejects_stale_spool(spark, tmp_path):
     got = {(r.doc_id, r.band_dup) for r in res.collect()}
     assert got == {(10, False), (20, True)}
     _check_flags_schema(str(flags))  # same-version re-probe accepted
+
+
+def test_drain_dial_and_checkpoint_hygiene(spark, tmp_path, monkeypatch):
+    """The drain harness must (a) restore the session's shuffle-partition
+    conf after every drain -- even a failing one, (b) honor
+    FLATTERER_CKPT_BASE for the per-drain checkpoint dir, and (c) leave no
+    checkpoint residue behind (fresh-every-run is the drain contract)."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    from flatterer_spark.streaming.stream_flatten import run_available_now
+
+    ckpt_base = tmp_path / "ckpts"
+    ckpt_base.mkdir()
+    monkeypatch.setenv("FLATTERER_CKPT_BASE", str(ckpt_base))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    d = tmp_path / "in"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01")], "k long, ts_s string"
+    ).withColumn("ts", SF.col("ts_s").cast("timestamp")).drop(
+        "ts_s"
+    ).coalesce(1).write.parquet(str(d / "c0"))
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    res = run_available_now(
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("k").agg(SF.count(SF.lit(1)).alias("n")),
+        "dial_hygiene_test", output_mode="complete",
+    )
+    assert [(r.k, r.n) for r in res.collect()] == [(1, 1)]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert os.listdir(ckpt_base) == [], "checkpoint residue left behind"
+
+    # failing drain: a TimeoutError must still restore the dial + clean up
+    import pytest
+
+    with pytest.raises(TimeoutError):
+        run_available_now(
+            stream.withWatermark("ts", "1 minute")
+            .groupBy("k").agg(SF.count(SF.lit(1)).alias("n")),
+            "dial_hygiene_timeout", output_mode="complete",
+            timeout_sec=0.05,
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert os.listdir(ckpt_base) == [], "checkpoint residue after failure"
