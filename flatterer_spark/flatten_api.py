@@ -118,6 +118,37 @@ class FlattenOptions:
     _raw: dict = dc_field(default_factory=dict)
 
 
+class _BgScan:
+    """Minimal daemon-thread future for the background text-ordinal scan:
+    ``result()`` blocks until the scan finishes and returns its value
+    (None on any scan error).  Daemon so an exception between submit and
+    join can never leave a non-daemon worker keeping the process alive
+    with no consumer (ADVICE r10)."""
+
+    def __init__(self, fn, *args):
+        import threading
+
+        self._done = threading.Event()
+        self._res = None
+        t = threading.Thread(
+            target=self._run, args=(fn, *args), daemon=True,
+            name="flatterer-bg-text-scan",
+        )
+        t.start()
+
+    def _run(self, fn, *args):
+        try:
+            self._res = fn(*args)
+        except Exception:
+            self._res = None
+        finally:
+            self._done.set()
+
+    def result(self):
+        self._done.wait()
+        return self._res
+
+
 def _accessor(root: Column | None, path: tuple[str, ...]) -> Column:
     """Field accessor; the ``__first__`` sentinel dereferences element 0 of a
     one-to-one-inlined array (F6)."""
@@ -202,15 +233,18 @@ def flatten_dataframes(
         except OSError:
             total_bytes = None
         if total_bytes is None or total_bytes >= 2 * int(thr):
-            from concurrent.futures import ThreadPoolExecutor
-
             from flatterer_spark.sources.json_input import text_ordinal_rows
 
-            ex = ThreadPoolExecutor(max_workers=1)
-            text_fut = ex.submit(
+            # DAEMON thread, not a ThreadPoolExecutor: if anything between
+            # here and the join point raises (e.g. derive_plan on a bad
+            # schema), an orphaned non-daemon worker would keep the
+            # process alive until its Spark collect finished (ADVICE r10).
+            # A daemon scan just finishes and is discarded; py4j calls are
+            # thread-safe, and the scan already swallows its own errors
+            # (returns None = fast-path miss).
+            text_fut = _BgScan(
                 text_ordinal_rows, spark, src_df._flatterer_staged_paths
             )
-            ex.shutdown(wait=False)
 
     title_map: dict[str, str] = {}
     if opts.schema:
@@ -284,9 +318,19 @@ def flatten_dataframes(
         from flatterer_spark.sources.json_input import with_ordinal_text
 
         with prof("ordinal_text_map"):
-            tout = with_ordinal_text(
-                df, spark, src_df._flatterer_staged_paths,
-                rows=text_fut.result(),
+            # A failed background scan (rows None) is a fast-path MISS:
+            # fall straight through to the exact aggregate instead of
+            # letting with_ordinal_text re-run the full text scan
+            # synchronously -- that re-scan would double the cost the
+            # overlap was meant to save (ADVICE r10).
+            text_rows = text_fut.result()
+            tout = (
+                with_ordinal_text(
+                    df, spark, src_df._flatterer_staged_paths,
+                    rows=text_rows,
+                )
+                if text_rows
+                else None
             )
         if tout is not None and tout._flatterer_input_rows > int(thr):
             rows = tout._flatterer_input_rows

@@ -68,12 +68,27 @@ def model_key(params: dict, sf_dir: str, table: str) -> str:
     )
 
 
+def _recover_store(store: str) -> None:
+    """Crash-consistency around :func:`compact_model_store`'s two-rename
+    swap, called by EVERY reader/writer (ADVICE r10: without this, a crash
+    between the renames left only ``store.old`` -- loads silently missed,
+    the next ``save_model`` recreated a fresh store dir, and the NEXT
+    compact's recovery saw both dirs and deleted ``.old``, permanently
+    discarding every previously persisted model).  Shares the band index's
+    recovery logic: ``.old``-only => restore it; both => drop stale
+    ``.old``.  Idempotent."""
+    from flatterer_spark.streaming.stream_flatten import _recover_band_index
+
+    _recover_band_index(store)
+
+
 def load_model(spark: SparkSession, store: str, op: str, key: str) -> Any:
     """Latest-created payload for (op, key), JSON-decoded; None on miss.
 
     A tiny store read is one parquet scan of a few KB; filters on (op, key)
     push to the scan.  Missing/empty store dirs are a miss, never an error
     (first run of a fresh pipeline)."""
+    _recover_store(store)
     if not os.path.isdir(store) or not any(
         not f.startswith(("_", ".")) for f in os.listdir(store)
     ):
@@ -95,6 +110,7 @@ def save_model(
     spark: SparkSession, store: str, op: str, key: str, model: Any
 ) -> None:
     """Append one delta row; never rewrites existing data."""
+    _recover_store(store)
     os.makedirs(store, exist_ok=True)
     (
         spark.createDataFrame(
@@ -127,7 +143,14 @@ def load_or_train(
             LAST_STORE_EVENTS[op] = "hit"
             return model
     model = train_fn()
-    if store and model:
+    # A composite fit on an empty corpus can return a list OF empties
+    # (e.g. ivfpq's [[], []]), which is truthy -- gate on every part so an
+    # empty-corpus non-model is never persisted (ADVICE r10); data arriving
+    # later then retrains instead of serving the stored nothing.
+    is_real = bool(model) and (
+        not isinstance(model, (list, tuple)) or all(model)
+    )
+    if store and is_real:
         save_model(spark, store, op, key, model)
         LAST_STORE_EVENTS[op] = "miss"
     return model

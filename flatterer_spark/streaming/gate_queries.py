@@ -554,9 +554,34 @@ def _oracle_stream_ewma() -> str:
 _CHUNK_STAGE_CACHE: dict[tuple, str] = {}
 
 
-def _scratch_base() -> str | None:
-    """RAM-backed scratch when the host has one (mkdtemp dir= argument)."""
-    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+def _scratch_base(need_bytes: int = 0) -> str | None:
+    """RAM-backed scratch when the host has one WITH room (mkdtemp dir=).
+
+    ADVICE r10: on a small-tmpfs host, staging the chunk corpus into an
+    almost-full /dev/shm would ENOSPC mid-gate where the disk tempdir
+    works -- so /dev/shm is only preferred when statvfs shows at least
+    ``need_bytes`` (plus a fixed 64 MB margin for checkpoints and
+    metadata) free.  Returning None makes mkdtemp use the default
+    tempdir."""
+    from flatterer_spark.streaming.stream_flatten import _tmpfs_free_ok
+
+    if _tmpfs_free_ok(need=need_bytes + 64 * 1024 * 1024):
+        return "/dev/shm"
+    return None
+
+
+def _dir_bytes(path: str) -> int:
+    """Total size of the files under a parquet dir (or a single file)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
 
 
 def _staged_event_chunks(
@@ -590,7 +615,10 @@ def _staged_event_chunks(
     cached = _CHUNK_STAGE_CACHE.get(key)
     if cached and os.path.isdir(cached):
         return cached
-    work = tempfile.mkdtemp(prefix="stream_chunks_", dir=_scratch_base())
+    # staged chunks re-encode the same rows, so ~2x the source parquet
+    # bytes is a safe upper bound for the tmpfs room check
+    need = 2 * _dir_bytes(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="stream_chunks_", dir=_scratch_base(need))
     in_dir = f"{work}/in"
     chunked = src.withColumn(
         "cpart",

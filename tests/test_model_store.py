@@ -109,3 +109,92 @@ def test_fingerprint_invalidation(spark, tmp_path, monkeypatch):
     os.utime(sf / "embeddings.parquet", (time.time() + 5, time.time() + 5))
     m = MS.load_or_train(spark, "op_f", {}, str(sf), "embeddings", fit)
     assert len(calls) == 2 and m == [[2.0]]
+
+
+def test_compaction_crash_window_recovery(spark, tmp_path):
+    """A crash between compact's two renames leaves only ``store.old``;
+    every reader/writer must recover it (ADVICE r10: without recovery,
+    loads silently missed, save recreated a fresh dir, and the NEXT
+    compact deleted .old -- permanently discarding all persisted models).
+    Mirrors test_band_index_compaction_crash_recovery."""
+    import os
+
+    from flatterer_spark.operators import model_store as MS
+
+    store = str(tmp_path / "store")
+    MS.save_model(spark, store, "op", "k1", [[4.5]])
+
+    # simulate the crash window: first rename done, second never happened
+    os.rename(store, store + ".old")
+    assert not os.path.exists(store)
+    assert MS.load_model(spark, store, "op", "k1") == [[4.5]]
+    assert os.path.exists(store) and not os.path.exists(store + ".old")
+
+    # same window, recovered via the WRITE path
+    os.rename(store, store + ".old")
+    MS.save_model(spark, store, "op", "k2", [[7.0]])
+    assert MS.load_model(spark, store, "op", "k1") == [[4.5]]
+    assert MS.load_model(spark, store, "op", "k2") == [[7.0]]
+
+    # post-swap crash (both dirs exist): stale .old is dropped, store wins
+    os.makedirs(store + ".old")
+    assert MS.load_model(spark, store, "op", "k1") == [[4.5]]
+    assert not os.path.exists(store + ".old")
+
+
+def test_empty_composite_model_never_stored(spark, tmp_path, monkeypatch):
+    """A list OF empties (ivfpq's empty-corpus [[], []]) is a truthy
+    non-model; load_or_train must not persist it (ADVICE r10), so data
+    arriving later retrains instead of serving the stored nothing."""
+    import os
+
+    from flatterer_spark.operators import model_store as MS
+
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("FLATTERER_MODEL_STORE", store)
+    sf = "/root/testdata/sf0.001"
+    calls = []
+
+    def fit_empty():
+        calls.append(1)
+        return [[], []]
+
+    m = MS.load_or_train(spark, "op_e", {}, sf, "embeddings", fit_empty)
+    assert m == [[], []]
+    assert not os.path.isdir(store) or not any(
+        not f.startswith(("_", ".")) for f in os.listdir(store)
+    ), "empty composite model must not be persisted"
+    # next call retrains (nothing served)
+    MS.load_or_train(spark, "op_e", {}, sf, "embeddings", fit_empty)
+    assert len(calls) == 2
+
+
+def test_ivfpq_memo_bypassed_when_store_armed(spark, tmp_path, monkeypatch):
+    """With a store armed, the in-session ivfpq memo must not shadow an
+    external store write/compaction (VERDICT r10 Next #4b): the store is
+    the cache.  Unarmed sessions keep the memo."""
+    from flatterer_spark.operators import kmeans as KM
+    from flatterer_spark.operators import model_store as MS
+    from flatterer_spark.queries import T
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("FLATTERER_MODEL_STORE", store)
+    KM.clear_ivfpq_cache()
+    emb = T(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents, books = KM._ivfpq_model(spark, sf, emb, 4, 2, 4, 4)
+    assert cents and books
+
+    # overwrite the stored model externally (as a scheduled trainer would)
+    key = MS.model_key({"cells": 4, "m": 4, "kc": 4}, sf, "embeddings")
+    marker = [[[0.5] * len(cents[0])] * len(cents), books]
+    MS.save_model(spark, store, "ivfpq_model", key, marker)
+    c2, b2 = KM._ivfpq_model(spark, sf, emb, 4, 2, 4, 4)
+    assert c2 == marker[0], "armed store write was shadowed by the memo"
+
+    # unarmed: memo serves (no store probe, stable within the session)
+    monkeypatch.delenv("FLATTERER_MODEL_STORE")
+    KM.clear_ivfpq_cache()
+    c3, _ = KM._ivfpq_model(spark, sf, emb, 4, 2, 4, 4)
+    c4, _ = KM._ivfpq_model(spark, sf, emb, 4, 2, 4, 4)
+    assert c3 == c4

@@ -945,3 +945,128 @@ def test_drain_dial_and_checkpoint_hygiene(spark, tmp_path, monkeypatch):
         )
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
     assert os.listdir(ckpt_base) == [], "checkpoint residue after failure"
+
+
+def test_drain_checkpoint_requires_shared_base_on_cluster(
+    tmp_path, monkeypatch
+):
+    """Cluster posture (VERDICT r10 #1): with FLATTERER_CKPT_BASE unset, a
+    non-local master must raise BEFORE any stream starts -- a driver-local
+    /dev/shm checkpoint is invisible to executor state stores on a real
+    cluster and would silently corrupt the drain.  The env var keeps
+    working on any master; local masters keep the tmpfs fast path."""
+    import os
+
+    import pytest
+
+    from flatterer_spark.streaming.stream_flatten import (
+        _drain_checkpoint_dir,
+    )
+
+    class _FakeSC:
+        def __init__(self, master):
+            self.master = master
+
+    class _FakeSpark:
+        def __init__(self, master):
+            self.sparkContext = _FakeSC(master)
+
+    monkeypatch.delenv("FLATTERER_CKPT_BASE", raising=False)
+    with pytest.raises(RuntimeError, match="FLATTERER_CKPT_BASE"):
+        _drain_checkpoint_dir("clus_test", _FakeSpark("spark://h:7077"))
+    with pytest.raises(RuntimeError, match="FLATTERER_CKPT_BASE"):
+        _drain_checkpoint_dir("clus_test", _FakeSpark("yarn"))
+
+    # env override: any master works, dir lands under the shared base
+    base = tmp_path / "shared"
+    base.mkdir()
+    monkeypatch.setenv("FLATTERER_CKPT_BASE", str(base))
+    d = _drain_checkpoint_dir("clus_test", _FakeSpark("spark://h:7077"))
+    assert os.path.dirname(d) == str(base)
+
+    # local master without env: driver-local base, no error
+    monkeypatch.delenv("FLATTERER_CKPT_BASE")
+    d2 = _drain_checkpoint_dir("clus_test", _FakeSpark("local[4]"))
+    assert os.path.isdir(d2)
+    os.rmdir(d2)
+
+
+def test_drain_lock_serializes_concurrent_drains(spark, monkeypatch):
+    """The shuffle dial mutates a session-global conf; the module drain
+    lock must serialize concurrent drains so the second never captures the
+    first's dialed value as 'prev' (ADVICE r10: two interleaved drains
+    could leave the session permanently at the dial value)."""
+    import threading
+
+    from flatterer_spark.streaming.stream_flatten import _drain_shuffle_dial
+
+    monkeypatch.delenv("FLATTERER_DRAIN_SHUFFLE", raising=False)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    assert prev != "8", "test needs a session not already at the dial"
+
+    entered = threading.Event()
+    seen = {}
+
+    def other():
+        with _drain_shuffle_dial(spark):
+            seen["conf"] = spark.conf.get("spark.sql.shuffle.partitions")
+            entered.set()
+
+    t = threading.Thread(target=other)
+    with _drain_shuffle_dial(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        t.start()
+        # the second drain must BLOCK while the first holds the lock
+        assert not entered.wait(0.6)
+    t.join(30)
+    assert entered.is_set(), "second drain never ran after lock release"
+    # the second drain saw the dialed conf from ITS OWN enter (not a
+    # half-restored value), and the session conf is fully restored
+    assert seen["conf"] == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_drain_dial_picks_per_op_family(spark, tmp_path, monkeypatch):
+    """VERDICT r10 Next #2: the dial is per-op -- plans containing a
+    Python state operator (applyInPandasWithState) keep one partition per
+    core (measured ~2x faster at 32 than 8 at x10 scale), JVM-stateful
+    plans dial down to 8 (measured 2-3x faster).  Env still overrides
+    both ways."""
+    import pyspark.sql.functions as SF
+
+    from flatterer_spark.streaming.stream_flatten import (
+        _drain_shuffle_dial,
+        _plan_has_python_state,
+        sessionize,
+    )
+
+    monkeypatch.delenv("FLATTERER_DRAIN_SHUFFLE", raising=False)
+    d = tmp_path / "in"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01")], "user_id long, ts_s string"
+    ).withColumn("ts", SF.col("ts_s").cast("timestamp")).drop(
+        "ts_s"
+    ).coalesce(1).write.parquet(str(d / "c0"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+
+    jvm_stateful = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+    )
+    py_state = sessionize(stream.withWatermark("ts", "1 minute"))
+
+    assert not _plan_has_python_state(jvm_stateful)
+    assert _plan_has_python_state(py_state)
+    assert _drain_shuffle_dial(spark, jvm_stateful).dial == 8
+    cores = int(spark.sparkContext.defaultParallelism)
+    assert _drain_shuffle_dial(spark, py_state).dial == cores
+
+    monkeypatch.setenv("FLATTERER_DRAIN_SHUFFLE", "12")
+    assert _drain_shuffle_dial(spark, jvm_stateful).dial == 12
+    assert _drain_shuffle_dial(spark, py_state).dial == 12

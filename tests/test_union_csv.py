@@ -499,3 +499,40 @@ def test_union_write_executed_plan_contract(spark, tmp_path):
         r"\[t#\d+ ASC NULLS FIRST, _seq#\d+L ASC NULLS FIRST\]", sorts[0]
     ), sorts[0]
     assert "Exchange" not in plan, plan
+
+
+def test_failed_bg_text_scan_is_fast_path_miss(spark, tmp_path, monkeypatch):
+    """When the BACKGROUND text-ordinal scan fails (returns None), the join
+    point must treat it as a fast-path miss and fall through to the exact
+    aggregate -- NOT hand rows=None to with_ordinal_text, which would
+    re-run the full text scan synchronously and double the cost the
+    overlap was meant to save (ADVICE r10).  Output must equal the exact
+    path either way."""
+    import flatterer_spark.flatten as fl
+    import flatterer_spark.sources.json_input as ji
+
+    monkeypatch.setattr(ji, "text_ordinal_rows", lambda *a, **k: None)
+    wot_calls = []
+    real_wot = ji.with_ordinal_text
+
+    def spy(df, spark_, paths, rows=None):
+        wot_calls.append(rows)
+        return real_wot(df, spark_, paths, rows=rows)
+
+    monkeypatch.setattr(ji, "with_ordinal_text", spy)
+
+    src = _write(tmp_path, "bgfail.ndjson",
+                 [{"id": i, "kids": [{"k": i}]} for i in range(50)])
+    monkeypatch.setattr(fl, "EXACT_CSV_MAX_ROWS", 5)
+    out_u = str(tmp_path / "out_bgfail")
+    fl.flatten(src, out_u, spark=spark, ndjson=True, csv_write="union")
+    assert wot_calls == [], (
+        "with_ordinal_text must not run (and especially not re-scan) "
+        "after a failed background scan"
+    )
+    # exact path produced the same tree as a clean run
+    monkeypatch.setattr(ji, "text_ordinal_rows", None)  # force re-import safety
+    monkeypatch.undo()
+    out_c = str(tmp_path / "out_clean")
+    fl.flatten(src, out_c, spark=spark, ndjson=True, csv_write="per-table")
+    _assert_trees_equal(out_u, out_c)
