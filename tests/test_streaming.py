@@ -1070,3 +1070,41 @@ def test_drain_dial_picks_per_op_family(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("FLATTERER_DRAIN_SHUFFLE", "12")
     assert _drain_shuffle_dial(spark, jvm_stateful).dial == 12
     assert _drain_shuffle_dial(spark, py_state).dial == 12
+
+
+def test_scratch_base_checks_tmpfs_headroom(monkeypatch):
+    """ADVICE r10 #5: /dev/shm is only used for chunk staging / drain
+    checkpoints when statvfs shows headroom; a small tmpfs falls back to
+    the default tempdir (None => mkdtemp default) instead of ENOSPC'ing
+    mid-gate."""
+    import os
+
+    from flatterer_spark.streaming import gate_queries as G
+    from flatterer_spark.streaming import stream_flatten as SFL
+
+    class _Stat:
+        def __init__(self, free):
+            self.f_bavail = free
+            self.f_frsize = 1
+
+    if not os.path.isdir("/dev/shm"):
+        import pytest
+
+        pytest.skip("host has no /dev/shm")
+
+    monkeypatch.setattr(os, "statvfs", lambda p: _Stat(2**40))
+    assert G._scratch_base(need_bytes=1024) == "/dev/shm"
+    assert SFL._tmpfs_free_ok()
+
+    # tiny tmpfs: both helpers must refuse it
+    monkeypatch.setattr(os, "statvfs", lambda p: _Stat(1024))
+    assert G._scratch_base(need_bytes=10 * 2**20) is None
+    assert not SFL._tmpfs_free_ok()
+
+    # statvfs failure: treat as no headroom, never crash
+    def boom(p):
+        raise OSError("statvfs failed")
+
+    monkeypatch.setattr(os, "statvfs", boom)
+    assert G._scratch_base() is None
+    assert not SFL._tmpfs_free_ok()
