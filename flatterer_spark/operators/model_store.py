@@ -68,6 +68,16 @@ def model_key(params: dict, sf_dir: str, table: str) -> str:
     )
 
 
+def _is_remote(path: str) -> bool:
+    """True for URI-schemed paths (hdfs://, s3a://, ...) that the local
+    ``os`` module cannot see.  ``file://`` counts as remote here too: it
+    is addressed through Hadoop's filesystem layer, and ``os.path``
+    operations on the raw URI string are meaningless."""
+    import re
+
+    return bool(re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path))
+
+
 def _recover_store(store: str) -> None:
     """Crash-consistency around :func:`compact_model_store`'s two-rename
     swap, called by EVERY reader/writer (ADVICE r10: without this, a crash
@@ -76,7 +86,11 @@ def _recover_store(store: str) -> None:
     compact's recovery saw both dirs and deleted ``.old``, permanently
     discarding every previously persisted model).  Shares the band index's
     recovery logic: ``.old``-only => restore it; both => drop stale
-    ``.old``.  Idempotent."""
+    ``.old``.  Idempotent.  Remote (URI) stores never compact through the
+    rename path (see :func:`compact_model_store`), so there is no crash
+    window to recover -- skip."""
+    if _is_remote(store):
+        return
     from flatterer_spark.streaming.stream_flatten import _recover_band_index
 
     _recover_band_index(store)
@@ -89,18 +103,38 @@ def load_model(spark: SparkSession, store: str, op: str, key: str) -> Any:
     push to the scan.  Missing/empty store dirs are a miss, never an error
     (first run of a fresh pipeline)."""
     _recover_store(store)
-    if not os.path.isdir(store) or not any(
-        not f.startswith(("_", ".")) for f in os.listdir(store)
-    ):
-        return None
-    rows = (
-        spark.read.schema(MODEL_STORE_SCHEMA)
-        .parquet(store)
-        .where((F.col("op") == op) & (F.col("key") == key))
-        .orderBy(F.col("created").desc())
-        .limit(1)
-        .collect()
-    )
+    if _is_remote(store):
+        # A URI store (hdfs://, s3a://, file://) is invisible to os.path:
+        # the old local-only existence check made every cluster load MISS
+        # while save_model kept appending -- a store that grows but never
+        # serves.  Probe through Spark instead and treat path-not-found as
+        # the first-run miss it is.
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = (
+                spark.read.schema(MODEL_STORE_SCHEMA)
+                .parquet(store)
+                .where((F.col("op") == op) & (F.col("key") == key))
+                .orderBy(F.col("created").desc())
+                .limit(1)
+                .collect()
+            )
+        except AnalysisException:
+            return None
+    else:
+        if not os.path.isdir(store) or not any(
+            not f.startswith(("_", ".")) for f in os.listdir(store)
+        ):
+            return None
+        rows = (
+            spark.read.schema(MODEL_STORE_SCHEMA)
+            .parquet(store)
+            .where((F.col("op") == op) & (F.col("key") == key))
+            .orderBy(F.col("created").desc())
+            .limit(1)
+            .collect()
+        )
     if not rows:
         return None
     return json.loads(rows[0]["payload"])
@@ -109,9 +143,14 @@ def load_model(spark: SparkSession, store: str, op: str, key: str) -> Any:
 def save_model(
     spark: SparkSession, store: str, op: str, key: str, model: Any
 ) -> None:
-    """Append one delta row; never rewrites existing data."""
+    """Append one delta row; never rewrites existing data.
+
+    Works unchanged against a remote (URI) store: parquet append creates
+    the target directory through Hadoop's filesystem layer, so the local
+    ``makedirs`` is only needed (and only meaningful) for plain paths."""
     _recover_store(store)
-    os.makedirs(store, exist_ok=True)
+    if not _is_remote(store):
+        os.makedirs(store, exist_ok=True)
     (
         spark.createDataFrame(
             [(op, key, json.dumps(model), int(time.time_ns()))],
@@ -164,6 +203,20 @@ def compact_model_store(spark: SparkSession, store: str) -> int:
     readers recoverable from a crash between the renames."""
     import shutil
 
+    if _is_remote(store):
+        # The two-rename swap is a LOCAL-filesystem atomicity trick;
+        # object stores have no atomic rename and HDFS rename semantics
+        # differ.  On a cluster the store's squash belongs to a table
+        # format's own compaction (Delta OPTIMIZE / Iceberg rewrite) --
+        # fail loudly instead of corrupting a shared store, the same
+        # posture as the drain checkpoint's non-local-master guard.
+        raise NotImplementedError(
+            f"compact_model_store: {store!r} is a remote (URI) path; the "
+            "two-rename compaction is local-only. Remote stores stay "
+            "correct uncompacted (load_model resolves latest-wins on "
+            "read) -- compact via a table format (Delta/Iceberg) or "
+            "stage locally."
+        )
     from flatterer_spark.streaming.stream_flatten import _recover_band_index
 
     _recover_band_index(store)

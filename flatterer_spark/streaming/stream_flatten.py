@@ -640,6 +640,21 @@ def minhash_band_probe_stream(
     spark = bands.sparkSession
     import os as _os
 
+    from flatterer_spark.operators.model_store import _is_remote
+
+    for p, what in ((index_dir, "index_dir"), (flags_dir, "flags_dir")):
+        if _is_remote(p):
+            # the schema sentinel, crash recovery, and compact's rename
+            # swap are all local-filesystem operations; on a cluster the
+            # band index is a TABLE (Delta/Iceberg, as documented below),
+            # not a raw URI dir -- fail loudly like the checkpoint guard
+            raise NotImplementedError(
+                f"minhash_band_probe_stream: {what}={p!r} is a remote "
+                "(URI) path; the parquet band-index lifecycle (sentinel, "
+                "crash recovery, rename compaction) is local-only. On a "
+                "cluster back the index/flags with a table format "
+                "(Delta/Iceberg) or a shared POSIX mount."
+            )
     _recover_band_index(index_dir)
     _os.makedirs(index_dir, exist_ok=True)
     _os.makedirs(flags_dir, exist_ok=True)

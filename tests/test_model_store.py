@@ -198,3 +198,48 @@ def test_ivfpq_memo_bypassed_when_store_armed(spark, tmp_path, monkeypatch):
     c3, _ = KM._ivfpq_model(spark, sf, emb, 4, 2, 4, 4)
     c4, _ = KM._ivfpq_model(spark, sf, emb, 4, 2, 4, 4)
     assert c3 == c4
+
+
+def test_remote_uri_store_serves_and_guards(spark, tmp_path, monkeypatch):
+    """Cluster posture: a URI-schemed store (hdfs://, s3a://, file://) is
+    invisible to os.path, so the old local-only existence check made every
+    cluster load MISS while saves kept appending -- a store that grows but
+    never serves.  A file:// URI exercises the remote branch end-to-end
+    through Hadoop's filesystem layer: save -> load must round-trip, a
+    missing store is a clean miss, and the local-only rename compaction
+    must refuse a remote store loudly instead of corrupting it."""
+    import pytest
+
+    from flatterer_spark.operators import model_store as MS
+
+    assert MS._is_remote("hdfs://nn/models")
+    assert MS._is_remote("s3a://bucket/models")
+    assert MS._is_remote("file:///tmp/models")
+    assert not MS._is_remote("/tmp/models")
+    assert not MS._is_remote("relative/models")
+
+    store = "file://" + str(tmp_path / "uri_store")
+    # missing remote store: clean miss, never an error
+    assert MS.load_model(spark, store, "op", "k1") is None
+    MS.save_model(spark, store, "op", "k1", [[3.5, -1.0]])
+    assert MS.load_model(spark, store, "op", "k1") == [[3.5, -1.0]]
+    # latest-wins still resolves on read without compaction
+    MS.save_model(spark, store, "op", "k1", [[9.0]])
+    assert MS.load_model(spark, store, "op", "k1") == [[9.0]]
+
+    # load_or_train serves through the URI store too
+    monkeypatch.setenv("FLATTERER_MODEL_STORE", store)
+    calls = []
+
+    def fit():
+        calls.append(1)
+        return [[7.0]]
+
+    sf = "/root/testdata/sf0.001"
+    MS.load_or_train(spark, "op_u", {}, sf, "embeddings", fit)
+    MS.load_or_train(spark, "op_u", {}, sf, "embeddings", fit)
+    assert len(calls) == 1, "URI store must SERVE, not retrain every call"
+
+    # rename-based compaction is local-only: refuse remote stores loudly
+    with pytest.raises(NotImplementedError, match="remote"):
+        MS.compact_model_store(spark, store)

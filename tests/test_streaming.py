@@ -1108,3 +1108,35 @@ def test_scratch_base_checks_tmpfs_headroom(monkeypatch):
     monkeypatch.setattr(os, "statvfs", boom)
     assert G._scratch_base() is None
     assert not SFL._tmpfs_free_ok()
+
+
+def test_band_probe_rejects_remote_uri_dirs(spark, tmp_path):
+    """The band index lifecycle (schema sentinel, crash recovery, rename
+    compaction) is local-filesystem-only; a URI index/flags dir on a
+    cluster must fail loudly BEFORE any stream starts (same posture as
+    the non-local-master checkpoint guard), not half-work through os.path
+    calls that silently no-op on URIs."""
+    import pytest
+
+    from flatterer_spark.streaming.stream_flatten import (
+        minhash_band_probe_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    spark.createDataFrame([(1, "b0")], "doc_id long, band string").coalesce(
+        1
+    ).write.parquet(str(d / "c0"))
+    bands = (
+        spark.readStream.schema("doc_id long, band string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    with pytest.raises(NotImplementedError, match="index_dir"):
+        minhash_band_probe_stream(
+            bands, "hdfs://nn/band_index", str(tmp_path / "flags"), "g1"
+        )
+    with pytest.raises(NotImplementedError, match="flags_dir"):
+        minhash_band_probe_stream(
+            bands, str(tmp_path / "idx"), "s3a://b/flags", "g2"
+        )
