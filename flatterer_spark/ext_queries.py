@@ -1026,6 +1026,74 @@ def sql_sim_topk_ivf(
     """
 
 
+def sql_sim_recall_at_k(
+    g: Gen,
+    ann_sql: str,
+    n_queries: int = 10,
+    k: int = 5,
+    en_table: str | None = None,
+) -> str:
+    """Recall@k of an ANN index against the exact brute-force ground truth
+    -- the index-quality evaluation every production ANN deployment runs
+    before trusting an approximate path, and the instrument that tunes the
+    nprobe/band dials at scale.
+
+    Composes the already-verified top-k builders as subqueries: ground
+    truth is :func:`sql_sim_topk` (exact) over the same ``n_queries``
+    sampled query vectors; recall@k per query is the overlap count / k
+    (a left join from exact to ANN, so a query with zero ANN hits still
+    reports 0.0 rather than vanishing).  At 100 TB the exact side stays
+    affordable precisely because ground truth is only computed for the
+    SAMPLED queries -- n_queries x N scored pairs, a broadcast of the tiny
+    query set over one corpus scan -- which is how index dials are tuned
+    in production: evaluate recall on a sample, apply the dial
+    corpus-wide.  Deterministic hyperplanes/centroids keep both engines on
+    identical candidate sets, so hits and recall are hash-comparable."""
+    exact_sql = sql_sim_topk(g, n_queries, k, en_table)
+    recall = g.round2(f"COUNT(a.neighbor_id) / CAST({k} AS DOUBLE)")
+    return f"""
+    WITH exact_topk AS (
+        SELECT query_id, neighbor_id FROM ({exact_sql}) ex
+    ),
+    ann_topk AS (
+        SELECT query_id, neighbor_id FROM ({ann_sql}) ann
+    )
+    SELECT e.query_id AS query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+           {recall} AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN ann_topk a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+def sql_sim_ivf_recall(
+    g: Gen, n_queries: int = 10, k: int = 5, en_table: str | None = None
+) -> str:
+    """Recall@k of the IVF cell-probe index (:func:`sql_sim_topk_ivf`,
+    nprobe=2 of 16 cells) vs exact top-k: the eval half of the IVF pair --
+    scan ~nprobe/cells of the corpus, then MEASURE what that dial costs in
+    recall instead of asserting it."""
+    return sql_sim_recall_at_k(
+        g, sql_sim_topk_ivf(g, n_queries, k, en_table), n_queries, k, en_table
+    )
+
+
+def sql_sim_lsh_recall(
+    g: Gen, n_queries: int = 10, k: int = 5, en_table: str | None = None
+) -> str:
+    """Recall@k of the multiprobe hyperplane-LSH index
+    (:func:`sql_sim_topk_lsh`, own bucket + 8 hamming-1 probes = ~9/256 of
+    the corpus scored) vs exact top-k -- the data-independent sibling of
+    :func:`sql_sim_ivf_recall`, so the two evals compared head-to-head say
+    which index family fits the data distribution."""
+    return sql_sim_recall_at_k(
+        g, sql_sim_topk_lsh(g, n_queries, k, en_table), n_queries, k, en_table
+    )
+
+
 N_EMB_BANDS = 8
 EMB_BAND_BITS = 6
 
@@ -3243,6 +3311,8 @@ _BUILDERS: dict[str, tuple[Callable[[Gen], str], tuple[str, ...]]] = {
     "sim_topk_lsh": (sql_sim_topk_lsh, ("embeddings",)),
     "sim_range_search": (sql_sim_range_search, ("embeddings",)),
     "sim_topk_ivf": (sql_sim_topk_ivf, ("embeddings",)),
+    "sim_ivf_recall": (sql_sim_ivf_recall, ("embeddings",)),
+    "sim_lsh_recall": (sql_sim_lsh_recall, ("embeddings",)),
     "mm_sim_topk": (sql_mm_sim_topk, ("documents",)),
     "sim_lsh_buckets": (sql_sim_lsh_buckets, ("embeddings",)),
     "dedup_substring": (sql_dedup_substring, ("documents",)),
@@ -3604,6 +3674,8 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": _make_en_query(sql_sim_topk_lsh),
         "sim_range_search": _make_en_query(sql_sim_range_search),
         "sim_topk_ivf": _make_en_query(sql_sim_topk_ivf),
+        "sim_ivf_recall": _make_en_query(sql_sim_ivf_recall),
+        "sim_lsh_recall": _make_en_query(sql_sim_lsh_recall),
         "sim_lsh_buckets": _make_en_query(sql_sim_lsh_buckets),
         "emb_label_centroids": _make_en_query(sql_emb_label_centroids),
         "sim_knn_classify": _make_en_query(sql_sim_knn_classify),

@@ -888,3 +888,30 @@ def test_staged_views_invalidate_on_regenerated_source(spark, tmp_path):
     # superseded cache entries for this (session, sf_dir) were evicted
     keys = [k for k in EQ._sh_cache if k[1] == sf]
     assert len(keys) == 1
+
+
+def test_sim_recall_matches_python_intersection(spark, sf_dir):
+    """The recall@k evals must report EXACTLY the overlap of their two
+    constituent (already oracle-verified) top-k results -- recomputed here
+    by set intersection in plain Python -- and every sampled query must
+    appear even when the ANN finds none of the true neighbors (left-join
+    semantics: zero hits, recall 0.0, never a vanished row)."""
+    exact = EXT_QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    eset = {(r.query_id, r.neighbor_id) for r in exact}
+    n_queries = len({q for q, _ in eset})
+    k = max(r.rnk for r in exact)
+    for name, topk in (
+        ("sim_ivf_recall", "sim_topk_ivf"),
+        ("sim_lsh_recall", "sim_topk_lsh"),
+    ):
+        aset = {
+            (r.query_id, r.neighbor_id)
+            for r in EXT_QUERIES[topk](spark, sf_dir).collect()
+        }
+        rows = EXT_QUERIES[name](spark, sf_dir).collect()
+        assert len(rows) == n_queries, f"{name}: lost a sampled query"
+        for r in rows:
+            want = len({p for p in eset & aset if p[0] == r.query_id})
+            assert r.hits == want, (name, r.query_id, r.hits, want)
+            assert 0 <= r.hits <= k
+            assert abs(r.recall_at_k - round(r.hits / k, 2)) < 1e-9

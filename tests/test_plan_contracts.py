@@ -821,3 +821,20 @@ def test_minhash_calibration_candidates_from_band_join(spark, sf_dir):
     plan = _plan(EXT_QUERIES["corpus_minhash_calibration"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan  # the band equi-key is a join column
+
+
+def test_sim_recall_evals_no_cartesian(spark, sf_dir):
+    """The recall@k evals compose the exact scorer (bounded-query-side
+    nested loop, acceptable) with the ANN candidate path; composition must
+    not degrade either side to a CartesianProduct, and the ANN side's
+    bucket/cell equi-join must survive (at least one hash/sort-merge equi
+    join in the plan)."""
+    from flatterer_spark.ext_queries import EXT_QUERIES
+
+    for name in ("sim_ivf_recall", "sim_lsh_recall"):
+        plan = _plan(EXT_QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert (
+            "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        ), name
