@@ -49,6 +49,11 @@ OPS = [
     "corpus_source_overlap_kmv",
     "dedup_embedding",
     "dedup_boilerplate",
+    # r11 additions: the ANN recall@k evals -- composition of the audited
+    # exact + ANN top-k paths; the new-to-audit piece is the exact side's
+    # n_queries x N scoring (linear in corpus by construction)
+    "sim_ivf_recall",
+    "sim_lsh_recall",
 ]
 
 VOCAB_SQL = (
