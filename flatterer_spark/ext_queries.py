@@ -1028,7 +1028,7 @@ def sql_sim_topk_ivf(
 
 def sql_sim_recall_at_k(
     g: Gen,
-    ann_sql: str,
+    ann_builder,
     n_queries: int = 10,
     k: int = 5,
     en_table: str | None = None,
@@ -1038,11 +1038,17 @@ def sql_sim_recall_at_k(
     before trusting an approximate path, and the instrument that tunes the
     nprobe/band dials at scale.
 
-    Composes the already-verified top-k builders as subqueries: ground
-    truth is :func:`sql_sim_topk` (exact) over the same ``n_queries``
-    sampled query vectors; recall@k per query is the overlap count / k
-    (a left join from exact to ANN, so a query with zero ANN hits still
-    reports 0.0 rather than vanishing).  At 100 TB the exact side stays
+    Composes the already-verified top-k builders as subqueries --
+    ``ann_builder`` is the BUILDER (not pre-rendered SQL), so the exact
+    and ANN sides are rendered from the same ``n_queries``/``k``/
+    ``en_table`` and cannot silently disagree.  Ground truth is
+    :func:`sql_sim_topk` (exact) over the same sampled query vectors;
+    recall@k per query is the overlap count divided by the query's
+    ACTUAL ground-truth size (= min(k, corpus-1) -- the standard recall
+    denominator, so an index that finds every true neighbor of a
+    tiny corpus still reads 1.0).  The left join from exact to ANN
+    means a query with zero ANN hits reports 0.0 rather than
+    vanishing.  At 100 TB the exact side stays
     affordable precisely because ground truth is only computed for the
     SAMPLED queries -- n_queries x N scored pairs, a broadcast of the tiny
     query set over one corpus scan -- which is how index dials are tuned
@@ -1050,7 +1056,10 @@ def sql_sim_recall_at_k(
     corpus-wide.  Deterministic hyperplanes/centroids keep both engines on
     identical candidate sets, so hits and recall are hash-comparable."""
     exact_sql = sql_sim_topk(g, n_queries, k, en_table)
-    recall = g.round2(f"COUNT(a.neighbor_id) / CAST({k} AS DOUBLE)")
+    ann_sql = ann_builder(g, n_queries, k, en_table)
+    recall = g.round2(
+        "COUNT(a.neighbor_id) / CAST(COUNT(e.neighbor_id) AS DOUBLE)"
+    )
     return f"""
     WITH exact_topk AS (
         SELECT query_id, neighbor_id FROM ({exact_sql}) ex
@@ -1076,9 +1085,7 @@ def sql_sim_ivf_recall(
     nprobe=2 of 16 cells) vs exact top-k: the eval half of the IVF pair --
     scan ~nprobe/cells of the corpus, then MEASURE what that dial costs in
     recall instead of asserting it."""
-    return sql_sim_recall_at_k(
-        g, sql_sim_topk_ivf(g, n_queries, k, en_table), n_queries, k, en_table
-    )
+    return sql_sim_recall_at_k(g, sql_sim_topk_ivf, n_queries, k, en_table)
 
 
 def sql_sim_lsh_recall(
@@ -1089,9 +1096,7 @@ def sql_sim_lsh_recall(
     the corpus scored) vs exact top-k -- the data-independent sibling of
     :func:`sql_sim_ivf_recall`, so the two evals compared head-to-head say
     which index family fits the data distribution."""
-    return sql_sim_recall_at_k(
-        g, sql_sim_topk_lsh(g, n_queries, k, en_table), n_queries, k, en_table
-    )
+    return sql_sim_recall_at_k(g, sql_sim_topk_lsh, n_queries, k, en_table)
 
 
 N_EMB_BANDS = 8

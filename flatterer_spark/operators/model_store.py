@@ -72,10 +72,17 @@ def _is_remote(path: str) -> bool:
     """True for URI-schemed paths (hdfs://, s3a://, ...) that the local
     ``os`` module cannot see.  ``file://`` counts as remote here too: it
     is addressed through Hadoop's filesystem layer, and ``os.path``
-    operations on the raw URI string are meaningless."""
+    operations on the raw URI string are meaningless.
+
+    Matches ``scheme:/`` with ONE slash as well (``file:/srv/models`` --
+    the form ``hadoop.fs.Path.toString()`` prints and users copy out of
+    Spark logs): treating that form as local would recreate the silent
+    grows-but-never-serves bug this predicate exists to prevent
+    (``os.makedirs`` would build a literal ``./file:/...`` dir while the
+    parquet writer targets ``/srv/models`` through Hadoop)."""
     import re
 
-    return bool(re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path))
+    return bool(re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/", path))
 
 
 def _recover_store(store: str) -> None:
@@ -192,6 +199,11 @@ def load_or_train(
     if store and is_real:
         save_model(spark, store, op, key, model)
         LAST_STORE_EVENTS[op] = "miss"
+    elif store:
+        # empty-corpus non-model: nothing persisted, and a stale
+        # "hit"/"miss" from an earlier call must not misattribute this
+        # retrain in cold-vs-served bench labelling
+        LAST_STORE_EVENTS[op] = "skip"
     return model
 
 

@@ -385,6 +385,20 @@ def _plan_has_python_state(df: DataFrame) -> bool:
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
+        # _jdf/py4j unavailable (Spark Connect, wrapped sessions): the
+        # detection-failure default of False dials DOWN to 8, which is the
+        # measured ~2.5x-WRONG choice for Python-state plans -- warn so
+        # the silent fallback is at least visible, and point at the
+        # override knob.
+        import logging
+
+        logging.getLogger("flatterer_spark").warning(
+            "could not inspect the streaming plan for Python state "
+            "operators (no _jdf access?); assuming JVM-stateful and "
+            "dialing shuffle partitions down -- set "
+            "FLATTERER_DRAIN_SHUFFLE to override for "
+            "applyInPandasWithState drains"
+        )
         return False
     return "FlatMapGroupsInPandasWithState" in plan
 
@@ -582,7 +596,14 @@ def _recover_band_index(index_dir: str) -> None:
     old = index_dir.rstrip("/") + ".old"
     if _os.path.exists(old):
         if not _os.path.exists(index_dir):
-            _os.rename(old, index_dir)
+            try:
+                _os.rename(old, index_dir)
+            except OSError:
+                # concurrent recoverer won the rename between our exists
+                # checks (documented coordination-free writers); recovery
+                # only failed if the index is STILL missing
+                if not _os.path.exists(index_dir):
+                    raise
         else:
             _shutil.rmtree(old, ignore_errors=True)
 

@@ -912,6 +912,44 @@ def test_sim_recall_matches_python_intersection(spark, sf_dir):
         assert len(rows) == n_queries, f"{name}: lost a sampled query"
         for r in rows:
             want = len({p for p in eset & aset if p[0] == r.query_id})
+            truth = len({p for p in eset if p[0] == r.query_id})
             assert r.hits == want, (name, r.query_id, r.hits, want)
             assert 0 <= r.hits <= k
-            assert abs(r.recall_at_k - round(r.hits / k, 2)) < 1e-9
+            # denominator is the query's ACTUAL ground-truth size (= k on
+            # corpora with > k vectors, smaller on tiny ones)
+            assert abs(r.recall_at_k - round(r.hits / truth, 2)) < 1e-9
+
+
+def test_sim_recall_tiny_corpus_denominator(spark, tmp_path):
+    """On a corpus with fewer than k non-self neighbors the ground truth
+    is smaller than k; an index that finds every true neighbor must read
+    recall 1.0 (denominator = actual ground-truth size, not the constant
+    k)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 64)], 0) for i in range(4)
+    ]
+    sf = str(tmp_path / "tiny")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    # brute-force "ANN" == exact ground truth -> perfect recall everywhere
+    from flatterer_spark.ext_queries import (
+        sql_sim_recall_at_k,
+        sql_sim_topk,
+        _make_en_query,
+    )
+
+    run = _make_en_query(
+        lambda g, n_queries=10, k=5, en_table=None: sql_sim_recall_at_k(
+            g, sql_sim_topk, n_queries, k, en_table
+        )
+    )
+    got = {r.query_id: r for r in run(spark, sf).collect()}
+    assert len(got) == 4
+    for q, r in got.items():
+        assert r.hits == 3, (q, r)  # only 3 non-self neighbors exist
+        assert r.recall_at_k == 1.0, (q, r)

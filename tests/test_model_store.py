@@ -215,8 +215,14 @@ def test_remote_uri_store_serves_and_guards(spark, tmp_path, monkeypatch):
     assert MS._is_remote("hdfs://nn/models")
     assert MS._is_remote("s3a://bucket/models")
     assert MS._is_remote("file:///tmp/models")
+    # single-slash Hadoop URI form (hadoop.fs.Path.toString() prints this;
+    # users copy it from Spark logs) -- treating it as local would rebuild
+    # the grows-but-never-serves bug via a literal ./file:/... makedirs
+    assert MS._is_remote("file:/tmp/models")
+    assert MS._is_remote("hdfs:/nn/models")
     assert not MS._is_remote("/tmp/models")
     assert not MS._is_remote("relative/models")
+    assert not MS._is_remote("/data/with:colon/models")
 
     store = "file://" + str(tmp_path / "uri_store")
     # missing remote store: clean miss, never an error
@@ -243,3 +249,41 @@ def test_remote_uri_store_serves_and_guards(spark, tmp_path, monkeypatch):
     # rename-based compaction is local-only: refuse remote stores loudly
     with pytest.raises(NotImplementedError, match="remote"):
         MS.compact_model_store(spark, store)
+
+
+def test_load_or_train_records_skip_for_empty_model(spark, tmp_path, monkeypatch):
+    """An armed store must not let a stale hit/miss label misattribute an
+    empty-corpus retrain: the unsaved non-model records 'skip'."""
+    from flatterer_spark.operators import model_store as MS
+
+    monkeypatch.setenv("FLATTERER_MODEL_STORE", str(tmp_path / "s"))
+    sf = "/root/testdata/sf0.001"
+    MS.load_or_train(spark, "op_sk", {}, sf, "embeddings", lambda: [[1.0]])
+    assert MS.LAST_STORE_EVENTS["op_sk"] == "miss"
+    MS.load_or_train(spark, "op_sk2", {}, sf, "embeddings", lambda: [[], []])
+    assert MS.LAST_STORE_EVENTS["op_sk2"] == "skip"
+
+
+def test_band_index_recovery_tolerates_concurrent_winner(tmp_path, monkeypatch):
+    """Two coordination-free writers both entering recovery after a compact
+    crash: the loser's rename fails because the winner already restored the
+    index -- recovery must see the restored index and succeed, not raise."""
+    import os
+
+    from flatterer_spark.streaming.stream_flatten import _recover_band_index
+
+    idx = tmp_path / "band_index"
+    old = tmp_path / "band_index.old"
+    old.mkdir()
+    (old / "part-0.parquet").write_bytes(b"x")
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # simulate the concurrent recoverer completing first
+        real_rename(src, dst)
+        raise FileNotFoundError(src)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    _recover_band_index(str(idx))  # must not raise
+    assert idx.is_dir() and not old.exists()
