@@ -64,6 +64,38 @@ def _quant(x: float) -> float:
     return math.floor(x * m + 0.5 + 1e-9) / m
 
 
+def _nested_lit(obj, dtype: str):
+    """Constant nested-array column from a Python nested list, built with
+    ONE py4j call.
+
+    ``F.lit``/``F.array`` on a k x d nested list issue one py4j round trip
+    PER ELEMENT (PySpark's ``lit(list)`` recurses into ``array(*[lit(x)])``),
+    which measured ~0.26 s of pure driver-side expression-BUILD time per
+    Lloyd update pass at k=10, d=64 -- more than the whole Catalyst
+    optimize+physical phase for the same plan (r11 optimization round,
+    guide §7.3: when nothing is running, the driver is the bottleneck).
+    ``from_json`` of the JSON dump is a single call, and Catalyst
+    constant-folds it into the identical nested-array Literal during
+    optimization (verified: optimized plan shows the folded literal and
+    every downstream fold is bit-for-bit unchanged, incl. denormals and
+    -0.0 -- Jackson and repr() round-trip doubles exactly).
+
+    JSON cannot carry NaN/Inf; model values are finite by construction
+    (quantized means of finite data), but fall back to the element-wise
+    build rather than corrupt if one ever appears."""
+    import json as _json
+    import math as _math
+
+    def _finite(o) -> bool:
+        if isinstance(o, list):
+            return all(_finite(x) for x in o)
+        return not isinstance(o, float) or _math.isfinite(o)
+
+    if not _finite(obj):
+        return F.lit(obj)
+    return F.from_json(F.lit(_json.dumps(obj)), dtype)
+
+
 def _dists(vec_col, centroids: list[list[float]]):
     """Array of squared-L2 distances to every centroid, as ONE expression.
 
@@ -74,8 +106,8 @@ def _dists(vec_col, centroids: list[list[float]]):
     (21 s for a 500-row PQ encode with m*k=128 folds); the lambda form
     compiles once and evaluates identically (left fold in array order,
     deterministic)."""
-    book = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    book = _nested_lit(
+        [[float(x) for x in c] for c in centroids], "array<array<double>>"
     )
     return F.transform(
         book,
@@ -400,7 +432,7 @@ def emb_coreset_kcenter(spark, sf_dir: str, k: int = 16) -> DataFrame:
     vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dists = _dists(vecd, [c for _, c in centers])
     rank = (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
-    cid_book = F.array(*[F.lit(cid) for cid, _ in centers])
+    cid_book = _nested_lit([int(cid) for cid, _ in centers], "array<bigint>")
     center_ids = [cid for cid, _ in centers]
     wide = emb.repartition(spark.sparkContext.defaultParallelism)
     return (
@@ -859,11 +891,10 @@ def sim_topk_ivfpq(
     )
 
     # candidates: equi-join on cell; ADC = sum_j ||q_sub_j - book_j[code_j]||^2
-    book_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in bk])
-            for bk in books
-        ]
+    # single 3-level constant, one py4j call -- see _nested_lit
+    book_lit = _nested_lit(
+        [[[float(x) for x in c] for c in bk] for bk in books],
+        "array<array<array<double>>>",
     )
     qv = F.col("qvec")
     adc = F.aggregate(
