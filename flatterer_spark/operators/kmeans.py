@@ -64,6 +64,27 @@ def _quant(x: float) -> float:
     return math.floor(x * m + 0.5 + 1e-9) / m
 
 
+def _sorted_output(df: DataFrame, *cols: str) -> DataFrame:
+    """``df.orderBy(*cols)`` with the expensive projection evaluated ONCE.
+
+    A global sort range-partitions its child, and computing the range
+    bounds SAMPLES the child -- for a map-only child (scan -> HOF-heavy
+    assignment/encode projection, no Exchange to reuse) that executes the
+    whole projection a second time just to read the sort keys (measured:
+    the pq encode's noop wall 1.0 s -> 3.1 s once ``.orderBy`` was
+    appended; interleaved A/B of the full emb_pq_codes query: plain min
+    3.94 s vs checkpointed 3.09 s, r11 optimization round).  Materializing
+    via ``localCheckpoint`` runs the projection once and sorts the (much
+    narrower) result -- the guide §8 shape: the heavy compute happens
+    once, the ordering decision runs on small rows.  Values are
+    unchanged, so oracle hashes are identical; only lineage is truncated
+    (same trade as the CC rounds and the ewma-ttl gate, which already
+    localCheckpoint).  Only worth it when the projection is genuinely
+    expensive: the cheaper k-means assign and k-center rank projections
+    measured a wash (their call sites keep the plain sort)."""
+    return df.localCheckpoint(eager=True).orderBy(*cols)
+
+
 def _nested_lit(obj, dtype: str):
     """Constant nested-array column from a Python nested list, built with
     ONE py4j call.
@@ -308,6 +329,11 @@ def emb_kmeans(spark, sf_dir: str, k: int = 10, iters: int = 5) -> DataFrame:
             "cluster",
             round_half_up(F.sqrt(F.col("_dist2")), 4).alias("dist"),
         )
+        # plain global sort: the k=10 assign projection is cheap enough
+        # that the range-sampling double-eval is a wash against a
+        # localCheckpoint materialization (interleaved A/B, r11 round:
+        # plain min 2.90 s vs checkpointed 3.06 s) -- see _sorted_output,
+        # which IS the right shape for the m*k-fold PQ encode
         .orderBy("vec_id")
     )
 
@@ -445,6 +471,8 @@ def emb_coreset_kcenter(spark, sf_dir: str, k: int = 16) -> DataFrame:
             round_half_up(F.sqrt(F.array_min(dists)), 4).alias("dist"),
             F.col("vec_id").isin(center_ids).cast("long").alias("is_center"),
         )
+        # plain sort kept: A/B measured no win from checkpoint-then-sort
+        # here (0.60 s vs 0.54-0.59 s) -- see _sorted_output
         .orderBy("vec_id")
     )
 
@@ -738,15 +766,15 @@ def pq_codes(
     # codes as a dot-joined string, not an array: the gate's value-hash
     # stringifies via pandas, where a Spark list and a DuckDB numpy array
     # repr differently (same reason emb_quantize emits checksums)
-    return (
+    return _sorted_output(
         emb.select(
             "vec_id",
             F.concat_ws(".", *[c.cast("string") for c in code_cols]).alias(
                 "codes"
             ),
             round_half_up(total_err, 4).alias("quant_err2"),
-        )
-        .orderBy("vec_id")
+        ),
+        "vec_id",
     )
 
 
