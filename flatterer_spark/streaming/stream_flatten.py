@@ -419,6 +419,82 @@ def _plan_has_python_state(df: DataFrame) -> bool:
     return "FlatMapGroupsInPandasWithState" in plan
 
 
+def _stream_source_bytes(df: DataFrame) -> int | None:
+    """Best-effort byte size of a streaming DataFrame's local file
+    sources: the analyzed plan's ``StreamingRelation`` leaves expose the
+    ``path`` (and optional ``pathGlobFilter``) options, and the admitted
+    files are what the first drain will feed through the Python state
+    boundary.  Returns None when no file source is inspectable (py4j
+    unavailable, non-local path, memory/rate sources) -- callers must
+    treat None as "size unknown"."""
+    import fnmatch
+
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        total = 0
+        seen = False
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "StreamingRelation":
+                continue
+            opts: dict[str, str] = {}
+            it = leaf.dataSource().options().iterator()
+            while it.hasNext():
+                kv = it.next()
+                opts[kv._1()] = kv._2()
+            path = opts.get("path")
+            if not path:
+                continue
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+            if "://" in path:
+                return None  # remote store: size unknown from the driver
+            glob = opts.get("pathGlobFilter")
+            if os.path.isfile(path):
+                total += os.path.getsize(path)
+                seen = True
+                continue
+            if not os.path.isdir(path):
+                return None
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue  # hidden/metadata: invisible to the source
+                    if glob and not fnmatch.fnmatch(f, glob):
+                        continue
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            seen = True
+        return total if seen else None
+    except Exception:
+        return None
+
+
+#: Size->partitions rule for Python-state drains: one shuffle partition per
+#: this many bytes of (compressed) streaming source input.  Calibrated on
+#: the two measured optima (r11, post-vectorization): the ~2 MB gate corpus
+#: wants the JVM-family floor of 8 (6.98 s vs 7.92 s at 32 for
+#: stream_ewma_ttl; 2.83 s vs 4.28 s for stream_custom_session), while the
+#: ~10 MB x10 churn corpus wants one partition per core (dial=8 DNF'd a
+#: 590 s timeout where dial=32 finished the pair in 115 s) -- 256 KiB/part
+#: maps 2 MB -> 8 and 10 MB -> 37 -> capped at cores.
+_PY_STATE_BYTES_PER_PARTITION = 256 * 1024
+
+
+def _python_state_dial(source_bytes: int | None, cores: int) -> int:
+    """Shuffle-partition count for a drain whose plan contains a Python
+    state operator, derived from input size (guide: make partitioning
+    scale-adaptive, not a constant tuned to one scale).  Unknown size
+    keeps one partition per core -- the safe choice for big inputs, and
+    what a real cluster wants."""
+    if source_bytes is None:
+        return max(cores, 1)
+    dial = source_bytes // _PY_STATE_BYTES_PER_PARTITION
+    return int(min(max(dial, 8), max(cores, 8)))
+
+
 class _drain_shuffle_dial:
     """Temporarily set spark.sql.shuffle.partitions per drained op family.
 
@@ -429,14 +505,22 @@ class _drain_shuffle_dial:
     overhead at gate/bench scale where whole drains carry a few thousand
     rows, so JVM-stateful drains dial DOWN to 8 (state is hash-partitioned
     by key either way; BENCH_SCALE_STREAM_r10: ``stream_dedup_exact`` 12.8 s
-    at 8 vs 39.2 s at 32 at x10 scale).  ``applyInPandasWithState`` ops are
-    the measured OPPOSITE: their cost is the Python state function, which
-    parallelizes across partitions (``stream_ewma_ttl_churn`` 82.7 s at 32
-    vs 207.9 s at 8), so plans containing a Python state operator keep one
-    partition per core instead.  VERDICT r10 Next #2 demanded exactly this
-    per-op split of the measured bimodal sweep.  ``FLATTERER_DRAIN_SHUFFLE``
-    overrides both (a real cluster sets it to match executor count);
-    setting it to 0 disables the override entirely.
+    at 8 vs 39.2 s at 32 at x10 scale -- and that preference held at x10
+    too, so the JVM family stays at a flat 8).  ``applyInPandasWithState``
+    ops are different: their cost is the Python state function, which
+    parallelizes across partitions and scales with input rows, so their
+    optimum moves WITH INPUT SIZE.  After the r11 state-fn vectorization
+    the measured optima are 8 at the ~2 MB gate corpus (stream_ewma_ttl
+    6.98 s vs 7.92 s at 32; stream_custom_session 2.83 s vs 4.28 s) and
+    one-partition-per-core at the ~10 MB x10 churn corpus (dial=8 blew a
+    590 s timeout where 32 finished in 115 s; pre-vectorization r10 sweep:
+    82.7 s at 32 vs 207.9 s at 8).  Python-state plans therefore derive
+    the dial from the streaming source's byte size
+    (``_python_state_dial``: size/256 KiB partitions, clamped to
+    [8, cores]), falling back to one per core when the size is not
+    inspectable.  ``FLATTERER_DRAIN_SHUFFLE`` overrides everything (a real
+    cluster sets it to match executor count); setting it to 0 disables the
+    override entirely.
 
     Entering the dial also acquires the module drain lock (see
     ``_DRAIN_LOCK``): the conf mutation is session-global, so drains are
@@ -449,7 +533,10 @@ class _drain_shuffle_dial:
         if env is not None:
             self.dial = int(env)
         elif stream_df is not None and _plan_has_python_state(stream_df):
-            self.dial = int(spark.sparkContext.defaultParallelism)
+            self.dial = _python_state_dial(
+                _stream_source_bytes(stream_df),
+                int(spark.sparkContext.defaultParallelism),
+            )
         else:
             self.dial = 8
 

@@ -1027,16 +1027,18 @@ def test_drain_lock_serializes_concurrent_drains(spark, monkeypatch):
 
 
 def test_drain_dial_picks_per_op_family(spark, tmp_path, monkeypatch):
-    """VERDICT r10 Next #2: the dial is per-op -- plans containing a
-    Python state operator (applyInPandasWithState) keep one partition per
-    core (measured ~2x faster at 32 than 8 at x10 scale), JVM-stateful
-    plans dial down to 8 (measured 2-3x faster).  Env still overrides
-    both ways."""
+    """The dial is per-op AND size-adaptive (r11): JVM-stateful plans
+    dial down to a flat 8 (measured 2-3x faster at both scales);
+    Python-state plans derive partitions from the streaming source's
+    byte size (tiny gate corpora -> the 8 floor, big corpora -> one per
+    core), because their optimum was measured to move with input size
+    after the state-fn vectorization.  Env still overrides both ways."""
     import pyspark.sql.functions as SF
 
     from flatterer_spark.streaming.stream_flatten import (
         _drain_shuffle_dial,
         _plan_has_python_state,
+        _stream_source_bytes,
         sessionize,
     )
 
@@ -1064,12 +1066,85 @@ def test_drain_dial_picks_per_op_family(spark, tmp_path, monkeypatch):
     assert not _plan_has_python_state(jvm_stateful)
     assert _plan_has_python_state(py_state)
     assert _drain_shuffle_dial(spark, jvm_stateful).dial == 8
-    cores = int(spark.sparkContext.defaultParallelism)
-    assert _drain_shuffle_dial(spark, py_state).dial == cores
+    # the one-row parquet source is far below 8 * 256 KiB, so the
+    # size-adaptive Python-state dial lands on the 8 floor regardless of
+    # the session's core count
+    size = _stream_source_bytes(py_state)
+    assert size is not None and 0 < size < 8 * 256 * 1024
+    assert _drain_shuffle_dial(spark, py_state).dial == 8
 
     monkeypatch.setenv("FLATTERER_DRAIN_SHUFFLE", "12")
     assert _drain_shuffle_dial(spark, jvm_stateful).dial == 12
     assert _drain_shuffle_dial(spark, py_state).dial == 12
+
+
+def test_python_state_dial_size_rule():
+    """The size->partitions rule reproduces both measured optima (r11):
+    the ~2 MB gate corpus -> the 8 floor, the ~10 MB x10 churn corpus ->
+    capped at one per core; unknown size -> one per core (the safe
+    big-input choice)."""
+    from flatterer_spark.streaming.stream_flatten import _python_state_dial
+
+    assert _python_state_dial(2_045_762, 32) == 8      # sf0.1 events
+    assert _python_state_dial(9_871_360, 32) == 32     # x10 chunk corpus
+    assert _python_state_dial(4 * 1024 * 1024, 32) == 16  # mid: scales
+    assert _python_state_dial(None, 32) == 32
+    assert _python_state_dial(10**9, 32) == 32         # capped at cores
+    # small sessions: floor 8 still applies (partitions > cores is fine),
+    # unknown size inherits the core count
+    assert _python_state_dial(2_045_762, 4) == 8
+    assert _python_state_dial(None, 4) == 4
+
+
+def test_stream_source_bytes_honors_glob(spark, tmp_path):
+    """_stream_source_bytes sums only the files the streaming source
+    will admit: pathGlobFilter is honored, hidden/metadata files are
+    skipped, and a non-file source returns None."""
+    from flatterer_spark.streaming.stream_flatten import (
+        _stream_source_bytes,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "x")], "id long, s string"
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    spark.createDataFrame(
+        [(2, "y" * 1000)], "id long, s string"
+    ).coalesce(1).write.parquet(str(d / "other.parquet"))
+
+    import os
+
+    def tree_size(p):
+        tot = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                tot += os.path.getsize(os.path.join(root, f))
+        return tot
+
+    schema = "id long, s string"
+    both = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(d))
+    assert _stream_source_bytes(both) == tree_size(d)
+
+    only_events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "part*")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    # part* matches the data files inside both table dirs -- same total
+    assert _stream_source_bytes(only_events) == tree_size(d)
+
+    nothing = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "no-such-file")
+        .parquet(str(d))
+    )
+    assert _stream_source_bytes(nothing) == 0
 
 
 def test_scratch_base_checks_tmpfs_headroom(monkeypatch):
