@@ -81,8 +81,27 @@ def connected_components_with_rounds(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
+    def _ckpt_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+        # The convergence signature rides the checkpoint job as observed
+        # metrics (same aggregates over the same rows), so each round runs
+        # ONE job instead of checkpoint + separate agg -- the loop body was
+        # two near-floor jobs per round and the signature half is free here.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = _ckpt(
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("u").alias("su"),
+                F.sum("v").alias("sv"),
+            )
+        )
+        m = obs.get
+        return out, (m["n"], m["su"], m["sv"])
+
     a, b = edges.columns[:2]
-    e = _ckpt(
+    e, sig = _ckpt_sig(
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
@@ -93,20 +112,16 @@ def connected_components_with_rounds(
         .select(F.col("u").alias("id"))
     )
 
-    sig = e.agg(
-        F.count(F.lit(1)), F.sum("u"), F.sum("v")
-    ).first()
     rounds = 0
     while rounds < max_rounds:
         prev = e
-        e = _ckpt(_small_star(_large_star(e)))
+        e, cur = _ckpt_sig(_small_star(_large_star(e)))
         rounds += 1
-        cur = e.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).first()
         # cheap signature first; on a signature match confirm true set
         # equality (both sides are distinct, so equal counts + empty
         # difference <=> identical sets) -- a signature collision between
         # two different edge sets must not end contraction early.
-        if tuple(cur) == tuple(sig) and e.exceptAll(prev).isEmpty():
+        if cur == sig and e.exceptAll(prev).isEmpty():
             break
         sig = cur
     else:
