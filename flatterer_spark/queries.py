@@ -51,8 +51,12 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     # one entry per (session, sf_dir, table); a changed file fingerprint
     # replaces that table's entry only (fresh_cache_key's whole-dataset
-    # eviction would thrash a multi-table cache)
-    ident = (id(spark), sf_dir, name)
+    # eviction would thrash a multi-table cache).  Keyed on applicationId,
+    # not id(spark): a stopped session's Python object id can be reused by
+    # a fresh SparkSession, which would serve a DataFrame bound to a dead
+    # JVM session (VERDICT r11 #4); the applicationId is unique per
+    # SparkContext lifetime.
+    ident = (spark.sparkContext.applicationId, sf_dir, name)
     fp = table_fingerprint(sf_dir, name)
     hit = _T_cache.get(ident)
     if hit is not None and hit[0] == fp:
@@ -78,6 +82,52 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: Per-(session, sf_dir, query) memo of fully-BUILT query DataFrames for the
+#: pure-plan builders (core q01-q46 and TPC-H q47-q60).  Same contract as
+#: the ``T()`` memo one level up: this caches a resolved PLAN, never data --
+#: every execution of the memoized DataFrame still scans the parquet (the
+#: noop-sink bench and tests/test_r11_optimizations.py's
+#: test_no_data_caching_in_plan see the scan in the executed plan).  What it
+#: removes is the eager per-operation DataFrame-API analysis cost: building
+#: a wide join chain issues one py4j round trip + one analysis pass per
+#: operation, measured 0.3-0.9 s per invocation for the 6-way TPC-H joins
+#: at sf0.1 -- comparable to their whole execution (VERDICT r11 #5).  Keyed
+#: on applicationId (liveness-aware, same rule as ``T()``) and invalidated
+#: by the mtime+size fingerprint of EVERY dataset table, so regenerated
+#: testdata rebuilds the plan.  Only pure plan builders are wrapped:
+#: operators with staging/drain side effects (ext/streaming) must re-run
+#: their builders every call and are deliberately not memoized.
+_PLAN_CACHE: dict[tuple, tuple] = {}
+
+#: Tables whose fingerprints gate plan-memo freshness (the whole dataset:
+#: coarser than per-query table sets, but always correct and ~10 os.stat
+#: calls per lookup).
+_DATASET_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def plan_memo(name: str, fn: Callable) -> Callable:
+    """Wrap a pure (spark, sf_dir) -> DataFrame builder with the plan memo."""
+    from flatterer_spark.functions.fingerprint import table_fingerprint
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ident = (spark.sparkContext.applicationId, sf_dir, name)
+        fp = tuple(table_fingerprint(sf_dir, t) for t in _DATASET_TABLES)
+        hit = _PLAN_CACHE.get(ident)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+        df = fn(spark, sf_dir)
+        _PLAN_CACHE[ident] = (fp, df)
+        return df
+
+    run.__name__ = getattr(fn, "__name__", name)
+    run.__doc__ = fn.__doc__
+    run.__wrapped__ = fn
+    return run
 
 
 def round_half_up(col, scale: int = 2):
@@ -1129,6 +1179,10 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_rank_stats": q46_rank_stats,
     "q61_full_outer_reconcile": q61_full_outer_reconcile,
 }
+
+# every core builder is a pure plan builder (no temp views, no staging, no
+# nondeterminism) -- wrap them all in the build-once plan memo
+CORE_QUERIES = {k: plan_memo(k, fn) for k, fn in CORE_QUERIES.items()}
 
 
 CORE_ORACLE: dict[str, str] = {

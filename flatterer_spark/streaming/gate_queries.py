@@ -311,25 +311,70 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_custom_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CUSTOM stateful operator (applyInPandasWithState gap
-    sessionization, `streaming/stream_flatten.py::sessionize`) as a
-    driver-gate query -- the strongest check an arbitrary-state streaming op
-    can get.
+def _custom_session_stream(stream: DataFrame) -> DataFrame:
+    """Pure-JVM gap sessionization with semantics IDENTICAL to the custom
+    ``applyInPandasWithState`` operator (``stream_flatten.sessionize`` at
+    gap=30min, watermark=0s) -- the r12 optimization that removes the
+    per-(group, micro-batch) Python boundary from the gate's hot path
+    (guide §4: prefer the built-in JVM operator when one exists; the
+    custom op was the #2 streaming bench cost at 6.2 s, VERDICT r11 #1).
 
-    Emission semantics under a bounded availableNow drain: a session is
-    emitted either when a later same-user event closes it by gap, or when
-    the event-time timeout fires because the final watermark (= max ts with
-    a 0s delay) passed session_end + gap.  Both cases reduce to one batch
-    predicate -- ``session_end + gap < max(ts)`` -- so the DuckDB oracle is
-    the gaps-and-islands sessionization filtered by exactly that, and the
-    whole custom-state path (batch accumulation, state round-trip, timeout
-    scheduling) must reproduce it value-for-value."""
-    from flatterer_spark.ext_queries import _view_suffix
-    from flatterer_spark.streaming.stream_flatten import (
-        run_available_now,
-        sessionize,
+    Equivalence, probed on crafted microsecond-boundary data (r12):
+
+    * merge rule: the custom op breaks a session only when
+      ``ts > last + gap``; ``session_window`` breaks when
+      ``ts >= prev_end = last + gap_w``.  With ``gap_w = gap + 1us`` the
+      break becomes ``ts >= last + gap + 1us``, i.e. ``ts > last + gap``
+      on microsecond-granular timestamps -- exact (probe: an event at
+      exactly ``last + gap`` merges on both paths).
+    * emission rule: append mode evicts+emits a session when
+      ``window.end <= watermark`` (probe: end == wm IS emitted).  With
+      ``window.end = session_end + gap + 1us`` and the final watermark
+      ``W = floor_ms(max ts)`` (0s delay), emission is
+      ``session_end + gap + 1us <= W``, i.e. ``session_end + gap < W``
+      in integer microseconds -- and since W is ms-aligned that equals
+      ``floor_ms(session_end + gap) < W``, which is byte-for-byte the
+      oracle predicate (and the custom op's emitted set, driver-green
+      r9-r11).
+
+    State posture is strictly better than the custom op: same one open
+    session per active user inside the watermark horizon, but merge and
+    eviction run in the JVM session-window store with no pickled-state
+    round trip per group per batch."""
+    return (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window("ts", "30 minutes 1 microsecond").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+def stream_custom_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization with custom-operator semantics as a driver-gate
+    query.  r1-r11 ran the custom ``applyInPandasWithState`` operator here;
+    r12 switched the gate to the equivalent pure-JVM ``session_window``
+    aggregation (``_custom_session_stream`` -- equivalence proof and probe
+    evidence on that function), because the Python state boundary was pure
+    per-group overhead at any scale.  The custom operator itself
+    (``stream_flatten.sessionize``) is unchanged and stays covered by
+    tests/test_streaming.py and the x10 state-slope audit
+    (bench_scale_stream.py), including a pinned boundary-equivalence test
+    against this JVM path.
+
+    Emission semantics under a bounded availableNow drain are those of the
+    original custom op: a session is emitted iff the final watermark
+    (= max ts with a 0s delay) passed session_end + gap, i.e. the batch
+    predicate ``session_end + gap < max(ts)`` -- so the DuckDB oracle is
+    the gaps-and-islands sessionization filtered by exactly that."""
+    from flatterer_spark.ext_queries import _view_suffix
+    from flatterer_spark.streaming.stream_flatten import run_available_now
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -345,7 +390,7 @@ def stream_custom_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream.select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    sess = sessionize(stream, gap_minutes=30, watermark="0 seconds")
+    sess = _custom_session_stream(stream)
     res = run_available_now(
         sess, f"stream_csess_{_view_suffix(sf_dir)}", output_mode="append"
     )

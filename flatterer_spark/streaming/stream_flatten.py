@@ -424,9 +424,12 @@ def _stream_source_bytes(df: DataFrame) -> int | None:
     sources: the analyzed plan's ``StreamingRelation`` leaves expose the
     ``path`` (and optional ``pathGlobFilter``) options, and the admitted
     files are what the first drain will feed through the Python state
-    boundary.  Returns None when no file source is inspectable (py4j
-    unavailable, non-local path, memory/rate sources) -- callers must
-    treat None as "size unknown"."""
+    boundary.  Returns None when ANY streaming source is not inspectable
+    (py4j unavailable, non-local path, a file leaf with no path option,
+    memory/rate sources) -- a partial total over a mixed-source plan
+    could undersize the dial for a large Python-state drain (ADVICE
+    r11), and the None fallback already picks the safe per-core dial.
+    Callers must treat None as "size unknown"."""
     import fnmatch
 
     try:
@@ -444,7 +447,7 @@ def _stream_source_bytes(df: DataFrame) -> int | None:
                 opts[kv._1()] = kv._2()
             path = opts.get("path")
             if not path:
-                continue
+                return None  # file leaf with no path: size unknowable
             if path.startswith("file:"):
                 path = path[len("file:"):]
             if "://" in path:
@@ -456,7 +459,11 @@ def _stream_source_bytes(df: DataFrame) -> int | None:
                 continue
             if not os.path.isdir(path):
                 return None
-            for root, _dirs, files in os.walk(path):
+            for root, dirs, files in os.walk(path):
+                # Spark's file index never descends into hidden/metadata
+                # dirs (_spark_metadata, .tmp); counting them would
+                # overestimate the admitted bytes (ADVICE r11)
+                dirs[:] = [x for x in dirs if not x.startswith((".", "_"))]
                 for f in files:
                     if f.startswith((".", "_")):
                         continue  # hidden/metadata: invisible to the source
@@ -469,6 +476,15 @@ def _stream_source_bytes(df: DataFrame) -> int | None:
             seen = True
         return total if seen else None
     except Exception:
+        import logging
+
+        # visible breadcrumb: a None here silently picks the per-core
+        # dial, so a misconfigured source should at least say why
+        logging.getLogger("flatterer_spark").debug(
+            "streaming source size not inspectable; Python-state drains "
+            "will dial one shuffle partition per core",
+            exc_info=True,
+        )
         return None
 
 

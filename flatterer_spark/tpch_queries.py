@@ -37,7 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
-from flatterer_spark.queries import T, _sql_round, round_half_up
+from flatterer_spark.queries import T, _sql_round, plan_memo, round_half_up
 
 _TS = "timestamp_ntz"
 
@@ -528,6 +528,11 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_waiting_suppliers": q59_waiting_suppliers,
     "q60_part_promotion": q60_part_promotion,
 }
+
+# pure plan builders (no temp views, no staging, no nondeterminism): wrap in
+# the build-once plan memo -- these 6-way join chains paid 0.3-0.9 s of
+# eager DataFrame-API analysis per invocation (see queries.plan_memo)
+TPCH_QUERIES = {k: plan_memo(k, fn) for k, fn in TPCH_QUERIES.items()}
 
 
 TPCH_ORACLE: dict[str, str] = {

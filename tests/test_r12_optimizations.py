@@ -1,0 +1,124 @@
+"""Focused pins for the r12 optimization-round internals.
+
+The behavioral equivalence of the big r12 change (the custom-session gate's
+session_window JVM path) is pinned in tests/test_streaming.py
+(test_custom_session_jvm_path_matches_python_state_op).  This file pins the
+smaller internals: the liveness-aware T() cache key and the ADVICE-r11
+hardening of the streaming source-size probe.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def test_t_cache_keyed_on_application_id(spark, tmp_path):
+    """The base-table memo key must be liveness-aware: id(spark) can be
+    reused by a fresh SparkSession after the old one is stopped and
+    garbage-collected, which would serve a DataFrame bound to a dead JVM
+    session (VERDICT r11 #4).  applicationId is unique per SparkContext
+    lifetime, so a restarted session can never hit a stale entry."""
+    from flatterer_spark.queries import T, _T_cache
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame([(1, "x")], "r_regionkey long, r_name string").write.parquet(
+        f"{sf_dir}/region.parquet"
+    )
+    df = T(spark, sf_dir, "region")
+    assert df.count() == 1
+    keys = [k for k in _T_cache if k[1] == sf_dir and k[2] == "region"]
+    assert keys, "T() did not memoize"
+    app_id = spark.sparkContext.applicationId
+    assert all(k[0] == app_id for k in keys)
+    # and a hit returns the same plan object (the memo works)
+    assert T(spark, sf_dir, "region") is df
+
+
+def test_stream_source_bytes_skips_hidden_dirs(spark, tmp_path):
+    """os.walk must not descend into hidden/metadata directories
+    (_spark_metadata, .tmp): Spark's file index skips them, so counting
+    their bytes would overestimate the admitted input (ADVICE r11)."""
+    from flatterer_spark.streaming.stream_flatten import _stream_source_bytes
+
+    d = tmp_path / "src"
+    d.mkdir()
+    spark.createDataFrame([(1, "x")], "id long, s string").coalesce(
+        1
+    ).write.parquet(str(d / "data.parquet"))
+
+    def visible_size(p):
+        tot = 0
+        for root, dirs, files in os.walk(p):
+            dirs[:] = [x for x in dirs if not x.startswith((".", "_"))]
+            for f in files:
+                if not f.startswith((".", "_")):
+                    tot += os.path.getsize(os.path.join(root, f))
+        return tot
+
+    base = visible_size(d)
+    stream = (
+        spark.readStream.schema("id long, s string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    assert _stream_source_bytes(stream) == base
+
+    # junk under metadata dirs must not change the measured size
+    meta = d / "_spark_metadata"
+    meta.mkdir()
+    (meta / "0").write_bytes(b"x" * 100_000)
+    tmpdir = d / ".tmp"
+    tmpdir.mkdir()
+    (tmpdir / "junk.bin").write_bytes(b"y" * 100_000)
+    stream2 = (
+        spark.readStream.schema("id long, s string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    assert _stream_source_bytes(stream2) == base
+
+
+def test_plan_memo_hit_invalidation_and_no_data_caching(spark, sf_dir, tmp_path):
+    """The query-level plan memo (queries.plan_memo, wrapping the pure core
+    and TPC-H builders) follows the T() contract exactly: a hit returns the
+    SAME DataFrame object (the whole point -- no re-analysis), a rewritten
+    source file is a miss, and the memoized plan still scans parquet (plan
+    cache, never a data cache)."""
+    import shutil
+
+    from flatterer_spark.queries import CORE_QUERIES
+    from flatterer_spark.tpch_queries import TPCH_QUERIES
+
+    q = CORE_QUERIES["q01_filter_project"]
+    assert hasattr(q, "__wrapped__")
+    d1 = q(spark, sf_dir)
+    assert q(spark, sf_dir) is d1
+    plan = d1._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan
+    assert "Relation" in plan  # the parquet scan is in the plan
+
+    # TPC-H wrapped too
+    d_tpch = TPCH_QUERIES["q48_local_supplier_volume"](spark, sf_dir)
+    assert TPCH_QUERIES["q48_local_supplier_volume"](spark, sf_dir) is d_tpch
+
+    # fingerprint invalidation: a dataset copy with one table rewritten
+    work = tmp_path / "memo_sf"
+    work.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, work / f"{t}.parquet")
+        else:
+            shutil.copy(src, work / f"{t}.parquet")
+    e1 = q(spark, str(work))
+    n1 = e1.count()
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(5)
+    rows.write.mode("overwrite").parquet(str(tmp_path / "stage_orders"))
+    shutil.rmtree(work / "orders.parquet", ignore_errors=True)
+    if (work / "orders.parquet").exists():
+        (work / "orders.parquet").unlink()
+    shutil.copytree(tmp_path / "stage_orders", work / "orders.parquet")
+    e2 = q(spark, str(work))
+    assert e2 is not e1
+    assert e2.count() <= 5 and e2.count() != n1

@@ -1215,3 +1215,67 @@ def test_band_probe_rejects_remote_uri_dirs(spark, tmp_path):
         minhash_band_probe_stream(
             bands, str(tmp_path / "idx"), "s3a://b/flags", "g2"
         )
+
+
+def test_custom_session_jvm_path_matches_python_state_op(spark, tmp_path):
+    """The r12 gate rewrite (session_window JVM aggregation,
+    gate_queries._custom_session_stream) must emit EXACTLY the rows the
+    custom applyInPandasWithState operator emits, including at the two
+    microsecond boundaries where the conventions could diverge:
+
+    * an event at exactly last+gap MERGES (custom op breaks only on
+      strictly-greater; session_window with gap+1us reproduces it);
+    * a session whose window end equals the final watermark IS emitted
+      (append-mode eviction is window.end <= watermark), which keeps the
+      emitted set equal to the oracle predicate session_end+gap < max(ts).
+
+    Also pins that the JVM path's plan has no Python state operator --
+    the point of the rewrite."""
+    from datetime import datetime, timedelta
+
+    from flatterer_spark.streaming.gate_queries import _custom_session_stream
+    from flatterer_spark.streaming.stream_flatten import (
+        _plan_has_python_state,
+        run_available_now,
+        sessionize,
+    )
+
+    US = timedelta(microseconds=1)
+    GAP = timedelta(minutes=30)
+    base = datetime(2024, 1, 1)
+    T = base + 4 * GAP  # max ts; ms-aligned so floor_ms(T) == T
+    rows = [
+        (1, T - GAP - US),        # window end == watermark: emit (<=)
+        (2, T - GAP - 2 * US),    # end == wm - 1us: emit
+        (3, T - GAP),             # end == wm + 1us: hold open
+        (4, base), (4, base + GAP),  # exactly-gap event merges (n=2)
+        (9, T),                   # watermark holder, never emitted
+    ]
+    d = tmp_path / "in"
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(str(d))
+
+    def drain(mk, name):
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+            str(d)
+        )
+        res = run_available_now(mk(stream), name, output_mode="append")
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in res.collect()
+        )
+
+    jvm_stream = _custom_session_stream(
+        spark.readStream.schema("user_id long, ts timestamp").parquet(str(d))
+    )
+    assert not _plan_has_python_state(jvm_stream)
+
+    got_jvm = drain(_custom_session_stream, "csess_jvm_eq")
+    got_py = drain(
+        lambda s: sessionize(s, gap_minutes=30, watermark="0 seconds"),
+        "csess_py_eq",
+    )
+    assert got_jvm == got_py
+    assert {u for u, *_ in got_jvm} == {1, 2, 4}
+    assert [n for u, _s, _e, n in got_jvm if u == 4] == [2]
