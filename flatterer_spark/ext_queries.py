@@ -412,6 +412,7 @@ def sql_dedup_ngram_jaccard(
     threshold: float = 0.3,
     prefix_filter: bool = True,
     sh_table: str | None = None,
+    final_order: bool = True,
 ) -> str:
     """Exact Jaccard >= threshold pairs over k-gram shingles.
 
@@ -428,8 +429,16 @@ def sql_dedup_ngram_jaccard(
     when one shingle appears in a large fraction of the corpus.  Verification
     recomputes the exact intersection from the full shingle sets, so the
     result is identical to ``prefix_filter=False`` (tested).
+
+    ``final_order=False`` drops the trailing ORDER BY (same rows): the
+    Spark query wrapper sorts AFTER an eager localCheckpoint instead,
+    because a global sort's range sampling re-executes its child -- here
+    the whole verify join -- a second time (guide §8; the same shape
+    ``_sorted_output`` fixed for emb_pq_codes in r11).  The DuckDB oracle
+    keeps the default inline ORDER BY.
     """
     jac = "CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE)"
+    tail = "ORDER BY id1, id2" if final_order else ""
     sh = sh_table or "sh"
     sh_cte = "" if sh_table else f"sh AS ({sql_shingle_cte(g, k)}),"
     if not prefix_filter:
@@ -446,7 +455,7 @@ def sql_dedup_ngram_jaccard(
         SELECT id1, id2, {g.round2(jac)} AS jaccard
         FROM pairs
         WHERE {jac} >= {g.d(threshold)}
-        ORDER BY id1, id2
+        {tail}
         """
     inter = g.size(_intersect(g, "sa.s", "sb.s"))
     return f"""
@@ -493,7 +502,7 @@ def sql_dedup_ngram_jaccard(
     SELECT id1, id2, {g.round2(jac)} AS jaccard
     FROM ver
     WHERE {jac} >= {g.d(threshold)}
-    ORDER BY id1, id2
+    {tail}
     """
 
 
@@ -3010,23 +3019,34 @@ def sql_corpus_cm_sketch(
     integer hashes (never engine-native hash()), counts are exact BIGINTs,
     and the estimate is an integer MIN -- no float anywhere.
 
-    Shape: one exploded-token pass -> (row, cell) partial+final agg builds
-    the sketch; exact top-k from the token agg the corpus computes anyway;
-    the k probe tokens join the 1024-cell sketch via broadcast."""
+    Shape (r12, guide §2.3 "aggregate before you shuffle"): one
+    exploded-token pass -> exact (token, n) counts; the sketch is then
+    built from the DISTINCT-token counts as a weighted sum --
+    ``c(r, cell) = SUM(n) over tokens hashing to cell`` -- which is
+    algebraically the occurrence count cell-for-cell (a CM sketch update
+    with a combiner), so every output integer is identical (probed
+    row-for-row against the per-occurrence form).  The old form exploded
+    every occurrence d times and md5-hashed each (occurrence, row); this
+    hashes each distinct token d times and reuses the (t, n) agg the
+    exact side needs anyway -- the tok CTE is referenced ONCE, so the
+    engines' CTE inlining no longer re-tokenizes the corpus twice
+    (interleaved A/B at sf0.1: 2.87/2.12/2.93 s -> 0.56/0.45/0.73 s).
+    Exact top-k from the same token agg; the k probe tokens join the
+    1024-cell sketch via broadcast."""
     cell = g.md5_32(f"concat(t, '#', {g.str_cast('r')})") + f" % {w}"
     return f"""
     WITH tok AS (
         SELECT {g.explode(g.tokens('text'), 't')} FROM documents
     ),
-    occ AS (
-        SELECT t, {g.explode_seq('0', str(d - 1), 'r')} FROM tok
-    ),
-    sketch AS (
-        SELECT r, {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS c
-        FROM occ GROUP BY r, {cell}
-    ),
     exact AS (
         SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t
+    ),
+    occ AS (
+        SELECT t, n, {g.explode_seq('0', str(d - 1), 'r')} FROM exact
+    ),
+    sketch AS (
+        SELECT r, {cell} AS cell, CAST(SUM(n) AS BIGINT) AS c
+        FROM occ GROUP BY r, {cell}
     ),
     topk AS (
         SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rnk
@@ -3410,6 +3430,30 @@ def _make_sh_query(builder):
     return run
 
 
+def _ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan for ``dedup_ngram_jaccard``: the generated SSJoin SQL
+    minus its trailing ORDER BY, sorted AFTER an eager localCheckpoint
+    (``kmeans._sorted_output``).  The final global sort range-partitions
+    its child and SAMPLES it for range bounds; everything above the last
+    materialized exchange -- the verify join recomputing the exact
+    intersection over the full shingle sets, the plan's expensive HOF
+    segment -- executed TWICE per query (r12 plan audit; interleaved A/B:
+    plain 4.23/3.50/3.72 s vs staged 2.63/2.37/2.61 s in adjacent pairs,
+    same §8 shape as the r11 emb_pq_codes fix).  Values and order are
+    unchanged: the checkpoint holds the narrow (id1, id2, jaccard) rows
+    and the sort runs on those; the DuckDB oracle keeps its inline
+    ORDER BY."""
+    from flatterer_spark.operators.kmeans import _sorted_output
+    from flatterer_spark.queries import T
+
+    view = _shingle_view(spark, sf_dir)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    sql = sql_dedup_ngram_jaccard(
+        Gen(spark=True), sh_table=view, final_order=False
+    )
+    return _sorted_output(spark.sql(sql), "id1", "id2")
+
+
 _span_cache: dict[tuple, DataFrame] = {}
 
 
@@ -3543,8 +3587,14 @@ def _pairs_view(spark: SparkSession, sf_dir: str) -> str:
         T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
         path = tempfile.mkdtemp(prefix="flatterer_pairs_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
+        # no final ORDER BY on the staged write: parquet needs no order,
+        # and the global sort's range sampling would re-execute the whole
+        # verify join (see _ngram_jaccard_query); consumers aggregate the
+        # pair SET, which is unchanged
         spark.sql(
-            sql_dedup_ngram_jaccard(Gen(spark=True), threshold=0.3, sh_table=sh)
+            sql_dedup_ngram_jaccard(
+                Gen(spark=True), threshold=0.3, sh_table=sh, final_order=False
+            )
         ).write.mode("overwrite").parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(name)
         _pairs_cache[key] = name
@@ -3660,7 +3710,7 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": D.simhash_query,
         "dedup_simhash_pairs": D.simhash_pairs_query,
         "dedup_embedding": D.embedding_near_dup_pairs,
-        "dedup_ngram_jaccard": _make_sh_query(sql_dedup_ngram_jaccard),
+        "dedup_ngram_jaccard": _ngram_jaccard_query,
         "dedup_minhash_lsh": _make_sh_query(sql_dedup_minhash_lsh),
         "corpus_minhash_calibration": _make_sh_query(
             sql_corpus_minhash_calibration
