@@ -17,6 +17,13 @@ are hash-perturbed --
    -- the realistic star-schema growth mode);
  - dims (region nation customer supplier part): shared unchanged.
 
+r12: documents/embeddings are written with ROW_GROUP_SIZE 5000 -- DuckDB's
+default single 50k-row row group made the 10x files unsplittable (parquet
+splits only at row-group boundaries), so every documents/embeddings scan ran
+as ONE task and the corpus measured the layout artifact, not the plan's
+parallelism (the 8-vs-32-core ratios read ~1.0 for the whole doc family).
+Delete /tmp/spark_graft_scale10x to regenerate.
+
 Slope semantics: wall(10x)/wall(1x) against 10x rows.  Local wall times
 carry fixed scheduler overhead (~0.3-0.8 s/job), so healthy slopes sit well
 BELOW 10; a slope much above 10 means superlinear work and earns a plan
@@ -99,7 +106,7 @@ def build_corpus() -> None:
         COPY (SELECT doc_id, text, lang, source,
                      CAST(length(text) AS BIGINT) AS n_chars
               FROM read_parquet('{o('documents')}'))
-        TO '{o('documents')}.fix' (FORMAT PARQUET)
+        TO '{o('documents')}.fix' (FORMAT PARQUET, ROW_GROUP_SIZE 5000)
     """)
     os.replace(o("documents") + ".fix", o("documents"))
 
@@ -119,7 +126,7 @@ def build_corpus() -> None:
                              / 1000.0 - 0.5) * 0.05 AS FLOAT)) END
                    AS embedding
           FROM read_parquet('{p('embeddings')}'), range({COPIES}) t(c)
-        ) TO '{o('embeddings')}' (FORMAT PARQUET)
+        ) TO '{o('embeddings')}' (FORMAT PARQUET, ROW_GROUP_SIZE 5000)
     """)
 
     n_ev, n_usr = con.execute(

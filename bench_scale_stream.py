@@ -427,6 +427,11 @@ def main() -> None:
                 "out_rows": n_out,
                 "state_rows_peak": max(state_by_batch, default=0),
                 "state_rows_last": state_by_batch[-1] if state_by_batch else 0,
+                # full per-batch trajectory (r12, VERDICT r11 #7): for the
+                # stream-stream interval join the shape of this list is the
+                # boundedness evidence -- it must plateau at the watermark
+                # horizon, not grow with drained batches
+                "state_rows_by_batch": state_by_batch,
                 # total evictions across the drain: direct evidence the
                 # watermark is actively removing state, not just bounding
                 # its growth statically

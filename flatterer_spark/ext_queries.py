@@ -3400,6 +3400,27 @@ def _view_suffix(sf_dir: str) -> str:
 _sh_cache: dict[tuple, DataFrame] = {}
 
 
+def _staged_repartition(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a staged view to the session's core count before it
+    is persisted.
+
+    The staged views are map-only derivations of a packed parquet scan, and
+    a parquet file is only splittable at row-group boundaries: the sf0.1
+    and 10x document/embedding tables are each ONE row group, so without
+    this the persisted view holds ONE cached partition and every consumer's
+    map-side work over it -- the minhash fold chain, band explodes, verify
+    probes -- runs as a single task no matter how many cores the session
+    has (r12 core-scaling audit: dedup_minhash_lsh 7.3 s at 8 cores vs
+    7.4 s at 32 on the 10x corpus; after this change 8.5 s vs 3.6 s).
+    One hash exchange on the uniform key at staging time (paid once per
+    session, a few MB here) buys full-width parallelism for every
+    downstream pass -- the guide §2.5 "input skew: one huge unsplittable
+    file -> repartition immediately after the read" posture.  Hash (not
+    round-robin) partitioning avoids the sort-before-repartition pass and
+    is deterministic under task retry."""
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 def _shingle_view(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the shared shingle set once per (session, sf_dir) as a
     persisted temp view.  Spark inlines WITH-CTEs, so minhash/ngram would
@@ -3413,7 +3434,9 @@ def _shingle_view(spark: SparkSession, sf_dir: str) -> str:
     name = f"sh_materialized_{_view_suffix(sf_dir)}"
     if key not in _sh_cache:
         T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-        df = spark.sql(sql_shingle_cte(Gen(spark=True))).persist()
+        df = _staged_repartition(
+            spark, spark.sql(sql_shingle_cte(Gen(spark=True))), "doc_id"
+        ).persist()
         df.createOrReplaceTempView(name)
         _sh_cache[key] = df
     return name
@@ -3510,7 +3533,9 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> str:
     name = f"en_materialized_{_view_suffix(sf_dir)}"
     if key not in _en_cache:
         T(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-        df = spark.sql(sql_emb_norm_query(Gen(spark=True))).persist()
+        df = _staged_repartition(
+            spark, spark.sql(sql_emb_norm_query(Gen(spark=True))), "vec_id"
+        ).persist()
         df.createOrReplaceTempView(name)
         _en_cache[key] = df
     return name

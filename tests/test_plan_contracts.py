@@ -117,13 +117,35 @@ def test_lsh_verify_not_serialized_by_aqe(spark, sf_dir):
     (interpreted higher-order-function verify math); without an explicit
     round-robin repartition AQE coalesces them to one partition and the
     verify join runs on a single core (measured 4x at sf0.1).  The
-    REPARTITION hint must survive into the physical plan."""
-    from flatterer_spark.ext_queries import EXT_QUERIES
+    REPARTITION hint must survive into the physical plan.
 
-    for name in ("dedup_embedding_lsh", "dedup_minhash_lsh",
-                 "dedup_ngram_jaccard"):
+    dedup_ngram_jaccard's registered query localCheckpoints the verify
+    output before the final sort (r12: the global sort's range sampling
+    re-executed the verify join), so its RETURNED plan is a Sort over the
+    checkpointed RDD and the hint is invisible there -- the contract is
+    checked on the pre-checkpoint plan the wrapper actually executes."""
+    from flatterer_spark.ext_queries import (
+        EXT_QUERIES,
+        Gen,
+        _shingle_view,
+        sql_dedup_ngram_jaccard,
+    )
+    from flatterer_spark.queries import T
+
+    for name in ("dedup_embedding_lsh", "dedup_minhash_lsh"):
         plan = _plan(EXT_QUERIES[name](spark, sf_dir))
         assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, name
+
+    view = _shingle_view(spark, sf_dir)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    plan = _plan(
+        spark.sql(
+            sql_dedup_ngram_jaccard(
+                Gen(spark=True), sh_table=view, final_order=False
+            )
+        )
+    )
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
 
 
 def test_flatten_tables_prune_nested_schema(spark, tmp_path):
