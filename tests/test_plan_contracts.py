@@ -11,6 +11,21 @@ from flatterer_spark.queries import CORE_QUERIES
 from tests.conftest import plan_of as _plan
 
 
+@pytest.fixture(autouse=True)
+def _fresh_plans():
+    """Plan contracts must inspect a FRESHLY BUILT plan.  The r12 plan memo
+    shares one DataFrame per (session, sf_dir, query); once any earlier test
+    has EXECUTED it, its AQE explain dump carries both a "Final Plan" and an
+    "Initial Plan" section, doubling every node-count assertion here (the
+    plan itself is unchanged -- it is the dump that gains a section).
+    Clearing the memo keeps these tests order-independent and makes them
+    exercise exactly what a first call builds."""
+    from flatterer_spark import queries
+
+    queries._PLAN_CACHE.clear()
+    yield
+
+
 def test_q01_filter_pushed_to_scan(spark, sf_dir):
     """Scan-level pushdown: the status filter must reach the parquet reader
     and the scan must read only the projected columns."""
