@@ -1729,7 +1729,7 @@ def sql_dedup_boilerplate(g: Gen, k: int = 3, min_df: int = 4) -> str:
 # corpus_ngram_novelty: per-document novelty vs everything earlier
 # ---------------------------------------------------------------------------
 
-def sql_corpus_ngram_novelty(g: Gen, k: int = 3) -> str:
+def sql_corpus_ngram_novelty(g: Gen, k: int = 3, sh_table: str | None = None) -> str:
     """Share of each document's distinct k-grams first introduced BY that
     document (first appearance = minimal doc_id over the corpus).  The
     curation metric behind temporal dataset mixing: a crawl snapshot whose
@@ -1741,10 +1741,22 @@ def sql_corpus_ngram_novelty(g: Gen, k: int = 3) -> str:
     CTE into both sides, doubling the HOF work AND adding a large-large
     join: 6.3 s -> 2 s at sf0.1); the per-doc rollup then shuffles once on
     the uniform doc_id key.
+
+    ``sh_table`` substitutes the shared staged shingle view on the Spark
+    side (r12): through r11 this query silently rode the staged view via
+    Spark's cache-manager subtree matching (its inline CTE was plan-equal
+    to the persisted view), but the r12 staging-time repartition wrapped
+    the cached plan in a Repartition node the inline CTE no longer
+    matches, so the query went back to re-shingling the corpus per run
+    (bench: 0.5 s -> 3.6 s).  Explicit is better than coincidental: the
+    Spark builder now names the view like every other shingle consumer.
+    The DuckDB oracle keeps the inline CTE.
     """
+    sh = sh_table or "sh"
+    sh_cte = f"sh AS ({sql_shingle_cte(g, k)})," if not sh_table else ""
     return f"""
-    WITH sh AS ({sql_shingle_cte(g, k)}),
-    e AS (SELECT doc_id, {_explode(g, 's', 'gram')} FROM sh),
+    WITH {sh_cte}
+    e AS (SELECT doc_id, {_explode(g, 's', 'gram')} FROM {sh}),
     w AS (SELECT doc_id,
                  MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
           FROM e)
@@ -3743,6 +3755,7 @@ def _custom_spark() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _make_sh_query(sql_dedup_incremental),
         "split_leakage_check": _make_sh_query(sql_split_leakage_check),
         "ngram_topk": _make_sh_query(sql_ngram_topk),
+        "corpus_ngram_novelty": _make_sh_query(sql_corpus_ngram_novelty),
         "corpus_kmv_cardinality": _make_sh_query(sql_corpus_kmv_cardinality),
         "corpus_source_overlap": _make_sh_query(sql_corpus_source_overlap),
         "corpus_source_overlap_kmv": _kmv_overlap_query,

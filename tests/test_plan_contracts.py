@@ -501,6 +501,12 @@ def test_corpus_ngram_novelty_single_gram_exchange(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "gram" in ln
     }
     assert len(gram_exchanges) <= 1, gram_exchanges
+    # r12: the shingle expansion must come from the shared staged view
+    # (explicitly, via sh_table), not re-run per query.  Through r11 this
+    # query got the cached shingles only by cache-manager subtree
+    # COINCIDENCE, which the staging-time repartition silently broke
+    # (bench 0.5 s -> 3.6 s before the explicit routing).
+    assert "InMemoryTableScan" in plan, "novelty must read the staged shingle view"
 
 
 def test_pack_sequences_bucketed_window(spark, sf_dir):
