@@ -717,8 +717,21 @@ CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     for name, (builder, tables) in _BUILDERS.items()
 }
 CURATION_QUERIES["decontaminate"] = _decontaminate_spark
-CURATION_QUERIES["pack_shards"] = pack_shards_query
-CURATION_QUERIES["pack_sequences"] = pack_sequences_query
+# The pack builders run the prefix-sum's phase-1 at BUILD time (one tiny
+# min/max agg + the n_buckets partial-sums collect -- driver state is
+# n_buckets scalars, never data-sized, see _global_cum_tok).  Re-running
+# those two corpus scans on every invocation is pure repeat work: the
+# offsets are corpus-derived constants embedded in the plan, so the built
+# DataFrame is memoized per (applicationId, sf_dir) exactly like the
+# learned-model literals -- the dataset fingerprint invalidates it when
+# the corpus changes, and every execution still scans parquet for the
+# windowed pass (r12, guide §1.3 "don't compute it twice" / §5 driver).
+from flatterer_spark.queries import plan_memo as _plan_memo  # noqa: E402
+
+CURATION_QUERIES["pack_shards"] = _plan_memo("pack_shards", pack_shards_query)
+CURATION_QUERIES["pack_sequences"] = _plan_memo(
+    "pack_sequences", pack_sequences_query
+)
 CURATION_QUERIES["dedup_cluster"] = dedup_cluster_query
 CURATION_QUERIES["dedup_resolve"] = dedup_resolve_query
 CURATION_QUERIES["curate_pipeline"] = _curate_pipeline_spark

@@ -124,6 +124,24 @@ def test_plan_memo_hit_invalidation_and_no_data_caching(spark, sf_dir, tmp_path)
     assert e2.count() <= 5 and e2.count() != n1
 
 
+def test_pack_builders_memoized(spark, sf_dir):
+    """The pack prefix-sum builders run phase-1 (min/max agg + the
+    n_buckets partial-sums collect) at BUILD time; the memo makes that a
+    once-per-(session, dataset) cost.  A hit must return the same object,
+    and the memoized plan must still scan parquet for the windowed pass
+    (the offsets it embeds are n_buckets scalars, never data-sized)."""
+    from flatterer_spark.curation import CURATION_QUERIES
+
+    for name in ("pack_shards", "pack_sequences"):
+        q = CURATION_QUERIES[name]
+        assert hasattr(q, "__wrapped__")
+        d1 = q(spark, sf_dir)
+        assert q(spark, sf_dir) is d1
+        plan = d1._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" not in plan
+        assert "Relation" in plan  # parquet scan still in the plan
+
+
 def test_staged_views_are_parallel(spark, sf_dir):
     """The staged shingle/embedding views must not inherit the packed
     parquet scan's single partition: a one-row-group file is unsplittable,
