@@ -3433,6 +3433,28 @@ def _staged_repartition(spark: SparkSession, df: DataFrame, key: str) -> DataFra
     return df.repartition(spark.sparkContext.defaultParallelism, key)
 
 
+def _repersist_if_dropped(df: DataFrame) -> None:
+    """Re-arm a staged view whose cache Spark dropped behind our back.
+
+    Replacing ANY temp view that a cached plan references makes Spark
+    cascade-uncache that plan (``CreateViewCommand`` →
+    ``uncacheTableOrView``): after an application (or a test) swaps the
+    ``documents``/``embeddings`` view for a different frame, every staged
+    view built over it silently loses its persist, and the hit path of the
+    staged-view caches would serve the unpersisted view for the rest of
+    the session — every consumer re-deriving the whole staging per run
+    (r12: found as an order-dependent plan-contract failure).  ``persist()``
+    on the hit path re-registers the same analyzed plan with the cache
+    manager — lazy, no job, a no-op when still cached."""
+    try:
+        from pyspark import StorageLevel
+
+        if df.storageLevel == StorageLevel.NONE:
+            df.persist()
+    except Exception:
+        pass  # storageLevel probe failed: serve the view as-is
+
+
 def _shingle_view(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the shared shingle set once per (session, sf_dir) as a
     persisted temp view.  Spark inlines WITH-CTEs, so minhash/ngram would
@@ -3451,6 +3473,7 @@ def _shingle_view(spark: SparkSession, sf_dir: str) -> str:
         ).persist()
         df.createOrReplaceTempView(name)
         _sh_cache[key] = df
+    _repersist_if_dropped(_sh_cache[key])
     return name
 
 
@@ -3458,8 +3481,12 @@ def _make_sh_query(builder):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flatterer_spark.queries import T
 
-        view = _shingle_view(spark, sf_dir)
+        # restore the base view FIRST: replacing `documents` (even just
+        # restoring it after a caller swapped it) cascade-uncaches every
+        # cached plan that references it, so the staged-view getter -- whose
+        # hit path re-arms a dropped persist -- must run AFTER the restore
         T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        view = _shingle_view(spark, sf_dir)
         return spark.sql(builder(Gen(spark=True), sh_table=view))
 
     return run
@@ -3481,8 +3508,9 @@ def _ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flatterer_spark.operators.kmeans import _sorted_output
     from flatterer_spark.queries import T
 
-    view = _shingle_view(spark, sf_dir)
+    # restore-then-stage: see _make_sh_query
     T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    view = _shingle_view(spark, sf_dir)
     sql = sql_dedup_ngram_jaccard(
         Gen(spark=True), sh_table=view, final_order=False
     )
@@ -3518,6 +3546,7 @@ def _span_view(spark: SparkSession, sf_dir: str) -> str:
         """).persist()
         df.createOrReplaceTempView(name)
         _span_cache[key] = df
+    _repersist_if_dropped(_span_cache[key])
     return name
 
 
@@ -3525,8 +3554,9 @@ def _make_span_query(builder):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flatterer_spark.queries import T
 
-        view = _span_view(spark, sf_dir)
+        # restore-then-stage: see _make_sh_query
         T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        view = _span_view(spark, sf_dir)
         return spark.sql(builder(Gen(spark=True), span_table=view))
 
     return run
@@ -3550,6 +3580,7 @@ def _emb_view(spark: SparkSession, sf_dir: str) -> str:
         ).persist()
         df.createOrReplaceTempView(name)
         _en_cache[key] = df
+    _repersist_if_dropped(_en_cache[key])
     return name
 
 
@@ -3572,6 +3603,7 @@ def _emb_band_view(spark: SparkSession, sf_dir: str) -> str:
         ).persist()
         df.createOrReplaceTempView(name)
         _bl_cache[key] = df
+    _repersist_if_dropped(_bl_cache[key])
     return name
 
 
@@ -3579,9 +3611,10 @@ def _make_emb_lsh_query(builder):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flatterer_spark.queries import T
 
+        # restore-then-stage: see _make_sh_query
+        T(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
         en = _emb_view(spark, sf_dir)
         bl = _emb_band_view(spark, sf_dir)
-        T(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
         return spark.sql(builder(Gen(spark=True), en_table=en, bl_table=bl))
 
     return run
@@ -3591,8 +3624,9 @@ def _make_en_query(builder):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flatterer_spark.queries import T
 
-        view = _emb_view(spark, sf_dir)
+        # restore-then-stage: see _make_sh_query
         T(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+        view = _emb_view(spark, sf_dir)
         return spark.sql(builder(Gen(spark=True), en_table=view))
 
     return run
@@ -3620,8 +3654,9 @@ def _pairs_view(spark: SparkSession, sf_dir: str) -> str:
     key = fresh_cache_key(_pairs_cache, spark, sf_dir, "documents")
     name = f"pairs_materialized_{_view_suffix(sf_dir)}"
     if key not in _pairs_cache:
-        sh = _shingle_view(spark, sf_dir)
+        # restore-then-stage: see _make_sh_query
         T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        sh = _shingle_view(spark, sf_dir)
         path = tempfile.mkdtemp(prefix="flatterer_pairs_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         # no final ORDER BY on the staged write: parquet needs no order,
@@ -3656,8 +3691,9 @@ def _kmv_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flatterer_spark.queries import T
 
-    sh = _shingle_view(spark, sf_dir)
+    # restore-then-stage: see _make_sh_query
     T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    sh = _shingle_view(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="flatterer_kmvmins_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     spark.sql(
@@ -3694,6 +3730,7 @@ def _phash_view(spark: SparkSession, sf_dir: str) -> str:
         df = MM.phash_signatures(spark, sf_dir).persist()
         df.createOrReplaceTempView(name)
         _phash_cache[key] = df
+    _repersist_if_dropped(_phash_cache[key])
     return name
 
 

@@ -124,6 +124,38 @@ def test_plan_memo_hit_invalidation_and_no_data_caching(spark, sf_dir, tmp_path)
     assert e2.count() <= 5 and e2.count() != n1
 
 
+def test_staged_view_repersists_after_base_view_replacement(spark, sf_dir):
+    """Replacing a temp view that a cached plan references makes Spark
+    cascade-uncache that plan (CreateViewCommand -> uncacheTableOrView):
+    after an application swaps `documents` for another frame, the staged
+    shingle view silently loses its persist.  The staged-view getters must
+    (a) restore the base view BEFORE touching the staged cache and (b)
+    re-arm a dropped persist on the hit path -- otherwise every consumer
+    re-derives the whole staging for the rest of the session."""
+    from pyspark import StorageLevel
+
+    import flatterer_spark.ext_queries as E
+    from flatterer_spark.ext_queries import EXT_QUERIES
+    from flatterer_spark.functions.fingerprint import fresh_cache_key
+
+    E._shingle_view(spark, sf_dir)
+    key = fresh_cache_key(E._sh_cache, spark, sf_dir, "documents")
+    staged = E._sh_cache[key]
+    assert staged.storageLevel != StorageLevel.NONE
+
+    # hostile replacement: different plan under the same view name
+    spark.createDataFrame(
+        [(1, "only two")], "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    assert staged.storageLevel == StorageLevel.NONE  # the cascade fired
+
+    # any staged-view consumer must come back with the cache re-armed
+    df = EXT_QUERIES["corpus_ngram_novelty"](spark, sf_dir)
+    assert staged.storageLevel != StorageLevel.NONE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
 def test_pack_builders_memoized(spark, sf_dir):
     """The pack prefix-sum builders run phase-1 (min/max agg + the
     n_buckets partial-sums collect) at BUILD time; the memo makes that a
